@@ -32,6 +32,13 @@ class EngineConfig:
     # offline politeness budget: simulated seconds per scheduling round;
     # a host with crawl-delay d gets floor(round_seconds/max(d,1)) slots
     round_seconds: int = 16
+    # Faithful libmetha keeps LM_URL_EXTERNAL on parked URLs, so an external
+    # host's children re-park into its own (never re-pended) list and are
+    # lost — external hosts crawl exactly one level (url.c:297 flag
+    # inheritance + urlengine.c:476-502).  The reference's own DISTRIBUTED
+    # mode seeds each host fresh (mn-slaved START <url> → lm_url_set, no
+    # flag), which clears it; True reproduces that daemon-mode behavior.
+    clear_external_on_activate: bool = False
 
     MODE_DELAYS = {"aggressive": 0.0, "friendly": 10.0, "coward": 30.0}
 

@@ -1,0 +1,284 @@
+"""Pure-Python reference simulators (no Ray) — the golden oracles.
+
+``simulate_single_worker`` is the direct, sequential transcription of the
+reference's one-thread crawl (lm_worker_main, worker.c:214-407, plus the
+global pending-host LIFO stack urlengine.c:566-645): the behavior SURVEY.md
+§3.2 calls "fully deterministic" — this produces golden visit order / seen
+set / targets / extracted text for unit tests.
+
+``simulate_rounds`` is the sequential model of the DISTRIBUTED engine
+(pipelines/crawl.py): politeness rounds with per-host transfer budgets and
+deterministic round-barrier merging of external links.  The Ray pipeline
+must match it EXACTLY (per-host visit sequences incl. round numbers, seen
+set, targets, text bytes) — that parity is the correctness gate for the
+distributed orchestration.
+
+Both share the kernel in ``hostloop.py``; the semantics difference between
+the two modes is documented in hostloop's module docstring.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field, replace as dc_replace
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from ..config import EngineConfig
+from ..state.seen import LocalSeenPool
+from .hostloop import CrawlKernel, ExtCandidate, TurnLog, UrlRow
+
+
+@dataclass
+class CrawlResult:
+    # (url, host, depth, round, seq) — seq is per-host visit index; in
+    # single-worker mode round is always 0 and seq is the GLOBAL order.
+    visits: List[Tuple[str, str, int, int, int]] = field(default_factory=list)
+    targets: List[dict] = field(default_factory=list)
+    texts: Dict[str, bytes] = field(default_factory=dict)
+    ft_counts: Dict[str, int] = field(default_factory=dict)
+    seen_size: int = 0
+    rounds: int = 0
+
+    def visits_by_host(self) -> Dict[str, List[str]]:
+        out: Dict[str, List[str]] = {}
+        for url, host, _d, _r, _s in self.visits:
+            out.setdefault(host, []).append(url)
+        return out
+
+
+@dataclass
+class _HostEnt:
+    """struct host_ent for the single-worker simulator."""
+
+    host: str
+    parked: List[Tuple] = field(default_factory=list)  # (URL, bind)
+    rfetched: bool = False
+    robots_obj: object = None
+
+
+def _merge_log(result: CrawlResult, log: TurnLog, round_num: int,
+               seq_base: Dict[str, int]) -> None:
+    for url, host, depth in log.visits:
+        seq = seq_base.get(host, 0)
+        seq_base[host] = seq + 1
+        result.visits.append((url, host, depth, round_num, seq))
+    result.targets.extend(log.targets)
+    for url, buf in log.texts:
+        result.texts[url] = buf
+    for k, v in log.ft_counts.items():
+        result.ft_counts[k] = result.ft_counts.get(k, 0) + v
+
+
+# ---------------------------------------------------------------------------
+# single-worker reference mode
+
+
+def simulate_single_worker(cfg: EngineConfig, fetcher, seeds: Sequence[str],
+                           crawler: Optional[str] = None) -> CrawlResult:
+    seen = LocalSeenPool(num_shards=1, mode="exact")
+    host_ents: Dict[str, _HostEnt] = {}
+    pending: List[str] = []  # LIFO of host names (ue_push/pop_pending)
+    result = CrawlResult()
+    seq_base: Dict[str, int] = {}
+
+    def ent_of(host: str, add_pending: bool) -> _HostEnt:
+        ent = host_ents.get(host)
+        if ent is None:
+            ent = _HostEnt(host=host)
+            host_ents[host] = ent
+            if add_pending:
+                pending.append(host)
+        return ent
+
+    def park(u, bind, _seen_added) -> None:
+        ent_of(u.host_norm, add_pending=True).parked.append((u, bind))
+
+    k = CrawlKernel(
+        cfg, fetcher,
+        seen_try_add=lambda host, key: seen.try_add_batch(host, [key])[0],
+        mode="inline", crawler=crawler, inline_park=park,
+    )
+
+    for s in seeds:
+        k.ue_add_initial(s)
+    # the seed host's ent exists but is NOT pending (it's being crawled)
+    ent_of(k.host, add_pending=False)
+    k.sort_initial()
+
+    while True:
+        k.run_turn(budget=None)
+        # save the current host's robots state back to its ent
+        cur = ent_of(k.host, add_pending=False)
+        cur.rfetched, cur.robots_obj = k.rfetched, k.robots
+        if k.crawler.external and pending:
+            # ue_pop_pending + ue_set_hostent (worker.c:253-261)
+            host = pending.pop()
+            ent = host_ents[host]
+            k.utable.append([
+                UrlRow(
+                    dc_replace(u, is_external=False)
+                    if cfg.clear_external_on_activate else u,
+                    b,
+                )
+                for (u, b) in ent.parked
+            ])
+            k.list_priv.append(None)
+            ent.parked = []
+            k.depth_counter = 0
+            k.host = host
+            k.rfetched, k.robots = ent.rfetched, ent.robots_obj
+            continue
+        break
+
+    _merge_log(result, k.log, 0, seq_base)
+    result.seen_size = seen.size()
+    result.rounds = 1
+    return result
+
+
+# ---------------------------------------------------------------------------
+# politeness-rounds mode (sequential model of the Ray engine)
+
+
+def budget_for(cfg: EngineConfig, crawl_delay: Optional[float]) -> Optional[int]:
+    """Per-round transfer budget for a host (SURVEY §2 T3 offline model):
+    floor(round_seconds / delay), min 1; None (unbounded) when the
+    effective delay is 0 (aggressive mode, no Crawl-delay)."""
+    delay = max(crawl_delay or 0.0, cfg.base_delay)
+    if delay <= 0:
+        return None
+    return max(1, math.floor(cfg.round_seconds / delay))
+
+
+def plan_seed_hosts(cfg: EngineConfig, seeds: Sequence[str],
+                    crawler: Optional[str] = None) -> Dict[str, List[str]]:
+    """Group seed strings by normalized host, preserving order."""
+    from ..functions.urlkit import strtourl, url_set
+
+    by_host: Dict[str, List[str]] = {}
+    for s in seeds:
+        u = url_set(strtourl(s))
+        if u is None:
+            continue
+        by_host.setdefault(u.host_norm, []).append(s)
+    return by_host
+
+
+def run_host_round(cfg: EngineConfig, fetcher, seen_try_add, state: Optional[dict],
+                   seeds: Optional[List[str]], arrivals: Optional[List[Tuple]],
+                   crawler: Optional[str]) -> Tuple[dict, TurnLog, str]:
+    """One host's turn in one round — THE shared step function: the
+    sequential simulator calls it directly; the Ray pipeline calls it
+    inside the per-host map_groups stage.  Returns (new_state, log,
+    status)."""
+    k = CrawlKernel(cfg, fetcher, seen_try_add, mode="rounds", crawler=crawler)
+    if state is not None:
+        k.load_state(state)
+    elif seeds is not None:
+        for s in seeds:
+            k.ue_add_initial(s)
+        k.sort_initial()
+        k.activated = True
+    else:
+        # host created by external arrivals: parked list becomes the root
+        # list (ue_set_hostent, urlengine.c:348-368)
+        k.utable = [[
+            UrlRow(
+                dc_replace(u, is_external=False)
+                if cfg.clear_external_on_activate else u,
+                b,
+            )
+            for (u, b, _cr) in arrivals
+        ]]
+        k.list_priv = [arrivals[0][2] if arrivals else None]
+        k.host = arrivals[0][0].host_norm if arrivals else ""
+        k.depth_counter = 0
+        k.activated = True
+        if arrivals and arrivals[0][2]:
+            k.crawler_name = arrivals[0][2]
+            k.depth_limit = k.crawler.depth_limit
+    budget = budget_for(cfg, k.robots.crawl_delay if k.robots else None)
+    status = k.run_turn(budget=budget)
+    return k.state_dict(), k.log, status
+
+
+def merge_externals(seen_pool, cands: List[Tuple[str, int, ExtCandidate]],
+                    cfg: EngineConfig) -> Dict[str, List[Tuple]]:
+    """Round barrier: process external candidates in deterministic
+    (src_host, emit_seq) order; returns {target_host: [(URL, bind,
+    crawler)]} of parked winners.  ``seen_pool`` may be a LocalSeenPool or
+    the Ray actor pool facade (same API)."""
+    cands = sorted(cands, key=lambda t: (t[0], t[1]))
+    # batch the seen-checks per target host, preserving order
+    keys_by_host: Dict[str, List[str]] = {}
+    idx_by_host: Dict[str, List[int]] = {}
+    for i, (_src, _seq, c) in enumerate(cands):
+        if c.seen_check:
+            keys_by_host.setdefault(c.url.host_norm, []).append(c.url.seen_key)
+            idx_by_host.setdefault(c.url.host_norm, []).append(i)
+    verdicts: Dict[int, bool] = {}
+    results = seen_pool.try_add_grouped(keys_by_host) if keys_by_host else {}
+    for host, flags in results.items():
+        for i, ok in zip(idx_by_host[host], flags):
+            verdicts[i] = ok
+    arrivals: Dict[str, List[Tuple]] = {}
+    for i, (_src, _seq, c) in enumerate(cands):
+        if c.seen_check and not verdicts.get(i, False):
+            continue  # already seen somewhere
+        if not c.park:
+            continue  # seen-add only (unmatched / non-external crawler)
+        arrivals.setdefault(c.url.host_norm, []).append((c.url, c.bind, c.crawler))
+    return arrivals
+
+
+def simulate_rounds(cfg: EngineConfig, fetcher, seeds: Sequence[str],
+                    crawler: Optional[str] = None, max_rounds: int = 1000,
+                    seen_mode: str = "exact", num_shards: int = 8) -> CrawlResult:
+    seen = LocalSeenPool(num_shards=num_shards, mode=seen_mode)
+
+    def try_add(host: str, key: str) -> bool:
+        return seen.try_add_batch(host, [key])[0]
+
+    result = CrawlResult()
+    seq_base: Dict[str, int] = {}
+    states: Dict[str, dict] = {}
+    done: set = set()
+
+    by_host = plan_seed_hosts(cfg, seeds, crawler)
+    new_hosts: Dict[str, dict] = {
+        h: {"seeds": urls} for h, urls in by_host.items()
+    }
+
+    round_num = 0
+    while round_num < max_rounds:
+        active = sorted(set(states) - done) + sorted(set(new_hosts) - set(states) - done)
+        if not active:
+            break
+        all_cands: List[Tuple[str, int, ExtCandidate]] = []
+        for host in sorted(set(active)):
+            init = new_hosts.pop(host, None)
+            st = states.get(host)
+            new_state, log, status = run_host_round(
+                cfg, fetcher, try_add, st,
+                (init or {}).get("seeds"), (init or {}).get("arrivals"),
+                crawler,
+            )
+            states[host] = new_state
+            _merge_log(result, log, round_num, seq_base)
+            for i, c in enumerate(log.ext_candidates):
+                all_cands.append((host, i, c))
+            if status == "exhausted":
+                done.add(host)
+        arrivals = merge_externals(seen, all_cands, cfg)
+        if cfg.crawlers[crawler or cfg.default_crawler].external:
+            for host, rows in sorted(arrivals.items()):
+                if host in states or host in new_hosts:
+                    # late arrival to an existing host: dropped (faithful —
+                    # ue_get_hostent only queues a host when CREATED)
+                    continue
+                new_hosts[host] = {"arrivals": rows}
+        round_num += 1
+
+    result.seen_size = seen.size()
+    result.rounds = round_num
+    return result
