@@ -100,12 +100,13 @@ class DictFetcher:
 class UrlRow:
     """url_t in a ulist: canonical URL + filetype binding (url.h:57-76)."""
 
-    __slots__ = ("u", "bind", "ext_cand")
+    __slots__ = ("u", "bind", "ext_cand", "pend")
 
     def __init__(self, u: URL, bind: int = 0, ext_cand: int = -1):
         self.u = u
         self.bind = bind
         self.ext_cand = ext_cand  # rounds mode: index into TurnLog.ext_candidates
+        self.pend = None  # (owning_list, key_host, key) awaiting seen verdict
 
     def __repr__(self):
         return f"UrlRow({self.u.s!r}, bind={self.bind})"
@@ -158,7 +159,7 @@ class CrawlKernel:
         self,
         cfg: EngineConfig,
         fetch,
-        seen_try_add: Callable[[str, str], bool],
+        seen,
         mode: str,
         crawler: Optional[str] = None,
         # inline-mode hooks (simulator wires these):
@@ -166,8 +167,14 @@ class CrawlKernel:
     ):
         self.cfg = cfg
         self.fetch = fetch
-        self.seen_try_add = seen_try_add  # (host_norm, key) -> bool (new?)
+        # seen pool: .try_add_batch(host_norm, keys) -> List[bool].  The
+        # kernel BUFFERS seen-checks and resolves one batch per parsed page
+        # (one RPC per page against the host's shard actor, never one per
+        # link — the scale-critical batching; verdict order == add order,
+        # which preserves the reference's first-occurrence-wins dedup).
+        self.seen = seen
         self.mode = mode
+        self._pending: List[UrlRow] = []
         self.inline_park = inline_park
         self.crawler_name = crawler or cfg.default_crawler
         self._ftindex_cache: Dict[str, FTIndex] = {}
@@ -259,6 +266,38 @@ class CrawlKernel:
 
     # -- ue_* transcriptions ----------------------------------------------
 
+    def _resolve_pending(self) -> None:
+        """Resolve buffered seen-checks in add order (batched per page).
+        Consecutive same-keyspace runs collapse into one pool call, so the
+        common all-internal page costs exactly one RPC."""
+        if not self._pending:
+            return
+        pend = self._pending
+        self._pending = []
+        i = 0
+        n = len(pend)
+        while i < n:
+            host = pend[i].pend[1]
+            j = i
+            while j < n and pend[j].pend[1] == host:
+                j += 1
+            run = pend[i:j]
+            verdicts = self.seen.try_add_batch(host, [r.pend[2] for r in run])
+            for row, ok in zip(run, verdicts):
+                lst = row.pend[0]
+                row.pend = None
+                if not ok:
+                    # already crawled/queued → remove (ue_add's list->sz--)
+                    try:
+                        lst.remove(row)
+                    except ValueError:
+                        pass
+            i = j
+
+    def _pend(self, row: UrlRow, lst: List[UrlRow], host: str, key: str) -> None:
+        row.pend = (lst, host, key)
+        self._pending.append(row)
+
     def ue_add_initial(self, raw: str) -> bool:
         """urlengine.c:121-150 (seed path, after lm_strtourl guessing)."""
         u = url_set(strtourl(raw))
@@ -268,9 +307,9 @@ class CrawlKernel:
             self.utable.append([])
             self.list_priv.append(None)
         self.host = u.host_norm
-        if not self.seen_try_add(u.host_norm, u.seen_key):
-            return False
-        self.utable[-1].append(UrlRow(u))
+        row = UrlRow(u)
+        self.utable[-1].append(row)
+        self._pend(row, self.utable[-1], u.host_norm, u.seen_key)
         return True
 
     def ue_add(self, raw: bytes) -> bool:
@@ -305,22 +344,21 @@ class CrawlKernel:
             return False
 
         row = UrlRow(u)
+        top.append(row)
         if u.is_external:
             if self.mode == "inline":
-                if not self.seen_try_add(u.host_norm, u.seen_key):
-                    return False
+                self._pend(row, top, u.host_norm, u.seen_key)
             else:
                 # rounds: defer the seen-add to the round barrier; drop
                 # only what THIS host already emitted (deterministic memo)
                 if u.seen_key in self.ext_emitted:
+                    top.pop()
                     return False
                 self.ext_emitted.add(u.seen_key)
                 row.ext_cand = len(self.log.ext_candidates)
                 self.log.ext_candidates.append(ExtCandidate(url=u))
         else:
-            if not self.seen_try_add(self.host, u.seen_key):
-                return False
-        top.append(row)
+            self._pend(row, top, self.host, u.seen_key)
         return True
 
     def ue_next(self) -> Optional[UrlRow]:
@@ -477,6 +515,7 @@ class CrawlKernel:
 
     def sort(self) -> None:
         """lm_worker_sort, synchronous path (worker.c:537-649)."""
+        self._resolve_pending()  # ue_add dedup verdicts land before sorting
         if not self.utable:
             return
         lst = self.utable[-1]
@@ -584,6 +623,7 @@ class CrawlKernel:
     # -- initial sort (worker.c:238-246) -----------------------------------
 
     def sort_initial(self) -> None:
+        self._resolve_pending()
         cr = self.crawler
         if cr.initial_filetype:
             ftid = None

@@ -93,11 +93,8 @@ def simulate_single_worker(cfg: EngineConfig, fetcher, seeds: Sequence[str],
     def park(u, bind, _seen_added) -> None:
         ent_of(u.host_norm, add_pending=True).parked.append((u, bind))
 
-    k = CrawlKernel(
-        cfg, fetcher,
-        seen_try_add=lambda host, key: seen.try_add_batch(host, [key])[0],
-        mode="inline", crawler=crawler, inline_park=park,
-    )
+    k = CrawlKernel(cfg, fetcher, seen, mode="inline", crawler=crawler,
+                    inline_park=park)
 
     for s in seeds:
         k.ue_add_initial(s)
@@ -164,14 +161,15 @@ def plan_seed_hosts(cfg: EngineConfig, seeds: Sequence[str],
     return by_host
 
 
-def run_host_round(cfg: EngineConfig, fetcher, seen_try_add, state: Optional[dict],
+def run_host_round(cfg: EngineConfig, fetcher, seen_pool, state: Optional[dict],
                    seeds: Optional[List[str]], arrivals: Optional[List[Tuple]],
                    crawler: Optional[str]) -> Tuple[dict, TurnLog, str]:
     """One host's turn in one round — THE shared step function: the
     sequential simulator calls it directly; the Ray pipeline calls it
-    inside the per-host map_groups stage.  Returns (new_state, log,
-    status)."""
-    k = CrawlKernel(cfg, fetcher, seen_try_add, mode="rounds", crawler=crawler)
+    inside the per-host map_groups stage.  ``seen_pool`` exposes
+    ``try_add_batch(host, keys)`` (LocalSeenPool or the Ray actor-pool
+    facade).  Returns (new_state, log, status)."""
+    k = CrawlKernel(cfg, fetcher, seen_pool, mode="rounds", crawler=crawler)
     if state is not None:
         k.load_state(state)
     elif seeds is not None:
@@ -236,9 +234,6 @@ def simulate_rounds(cfg: EngineConfig, fetcher, seeds: Sequence[str],
                     seen_mode: str = "exact", num_shards: int = 8) -> CrawlResult:
     seen = LocalSeenPool(num_shards=num_shards, mode=seen_mode)
 
-    def try_add(host: str, key: str) -> bool:
-        return seen.try_add_batch(host, [key])[0]
-
     result = CrawlResult()
     seq_base: Dict[str, int] = {}
     states: Dict[str, dict] = {}
@@ -259,7 +254,7 @@ def simulate_rounds(cfg: EngineConfig, fetcher, seeds: Sequence[str],
             init = new_hosts.pop(host, None)
             st = states.get(host)
             new_state, log, status = run_host_round(
-                cfg, fetcher, try_add, st,
+                cfg, fetcher, seen, st,
                 (init or {}).get("seeds"), (init or {}).get("arrivals"),
                 crawler,
             )

@@ -1,0 +1,382 @@
+"""Deterministic synthetic Common-Crawl-style pages table (FIXTURES.md §1).
+
+Schema is exactly BASELINE.json's ``input_hint``:
+``pages(url: string, warc_ts: timestamp[us], html: binary, text: string,
+lang: string)`` plus the HTTP-metadata side table
+``page_meta(url, status, location, content_type)`` (FIXTURES.md §2), a
+``seeds`` table, and a ``golden_links`` table.
+
+Everything is **predicted by construction**, not by running our parsers:
+
+* ``text``  — each page is assembled from a unicode template; the expected
+  extracted text (the utf8conv→entityconv chain output, SURVEY §2 M10/M11)
+  is computed by re-encoding the template and substituting the exact
+  entities the generator itself inserted.  Byte-identity of the engine's
+  output against this column is therefore a genuine end-to-end check, not
+  a self-comparison.
+* ``golden_links`` — the raw href/src refs in document order as the
+  generator wrote them into the markup (including the style-block
+  ``url()`` refs at their document position, unquoted/uppercase attrs,
+  and the *absence* of ``#fragment`` and ``<script>`` refs).
+
+Scale knobs: everything is pure index arithmetic on (host, page index) —
+no RNG — so any subset of pages can be regenerated independently (the
+property that lets a 100 TB variant be generated shard-parallel).
+
+Host-size skew is deliberate (FIXTURES: one mega host with ~30% of pages)
+to exercise politeness budgeting and skew handling.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# named entities the generator may insert: name -> replacement char
+_ENTS = {"auml": "ä", "ouml": "ö", "eacute": "é", "amp": "&"}
+
+_WORDS = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod "
+    "tempor incididunt ut labore et dolore magna aliqua".split()
+)
+
+BASE_TS = 1_600_000_000_000_000  # microseconds
+
+
+def host_plan(n_pages: int) -> List[Tuple[str, int]]:
+    """[(host, page_count)]: one mega host (~30%), the rest 1/i-decaying."""
+    n_hosts = max(4, n_pages // 40)
+    mega = max(6, int(n_pages * 0.30))
+    rest = n_pages - mega
+    weights = [1.0 / (i + 1) for i in range(n_hosts - 1)]
+    wsum = sum(weights)
+    plan = [("host-0000.example", mega)]
+    used = 0
+    for i, w in enumerate(weights):
+        k = max(3, int(rest * w / wsum))
+        if used + k > rest:
+            k = max(0, rest - used)
+        plan.append((f"host-{i + 1:04d}.example", k))
+        used += k
+        if used >= rest:
+            break
+    return [(h, k) for (h, k) in plan if k > 0]
+
+
+def _page_path(j: int) -> str:
+    if j == 0:
+        return "/"
+    if j % 9 == 5:
+        return f"/private/s{j}.html"
+    if j % 9 == 7:
+        return f"/private/open/o{j}.html"
+    if j % 17 == 11:
+        return f"/d{j}/"
+    if j % 23 == 15:
+        return f"/t{j}.txt"
+    if j % 29 == 21:
+        return f"/c{j}.css"
+    if j % 5 == 2:
+        return f"/p/q{j}.html?a=1&b=2"
+    return f"/p/{j}.html"
+
+
+def _url_of(host: str, j: int) -> str:
+    return f"http://{host}{_page_path(j)}"
+
+
+def _kind(j: int) -> str:
+    p = _page_path(j)
+    if p.endswith(".txt"):
+        return "text"
+    if p.endswith(".css"):
+        return "css"
+    return "html"
+
+
+def _charset_latin1(host: str, j: int) -> bool:
+    return _kind(j) == "html" and j % 11 == 4
+
+
+def _has_entities(j: int) -> bool:
+    return _kind(j) == "html" and j % 7 == 3
+
+
+def _redirect_target(host: str, j: int, k: int) -> Optional[str]:
+    """301 rows: every 41st page (kind html, not root) redirects."""
+    if j != 0 and _kind(j) == "html" and j % 41 == 40:
+        return _url_of(host, (j + 1) % k)
+    return None
+
+
+def _build_html_page(host: str, j: int, k: int, hosts: List[str]
+                     ) -> Tuple[bytes, str, List[str], str]:
+    """Returns (html_bytes, expected_text_str, raw_links_in_order, lang)."""
+    lang = ("en", "sv", "de")[j % 3]
+    title = f"Page {j} of {host}"
+    links: List[str] = []  # predicted extraction output, document order
+
+    def a(href: str, extracted: bool = True) -> str:
+        if extracted:
+            links.append(href)
+        return f'<a href="{href}">{href}</a>'
+
+    parts: List[str] = []
+    parts.append("<!DOCTYPE html>")
+    parts.append("<!-- synthetic fixture page -->")
+    parts.append(f"<html><head><title>{title}</title>")
+    if _charset_latin1(host, j):
+        parts.append('<meta http-equiv="Content-Type" '
+                     'content="text/html; charset=ISO-8859-1">')
+    parts.append("</head><body>")
+    parts.append(f"<h1>{title}</h1>")
+
+    # filler prose (deterministic)
+    prose = " ".join(_WORDS[(j + i) % len(_WORDS)] for i in range(14))
+    if _has_entities(j):
+        prose += " caf&eacute; m&auml;rk&ouml;"  # named entities
+    if _kind(j) == "html" and j % 13 == 6:
+        prose += " numeric&#228;stays"  # numeric entity: must NOT convert
+    if _charset_latin1(host, j):
+        prose += " naïve"  # non-ASCII that iso-8859-1 can encode
+    parts.append(f"<p>{prose}</p>")
+
+    # tree children (absolute-path refs — predictable resolution); query
+    # paths are written ``&amp;``-escaped to exercise encodecpy's
+    # ``&amp;``→``&`` rule (url.c:354-361)
+    for c in (3 * j + 1, 3 * j + 2, 3 * j + 3):
+        if c < k:
+            parts.append(a(_page_path(c).replace("&", "&amp;")))
+
+    # sibling relative ref from /p/ pages
+    if _page_path(j).startswith("/p/") and j + 1 < k and \
+            _page_path(j + 1).startswith("/p/"):
+        parts.append(a(_page_path(j + 1)[3:]))  # e.g. "17.html"
+
+    if j % 4 == 1:
+        parts.append('<a href="#frag">skipped anchor</a>')  # NOT extracted
+    if j % 12 == 6 and 3 * j + 1 < k:
+        parts.append(a(_page_path(3 * j + 1)))  # duplicate link
+    if j % 6 == 3:
+        other = hosts[(j + 1 + (hash_stable(host) % len(hosts))) % len(hosts)]
+        if other != host:
+            parts.append(a(f"http://{other}/"))
+    if j % 10 == 4:
+        parts.append(a(f"/p/missing{j}.html"))  # 404 (no row)
+    if j % 15 == 8:
+        parts.append(a(f"/img/i{j}.png"))  # image filetype: target, no row
+    if j % 8 == 5 and k > 1:
+        parts.append(f"<A HREF={_page_path(1)}>uppercase-unquoted</A>")
+        links.append(_page_path(1))
+    if j % 21 == 9:
+        parts.append("<script>var x = '<a href=\"fake.html\">';</script>")
+    if j % 16 == 10:
+        css_ref = "bg.css"  # 404 css ref
+        parts.append("<style>body { background: url(" + css_ref + "); }</style>")
+        links.append(css_ref)  # style URLs surface at their doc position
+
+    parts.append("</body></html>")
+    html_text = "\n".join(parts)
+
+    # ---- expected extracted text (utf8conv → entityconv), by construction
+    if _charset_latin1(host, j):
+        html_bytes = html_text.encode("iso-8859-1")
+        converted = html_text  # utf8conv decodes latin-1 → same unicode
+    else:
+        html_bytes = html_text.encode("utf-8")
+        converted = html_text
+    expected = converted
+    for name, ch in _ENTS.items():
+        expected = expected.replace(f"&{name};", ch)
+    return html_bytes, expected, links, lang
+
+
+def _build_text_page(host: str, j: int) -> Tuple[bytes, str, List[str]]:
+    # no "://" token: the plaintext extractor's allowed-char set
+    # (builtin.c:177-201) excludes '-', which every fixture host name
+    # contains — URL-bearing text bodies are covered by unit tests instead
+    body = f"plain text {j} no links here end"
+    return body.encode(), body, []
+
+
+def _build_css_page(host: str, j: int) -> Tuple[bytes, str, List[str]]:
+    ref = f"i{j}.png"
+    body = f"body {{ background: url({ref}); color: #000; }}"
+    return body.encode(), body, [ref]
+
+
+def hash_stable(s: str) -> int:
+    h = 5381
+    for c in s.encode():
+        h = ((h * 33) ^ c) & 0xFFFFFFFF
+    return h
+
+
+def _robots_body(host: str, hi: int) -> Optional[str]:
+    """Every host except hi%3==2 has robots.txt; variants exercise
+    rule ordering, agent matching and Crawl-delay."""
+    if hi % 3 == 2:
+        return None
+    lines = ["# robots fixture", "User-agent: *"]
+    lines.append("Disallow: /private/")
+    lines.append("Allow: /private/open/")
+    if hi % 4 == 1:
+        lines.append("Crawl-delay: 4")
+    if hi % 5 == 3:
+        lines += ["User-agent: OtherBot", "Disallow: /p/"]  # must not apply
+    if hi % 7 == 6:
+        lines += ["User-agent: Metha", "Disallow: /d"]  # substring: applies
+    return "\n".join(lines) + "\n"
+
+
+def generate(n_pages: int) -> Dict[str, pa.Table]:
+    plan = host_plan(n_pages)
+    hosts = [h for h, _ in plan]
+
+    urls: List[str] = []
+    ts: List[int] = []
+    htmls: List[bytes] = []
+    texts: List[str] = []
+    langs: List[str] = []
+    meta_rows: List[Tuple[str, int, Optional[str], str]] = []
+    link_urls: List[str] = []
+    link_seqs: List[int] = []
+    link_refs: List[str] = []
+
+    idx = 0
+
+    def emit(url: str, html: bytes, text: str, lang: str, status: int,
+             location: Optional[str], ctype: str,
+             links: Optional[List[str]] = None) -> None:
+        nonlocal idx
+        urls.append(url)
+        ts.append(BASE_TS + idx * 1_000_000)
+        htmls.append(html)
+        texts.append(text)
+        langs.append(lang)
+        meta_rows.append((url, status, location, ctype))
+        for i, r in enumerate(links or ()):
+            link_urls.append(url)
+            link_seqs.append(i)
+            link_refs.append(r)
+        idx += 1
+
+    for hi, (host, k) in enumerate(plan):
+        rb = _robots_body(host, hi)
+        if rb is not None:
+            emit(f"http://{host}/robots.txt", rb.encode(), rb, "en",
+                 200, None, "text/plain", [])
+        # redirect chain on the mega host: 21 hops → exercises the 20-cap
+        chain_base = None
+        if hi == 0 and k > 60:
+            chain_base = k - 23
+        for j in range(k):
+            if chain_base is not None and j >= chain_base:
+                c = j - chain_base
+                target = (_url_of(host, chain_base + c + 1)
+                          if c < 21 else _url_of(host, 1))
+                if c < 21:
+                    emit(_url_of(host, j), b"", "", "en", 301, target,
+                         "text/html", [])
+                    continue
+            loc = _redirect_target(host, j, k)
+            if loc is not None:
+                emit(_url_of(host, j), b"", "", "en", 301, loc,
+                     "text/html", [])
+                continue
+            kind = _kind(j)
+            if kind == "text":
+                body, text, links = _build_text_page(host, j)
+                emit(_url_of(host, j), body, text, "en", 200, None,
+                     "text/plain", links)
+            elif kind == "css":
+                body, text, links = _build_css_page(host, j)
+                emit(_url_of(host, j), body, text, "en", 200, None,
+                     "text/css", links)
+            else:
+                html, text, links, lang = _build_html_page(host, j, k, hosts)
+                ctype = ("text/html; charset=ISO-8859-1"
+                         if _charset_latin1(host, j) else "text/html")
+                emit(_url_of(host, j), html, text, lang, 200, None,
+                     ctype, links)
+
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    page_meta = pa.table(
+        {
+            "url": pa.array([m[0] for m in meta_rows], pa.string()),
+            "status": pa.array([m[1] for m in meta_rows], pa.int16()),
+            "location": pa.array([m[2] for m in meta_rows], pa.string()),
+            "content_type": pa.array([m[3] for m in meta_rows], pa.string()),
+        }
+    )
+    seed_urls = [f"http://{hosts[0]}/"]
+    for h in hosts[1:4]:
+        seed_urls.append(f"http://{h}/")
+    if len(hosts) > 4:
+        seed_urls.append(hosts[4])  # bare string → protocol guesser (M3)
+    seeds = pa.table(
+        {
+            "url": pa.array(seed_urls, pa.string()),
+            "crawler": pa.array(["default"] * len(seed_urls), pa.string()),
+            "seq": pa.array(list(range(len(seed_urls))), pa.int32()),
+        }
+    )
+    golden_links = pa.table(
+        {
+            "url": pa.array(link_urls, pa.string()),
+            "link_seq": pa.array(link_seqs, pa.int32()),
+            "ref_raw": pa.array(link_refs, pa.string()),
+        }
+    )
+    return {"pages": pages, "page_meta": page_meta, "seeds": seeds,
+            "golden_links": golden_links}
+
+
+# table sizes per driver sf tier (FIXTURES.md: tiny/small/bench)
+SF_SIZES = {"sf0.001": 200, "sf0.01": 2000, "sf0.1": 50000}
+
+
+def pages_dir_for(sf_dir: str, base: str = "/tmp/mwc_pages") -> str:
+    """Map a testdata sf dir to the deterministic pages-table dir,
+    generating it on first use.  (The driver's testdata has no pages
+    table; BASELINE.json's input shape is synthesized per FIXTURES.md.)"""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    n = SF_SIZES.get(name, 2000)
+    out = os.path.join(base, f"{name}-{n}")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        tables = generate(n)
+        for tname, tbl in tables.items():
+            pq.write_table(tbl, os.path.join(out, f"{tname}.parquet"))
+        with open(marker, "w") as f:
+            f.write(str(n))
+    return out
+
+
+def load_fetch_dict(pages_dir: str):
+    """Build the {canonical_url: PageRow} dict the simulators use."""
+    from ..pipelines.hostloop import PageRow
+
+    pages = pq.read_table(os.path.join(pages_dir, "pages.parquet"))
+    meta = pq.read_table(os.path.join(pages_dir, "page_meta.parquet"))
+    mm = {m["url"]: m for m in meta.to_pylist()}
+    out = {}
+    for r in pages.to_pylist():
+        m = mm[r["url"]]
+        out[r["url"]] = PageRow(
+            url=r["url"], status=m["status"], location=m["location"],
+            content_type=m["content_type"], body=r["html"],
+        )
+    return out
