@@ -73,7 +73,12 @@ def default_config(**crawler_overrides) -> EngineConfig:
                 "application/xml",
             ),
             attributes=("html", "title"),
-            parser="html",
+            # default.conf uses parser="html" alone; the flagship chain adds
+            # the title.conf idiom (utf8conv + a title extractor) and
+            # entityconv so the final buffer IS the byte-identical
+            # extracted-text invariant (FIXTURES.md §1, SURVEY §2 M10/M11).
+            # Link extraction ("html") runs FIRST, over the raw bytes.
+            parser="html, utf8conv, entityconv, title",
         ),
         "text": Filetype(
             name="text",

@@ -1,0 +1,369 @@
+"""The distributed crawl — libmetha's fetch→parse→extract→schedule loop as
+iterative Ray Data rounds (SURVEY.md §3.5, BASELINE.json north_rule).
+
+Per round r:
+
+  work_r  : Dataset[host, kind, ...]  (kind ∈ state | seed | arrival)
+  results = work_r.groupby("host").map_groups(HostTurnStep, concurrency=C)
+            — parallel across hosts, sequential within a host (the
+            reference's one-worker-per-host-at-a-time, urlengine.c:566-645);
+            each group runs the transcribed worker loop (hostloop.py) with
+            its politeness budget, reading its pages via the host-bucketed
+            store (selective Parquet IO) and seen-checking against the
+            sharded actor pool (one RPC per parsed page)
+  results → write_parquet(ckpt/round_r/result)    # THE checkpoint: visits,
+            targets, texts, counters, new states, external candidates —
+            per-partition lineage, resumable
+  cands   = read back kind=cand → groupby(shard) → map_groups(merge):
+            deterministic (src_host, emit_seq)-ordered seen+registry adds
+            (simulator.merge_externals — same code) → arrival rows
+  work_{r+1} = active states ∪ arrivals
+
+Termination: no active states and no arrivals.  The whole loop is
+restartable from the last complete round (``resume=True``): seen shards
+snapshot to the round dir, states/arrivals are Parquet.
+
+Scale notes (SURVEY §4):
+  * the only per-round shuffles are groupby(host) over per-host STATE rows
+    (small blobs) and groupby(shard) over candidate rows — page payloads
+    never shuffle; they are read selectively per host from the bucketed
+    store and reduced to links/targets/text inside the group task.
+  * skew: a mega-host serializes its own turn (politeness semantics — the
+    reference does the same); its per-round work is bounded by the
+    politeness budget, so wall-clock per round is bounded; the order-free
+    throughput path for bulk processing is ``crawl_bfs`` (bulk.py).
+  * seen shards are tiny actors (num_cpus≈0.25); S ≈ cores/4.
+
+Equivalence gate: per-host visit sequences (with round numbers), the
+final URL-seen set, targets and per-URL text bytes must equal
+``simulator.simulate_rounds`` exactly — tests/test_ray_crawl.py.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import EngineConfig
+from ..state.seen import make_seen_pool, shard_of
+from .hostloop import ExtCandidate
+from .simulator import (CrawlResult, budget_for, merge_externals,
+                        plan_seed_hosts, register_seed_hosts, run_host_round)
+
+# result-row schema (mixed kinds; unused fields null)
+RESULT_FIELDS = ["kind", "host", "url", "depth", "seq", "name", "n",
+                 "src_host", "src_seq", "payload"]
+RESULT_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),
+        ("host", pa.string()),
+        ("url", pa.string()),
+        ("depth", pa.int32()),
+        ("seq", pa.int64()),
+        ("name", pa.string()),
+        ("n", pa.int64()),
+        ("src_host", pa.string()),
+        ("src_seq", pa.int64()),
+        ("payload", pa.large_binary()),
+    ]
+)
+
+
+def _rows_table(rows: List[dict]) -> pa.Table:
+    cols = {f: [r.get(f) for r in rows] for f in RESULT_FIELDS}
+    return pa.table(cols, schema=RESULT_SCHEMA)
+
+
+class _PoolFacade:
+    """try_add_batch / try_add_seq over shard actor handles, usable inside
+    map_groups workers (handles serialize with the closure)."""
+
+    def __init__(self, actors):
+        self.actors = actors
+        self.num_shards = len(actors)
+
+    def try_add_batch(self, host_norm: str, keys):
+        import ray
+
+        a = self.actors[shard_of(host_norm, self.num_shards)]
+        return ray.get(a.try_add_batch.remote(list(keys)))
+
+    def try_add_seq(self, pairs):
+        import ray
+
+        by_shard: Dict[int, List[int]] = {}
+        for i, (h, _k) in enumerate(pairs):
+            by_shard.setdefault(shard_of(h, self.num_shards), []).append(i)
+        futs = {
+            s: self.actors[s].try_add_ordered.remote([pairs[i][1] for i in idxs])
+            for s, idxs in by_shard.items()
+        }
+        out = [False] * len(pairs)
+        for s, idxs in by_shard.items():
+            import ray
+
+            for i, ok in zip(idxs, ray.get(futs[s])):
+                out[i] = ok
+        return out
+
+
+class HostTurnStep:
+    """map_groups UDF: one host's politeness turn.  Stateful-stage pattern:
+    the page-store handle opens once per actor (__init__), not per group."""
+
+    def __init__(self, cfg_blob: bytes, store_dir: str, num_buckets: int,
+                 actors, round_num: int, crawler: Optional[str]):
+        from ..sources.pagestore import HostFetcher
+
+        self.cfg: EngineConfig = pickle.loads(cfg_blob)
+        self.fetch = HostFetcher(store_dir, num_buckets)
+        self.pool = _PoolFacade(actors)
+        self.round_num = round_num
+        self.crawler = crawler
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        host = df["host"].iloc[0]
+        state = None
+        seeds: Optional[List[str]] = None
+        arrivals: Optional[List[Tuple]] = None
+        seq_base = 0
+        for kind_df, kind in ((df[df["kind"] == k], k)
+                              for k in ("state", "seed", "arrival")):
+            if kind_df.empty:
+                continue
+            if kind == "state":
+                blob = pickle.loads(kind_df["payload"].iloc[0])
+                state, seq_base = blob["state"], blob["visit_seq"]
+            elif kind == "seed":
+                s = kind_df.sort_values("seq")
+                seeds = [r for r in s["url"]]
+            else:
+                s = kind_df.sort_values(["src_host", "src_seq"])
+                arrivals = [pickle.loads(b) for b in s["payload"]]
+        if state is not None:
+            seeds = arrivals = None  # state wins; late arrivals dropped
+
+        new_state, log, status = run_host_round(
+            self.cfg, self.fetch, self.pool, state, seeds, arrivals,
+            self.crawler,
+        )
+
+        rows: List[dict] = []
+
+        def add(kind: str, **kw) -> None:
+            r = {f: None for f in RESULT_FIELDS}
+            r.update(kind=kind, host=host, **kw)
+            rows.append(r)
+
+        for i, (url, _h, depth) in enumerate(log.visits):
+            add("visit", url=url, depth=depth, seq=seq_base + i,
+                n=self.round_num)
+        for t in log.targets:
+            add("target", url=t["url"], name=t["filetype"],
+                payload=pickle.dumps({"url_hash": t["url_hash"],
+                                      "attrs": t["attrs"]}))
+        for url, buf in log.texts:
+            add("text", url=url, payload=buf)
+        for name, n in log.ft_counts.items():
+            add("count", name=name, n=n)
+        for i, c in enumerate(log.ext_candidates):
+            add("cand", src_host=host, src_seq=i,
+                seq=shard_of(c.url.host_norm, self.pool.num_shards),
+                payload=pickle.dumps(c))
+        add("state", name=status,
+            payload=pickle.dumps({"state": new_state,
+                                  "visit_seq": seq_base + len(log.visits)}))
+        return _rows_table(rows)
+
+
+class MergeStep:
+    """map_groups UDF over one SHARD's external candidates: the
+    deterministic round barrier (simulator.merge_externals — same code,
+    same order) producing arrival rows."""
+
+    def __init__(self, cfg_blob: bytes, actors):
+        self.cfg: EngineConfig = pickle.loads(cfg_blob)
+        self.pool = _PoolFacade(actors)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        cands = [
+            (r.src_host, int(r.src_seq), pickle.loads(r.payload))
+            for r in df.itertuples()
+        ]
+        arrivals = merge_externals(self.pool, cands, self.cfg)
+        rows: List[dict] = []
+        for host, items in arrivals.items():
+            for i, (u, bind, crawler) in enumerate(items):
+                r = {f: None for f in RESULT_FIELDS}
+                # src ordering is already applied; keep arrival order via seq
+                r.update(kind="arrival", host=host, src_host="", src_seq=i,
+                         payload=pickle.dumps((u, bind, crawler)))
+                rows.append(r)
+        return _rows_table(rows)
+
+
+def _write_round(ds, round_dir: str) -> None:
+    ds.write_parquet(os.path.join(round_dir, "result"))
+
+
+def _read_kind(round_dir: str, kind: str, columns=None):
+    import pyarrow.dataset as pads
+
+    path = os.path.join(round_dir, "result")
+    d = pads.dataset(path)
+    import pyarrow.compute as pc
+
+    return d.to_table(filter=pc.field("kind") == kind, columns=columns)
+
+
+def crawl_rounds(
+    cfg: EngineConfig,
+    pages_dir: str,
+    seeds: Sequence[str],
+    crawler: Optional[str] = None,
+    *,
+    ckpt_dir: str,
+    resume: bool = False,
+    num_shards: int = 8,
+    seen_mode: str = "exact",
+    num_buckets: int = 32,
+    concurrency: int = 8,
+    max_rounds: int = 1000,
+) -> str:
+    """Run the crawl; returns ckpt_dir (read results via collect_result).
+    Ray must already be initialized by the caller (driver contract)."""
+    import ray.data
+
+    from ..sources.pagestore import build_store
+
+    store_dir = build_store(pages_dir, num_buckets=num_buckets)
+    cfg_blob = pickle.dumps(cfg)
+    pool = make_seen_pool(num_shards=num_shards, mode=seen_mode)
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    start_round = 0
+    work_tbl: Optional[pa.Table] = None
+
+    if resume:
+        done_rounds = sorted(
+            d for d in os.listdir(ckpt_dir)
+            if d.startswith("round_")
+            and os.path.exists(os.path.join(ckpt_dir, d, "_COMPLETE"))
+        )
+        if done_rounds:
+            last = os.path.join(ckpt_dir, done_rounds[-1])
+            start_round = int(done_rounds[-1].split("_")[1]) + 1
+            # restore seen shards
+            blobs = []
+            for i in range(num_shards):
+                with open(os.path.join(last, f"seen_{i}.bin"), "rb") as f:
+                    blobs.append(f.read())
+            pool.restore(blobs)
+            work_tbl = _next_work_tbl(last)
+
+    if work_tbl is None and start_round == 0:
+        by_host = plan_seed_hosts(cfg, seeds, crawler)
+        register_seed_hosts(pool, list(by_host))
+        rows = []
+        for host, urls in by_host.items():
+            for i, u in enumerate(urls):
+                r = {f: None for f in RESULT_FIELDS}
+                r.update(kind="seed", host=host, url=u, seq=i)
+                rows.append(r)
+        work_tbl = _rows_table(rows)
+
+    r = start_round
+    while r < max_rounds and work_tbl is not None and work_tbl.num_rows:
+        round_dir = os.path.join(ckpt_dir, f"round_{r:04d}")
+        os.makedirs(round_dir, exist_ok=True)
+
+        work = ray.data.from_arrow(work_tbl)
+        results = work.groupby("host").map_groups(
+            HostTurnStep,
+            fn_constructor_args=(cfg_blob, store_dir, num_buckets,
+                                 pool.actors, r, crawler),
+            batch_format="pandas",
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+        _write_round(results, round_dir)
+
+        # round barrier: merge external candidates per shard (kind=cand
+        # rows carry shard id in `seq`)
+        cand_tbl = _read_kind(round_dir, "cand",
+                              columns=["seq", "src_host", "src_seq", "payload"])
+        if cand_tbl.num_rows:
+            cand_ds = ray.data.from_arrow(cand_tbl)
+            arrivals = cand_ds.groupby("seq").map_groups(
+                MergeStep,
+                fn_constructor_args=(cfg_blob, pool.actors),
+                batch_format="pandas",
+                concurrency=min(concurrency, num_shards, 2),
+                num_cpus=0.5,
+            )
+            arrivals.write_parquet(os.path.join(round_dir, "arrivals"))
+
+        # snapshot seen shards (resume lineage)
+        for i, blob in enumerate(pool.snapshots()):
+            with open(os.path.join(round_dir, f"seen_{i}.bin"), "wb") as f:
+                f.write(blob)
+        with open(os.path.join(round_dir, "_COMPLETE"), "w") as f:
+            f.write("ok")
+
+        work_tbl = _next_work_tbl(round_dir)
+        r += 1
+
+    pool.shutdown()
+    return ckpt_dir
+
+
+def _next_work_tbl(round_dir: str) -> Optional[pa.Table]:
+    """Next round's work: ACTIVE states (status != exhausted) + arrivals."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    states = _read_kind(round_dir, "state")
+    active = states.filter(pc.field("name") != "exhausted")
+    parts = []
+    if active.num_rows:
+        parts.append(active.select(RESULT_FIELDS).cast(RESULT_SCHEMA))
+    ap = os.path.join(round_dir, "arrivals")
+    if os.path.isdir(ap):
+        arr = pads.dataset(ap).to_table()
+        if arr.num_rows:
+            parts.append(arr.select(RESULT_FIELDS).cast(RESULT_SCHEMA))
+    if not parts:
+        return None
+    return pa.concat_tables(parts)
+
+
+def collect_result(ckpt_dir: str) -> CrawlResult:
+    """Fold all round dirs into a CrawlResult (driver-side, test scale)."""
+    res = CrawlResult()
+    rounds = sorted(
+        d for d in os.listdir(ckpt_dir)
+        if d.startswith("round_")
+        and os.path.exists(os.path.join(ckpt_dir, d, "_COMPLETE"))
+    )
+    for rd in rounds:
+        round_dir = os.path.join(ckpt_dir, rd)
+        rn = int(rd.split("_")[1])
+        vis = _read_kind(round_dir, "visit").to_pylist()
+        for v in sorted(vis, key=lambda x: (x["host"], x["seq"])):
+            res.visits.append((v["url"], v["host"], v["depth"],
+                               int(v["n"]), int(v["seq"])))
+        for t in _read_kind(round_dir, "target").to_pylist():
+            p = pickle.loads(t["payload"])
+            res.targets.append({"url": t["url"], "url_hash": p["url_hash"],
+                                "filetype": t["name"], "attrs": p["attrs"]})
+        for t in _read_kind(round_dir, "text").to_pylist():
+            res.texts[t["url"]] = t["payload"]
+        for c in _read_kind(round_dir, "count").to_pylist():
+            res.ft_counts[c["name"]] = res.ft_counts.get(c["name"], 0) + int(c["n"])
+        res.rounds = rn + 1
+    return res

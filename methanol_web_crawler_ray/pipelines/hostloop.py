@@ -143,6 +143,19 @@ def url_hash(url: str) -> str:
     return hashlib.sha1(url.encode("utf-8", "surrogateescape")).hexdigest()
 
 
+def budget_for(cfg: EngineConfig, crawl_delay: Optional[float]) -> Optional[int]:
+    """Per-round transfer budget for a host (SURVEY §2 T3 offline model of
+    the politeness timer, metha.c:71-79 + robots Crawl-delay extension):
+    floor(round_seconds / delay), min 1; None (unbounded) when the
+    effective delay is 0 (aggressive mode, no Crawl-delay)."""
+    import math
+
+    delay = max(crawl_delay or 0.0, cfg.base_delay)
+    if delay <= 0:
+        return None
+    return max(1, math.floor(cfg.round_seconds / delay))
+
+
 # ---------------------------------------------------------------------------
 # the kernel
 
@@ -591,13 +604,22 @@ class CrawlKernel:
 
     # -- the main loop (worker.c:214-407), one "turn" ----------------------
 
-    def run_turn(self, budget: Optional[int] = None) -> str:
+    def run_turn(self, budget: Optional[int] = "auto") -> str:
         """Run until frontier exhaustion ('exhausted') or the transfer
-        budget is spent ('budget').  In inline mode the caller handles
+        budget is spent ('budget').  ``budget='auto'`` recomputes the
+        politeness budget each iteration so a robots Crawl-delay parsed
+        mid-turn throttles immediately.  In inline mode the caller handles
         pending-host switching on 'exhausted'."""
         self._peek_list_idx = None
         while True:
-            if budget is not None and self.log.transfers >= budget:
+            if budget == "auto":
+                b = budget_for(
+                    self.cfg,
+                    self.robots.crawl_delay if self.robots else None,
+                )
+            else:
+                b = budget
+            if b is not None and self.log.transfers >= b:
                 return "budget"
             row = self.ue_next()
             if row is None:

@@ -25,7 +25,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 from ..config import EngineConfig
 from ..state.seen import LocalSeenPool
-from .hostloop import CrawlKernel, ExtCandidate, TurnLog, UrlRow
+from .hostloop import (CrawlKernel, ExtCandidate, TurnLog, UrlRow,
+                       budget_for)  # noqa: F401 (re-export)
 
 
 @dataclass
@@ -137,16 +138,6 @@ def simulate_single_worker(cfg: EngineConfig, fetcher, seeds: Sequence[str],
 # politeness-rounds mode (sequential model of the Ray engine)
 
 
-def budget_for(cfg: EngineConfig, crawl_delay: Optional[float]) -> Optional[int]:
-    """Per-round transfer budget for a host (SURVEY §2 T3 offline model):
-    floor(round_seconds / delay), min 1; None (unbounded) when the
-    effective delay is 0 (aggressive mode, no Crawl-delay)."""
-    delay = max(crawl_delay or 0.0, cfg.base_delay)
-    if delay <= 0:
-        return None
-    return max(1, math.floor(cfg.round_seconds / delay))
-
-
 def plan_seed_hosts(cfg: EngineConfig, seeds: Sequence[str],
                     crawler: Optional[str] = None) -> Dict[str, List[str]]:
     """Group seed strings by normalized host, preserving order."""
@@ -195,38 +186,64 @@ def run_host_round(cfg: EngineConfig, fetcher, seen_pool, state: Optional[dict],
         if arrivals and arrivals[0][2]:
             k.crawler_name = arrivals[0][2]
             k.depth_limit = k.crawler.depth_limit
-    budget = budget_for(cfg, k.robots.crawl_delay if k.robots else None)
-    status = k.run_turn(budget=budget)
+    status = k.run_turn(budget="auto")
     return k.state_dict(), k.log, status
 
 
 def merge_externals(seen_pool, cands: List[Tuple[str, int, ExtCandidate]],
                     cfg: EngineConfig) -> Dict[str, List[Tuple]]:
     """Round barrier: process external candidates in deterministic
-    (src_host, emit_seq) order; returns {target_host: [(URL, bind,
-    crawler)]} of parked winners.  ``seen_pool`` may be a LocalSeenPool or
-    the Ray actor pool facade (same API)."""
+    (src_host, emit_seq) order.
+
+    Two ordered passes over disjoint keyspaces (so two pool calls total,
+    one RPC per touched shard in the Ray pool):
+      1. URL seen-adds for every candidate with ``seen_check`` (ue_add's
+         external-branch mtrie_tryadd, urlengine.c:219-232) — losers are
+         already crawled/queued and drop out;
+      2. host-registry adds for parked winners (ue_get_hostent's
+         create→push-pending, urlengine.c:283-338,504-560): a host
+         activates at most ONCE; candidates parked to an
+         already-activated host are dropped (the reference's
+         late-arrival quirk — its pending stack only ever holds
+         newly-created hosts).
+
+    Returns {target_host: [(URL, bind, crawler)]} of parked winners for
+    NEWLY activated hosts, in candidate order."""
     cands = sorted(cands, key=lambda t: (t[0], t[1]))
-    # batch the seen-checks per target host, preserving order
-    keys_by_host: Dict[str, List[str]] = {}
-    idx_by_host: Dict[str, List[int]] = {}
-    for i, (_src, _seq, c) in enumerate(cands):
-        if c.seen_check:
-            keys_by_host.setdefault(c.url.host_norm, []).append(c.url.seen_key)
-            idx_by_host.setdefault(c.url.host_norm, []).append(i)
-    verdicts: Dict[int, bool] = {}
-    results = seen_pool.try_add_grouped(keys_by_host) if keys_by_host else {}
-    for host, flags in results.items():
-        for i, ok in zip(idx_by_host[host], flags):
-            verdicts[i] = ok
+    # pass 1: URL keys, ordered
+    url_idx = [i for i, (_s, _q, c) in enumerate(cands) if c.seen_check]
+    verdicts = seen_pool.try_add_seq(
+        [(cands[i][2].url.host_norm, cands[i][2].url.seen_key) for i in url_idx]
+    ) if url_idx else []
+    url_ok = dict(zip(url_idx, verdicts))
+    # pass 2: registry keys for surviving parked candidates, ordered
+    from ..state.seen import reg_key
+
+    park_idx = [
+        i for i, (_s, _q, c) in enumerate(cands)
+        if c.park and (not c.seen_check or url_ok.get(i, False))
+    ]
+    reg_hosts = [cands[i][2].url.host_norm for i in park_idx]
+    reg_new = seen_pool.try_add_seq(
+        [(h, reg_key(h)) for h in reg_hosts]
+    ) if park_idx else []
+    activated_this_round: set = set()
     arrivals: Dict[str, List[Tuple]] = {}
-    for i, (_src, _seq, c) in enumerate(cands):
-        if c.seen_check and not verdicts.get(i, False):
-            continue  # already seen somewhere
-        if not c.park:
-            continue  # seen-add only (unmatched / non-external crawler)
-        arrivals.setdefault(c.url.host_norm, []).append((c.url, c.bind, c.crawler))
+    for i, host, fresh in zip(park_idx, reg_hosts, reg_new):
+        if fresh:
+            activated_this_round.add(host)
+        elif host not in activated_this_round:
+            continue  # late arrival to an already-activated host: dropped
+        c = cands[i][2]
+        arrivals.setdefault(host, []).append((c.url, c.bind, c.crawler))
     return arrivals
+
+
+def register_seed_hosts(seen_pool, hosts: List[str]) -> None:
+    """Seed hosts activate at round 0 (ue_add_initial → ue_set_host)."""
+    from ..state.seen import reg_key
+
+    seen_pool.try_add_seq([(h, reg_key(h)) for h in hosts])
 
 
 def simulate_rounds(cfg: EngineConfig, fetcher, seeds: Sequence[str],
@@ -240,6 +257,7 @@ def simulate_rounds(cfg: EngineConfig, fetcher, seeds: Sequence[str],
     done: set = set()
 
     by_host = plan_seed_hosts(cfg, seeds, crawler)
+    register_seed_hosts(seen, list(by_host))
     new_hosts: Dict[str, dict] = {
         h: {"seeds": urls} for h, urls in by_host.items()
     }
@@ -267,10 +285,6 @@ def simulate_rounds(cfg: EngineConfig, fetcher, seeds: Sequence[str],
         arrivals = merge_externals(seen, all_cands, cfg)
         if cfg.crawlers[crawler or cfg.default_crawler].external:
             for host, rows in sorted(arrivals.items()):
-                if host in states or host in new_hosts:
-                    # late arrival to an existing host: dropped (faithful —
-                    # ue_get_hostent only queues a host when CREATED)
-                    continue
                 new_hosts[host] = {"arrivals": rows}
         round_num += 1
 

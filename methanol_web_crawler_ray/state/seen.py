@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import hashlib
 import pickle
-from typing import Dict, Iterable, List, Sequence
+from typing import Dict, Iterable, List, Sequence, Tuple
 
 import numpy as np
 
@@ -128,6 +128,16 @@ class CuckooFilter:
         return f
 
 
+# Host-activation registry keys live in the same shards as the host's URL
+# keys (same routing) but in a disjoint keyspace: URL keys are
+# host+path and can never start with NUL.
+REG_PREFIX = "\x00REG\x00"
+
+
+def reg_key(host_norm: str) -> str:
+    return REG_PREFIX + host_norm
+
+
 class SeenShardState:
     """One shard's membership state; ``mode`` = 'exact' | 'cuckoo'."""
 
@@ -151,6 +161,13 @@ class SeenShardState:
 
     def __len__(self) -> int:
         return self.cuckoo.count if self.mode == "cuckoo" else len(self.exact)
+
+    def url_count(self) -> int:
+        """URL keys only (registry keys excluded); cuckoo mode can't
+        distinguish and reports the raw item count."""
+        if self.mode == "cuckoo":
+            return self.cuckoo.count
+        return sum(1 for k in self.exact if not k.startswith("\x00"))
 
     def snapshot(self) -> bytes:
         if self.mode == "cuckoo":
@@ -186,8 +203,14 @@ class LocalSeenPool:
     def try_add_grouped(self, groups: Dict[str, List[str]]) -> Dict[str, List[bool]]:
         return {h: self.try_add_batch(h, ks) for h, ks in groups.items()}
 
+    def try_add_seq(self, pairs: Sequence[Tuple[str, str]]) -> List[bool]:
+        """Ordered check+insert over (routing_host, key) pairs.  Order is
+        preserved within each shard; different shards hold disjoint
+        keyspaces, so per-shard ordering equals global ordering."""
+        return [self.try_add_batch(h, [k])[0] for h, k in pairs]
+
     def size(self) -> int:
-        return sum(len(s) for s in self.shards)
+        return sum(s.url_count() for s in self.shards)
 
     def snapshots(self) -> List[bytes]:
         return [s.snapshot() for s in self.shards]
@@ -197,7 +220,10 @@ class LocalSeenPool:
 
 
 def make_seen_pool(num_shards: int = 8, mode: str = "exact",
-                   cuckoo_buckets: int = 1 << 16, num_cpus: float = 0.25):
+                   cuckoo_buckets: int = 1 << 16, num_cpus: float = 0.05):
+    # num_cpus is tiny on purpose: shard actors do set lookups, never
+    # compute; reserving real CPUs for them starves the parse stages
+    # (and deadlocks small test sessions).
     """Create the Ray actor-pool variant: ``num_shards`` small actors
     (SURVEY §4: seen shards are cheap — num_cpus≈0.25 so they never starve
     the parse stages).  Returns a :class:`RaySeenPool` facade whose methods
@@ -218,8 +244,11 @@ def make_seen_pool(num_shards: int = 8, mode: str = "exact",
             merge uses this — one call per shard per round)."""
             return {h: self.state.try_add_batch(ks) for h, ks in groups.items()}
 
+        def try_add_ordered(self, keys: List[str]) -> List[bool]:
+            return self.state.try_add_batch(keys)
+
         def size(self) -> int:
-            return len(self.state)
+            return self.state.url_count()
 
         def snapshot(self) -> bytes:
             return self.state.snapshot()
@@ -251,6 +280,25 @@ def make_seen_pool(num_shards: int = 8, mode: str = "exact",
             out: Dict[str, List[bool]] = {}
             for res in ray.get(futs):
                 out.update(res)
+            return out
+
+        def try_add_seq(self, pairs) -> List[bool]:
+            """Ordered (routing_host, key) check+inserts; one RPC per
+            touched shard, per-shard order preserved (disjoint keyspaces
+            make per-shard order == global order)."""
+            by_shard: Dict[int, List[int]] = {}
+            for i, (h, _k) in enumerate(pairs):
+                by_shard.setdefault(shard_of(h, self.num_shards), []).append(i)
+            futs = {
+                s: self.actors[s].try_add_ordered.remote(
+                    [pairs[i][1] for i in idxs]
+                )
+                for s, idxs in by_shard.items()
+            }
+            out = [False] * len(pairs)
+            for s, idxs in by_shard.items():
+                for i, ok in zip(idxs, ray.get(futs[s])):
+                    out[i] = ok
             return out
 
         def size(self) -> int:
