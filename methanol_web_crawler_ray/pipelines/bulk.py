@@ -334,7 +334,7 @@ def crawl_bfs(
         url_set_filter = pc.field("url").isin(frontier.column("url"))
         fetched = ray.data.read_parquet(
             store_ds_path,
-            filter=(pc.field("bucket").isin(buckets)) & url_set_filter,
+            filter=(pc.field("b").isin(buckets)) & url_set_filter,
             columns=["url", "status", "content_type", "body"],
         )
 

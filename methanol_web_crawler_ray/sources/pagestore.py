@@ -89,6 +89,10 @@ def build_store(pages_dir: str, out_dir: Optional[str] = None,
                 "url": joined.column("url"),
                 "host": joined.column("host"),
                 "bucket": joined.column("bucket"),
+                # duplicate of the hive partition key kept IN the files so
+                # plain readers (ray.data.read_parquet filters) can prune
+                # on it without partition-schema plumbing
+                "b": joined.column("bucket"),
                 "status": status,
                 "location": joined.column("location"),
                 "content_type": ctype,
