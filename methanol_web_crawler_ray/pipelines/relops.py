@@ -1,0 +1,153 @@
+"""Relational pipelines over the TPC-H-ish test tables — the engine's
+generic wide-operation surface (grouped aggregation A1-analog, broadcast
+join J1-analog, sort/limit O1-analog) with exact DuckDB oracles.
+
+Money columns aggregate as integer CENTS (floor(x*100+0.5) per row) so
+the Ray and SQL sides are bit-identical — float sums are order-dependent
+and would flake the value-hash gate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ._util import rename as _rename
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def lineitem_agg(sf_dir: str):
+    """TPC-H Q1 shape: grouped sums over lineitem with partial
+    pre-aggregation inside each batch (combiner before the shuffle)."""
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            qty=df["l_quantity"].astype("int64"),
+            base_cents=np.floor(df["l_extendedprice"] * 100 + 0.5).astype("int64"),
+            one=1,
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"),
+            sum_base_cents=("base_cents", "sum"),
+            count_order=("one", "sum"),
+        )
+        return g
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice"])
+    partial = ds.map_batches(pre, batch_format="pandas")
+    import ray.data
+
+    agg = partial.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        ray.data.aggregate.Sum("sum_qty"),
+        ray.data.aggregate.Sum("sum_base_cents"),
+        ray.data.aggregate.Sum("count_order"),
+    )
+    return _rename(
+        agg,
+        {
+            "sum(sum_qty)": "sum_qty",
+            "sum(sum_base_cents)": "sum_base_cents",
+            "sum(count_order)": "count_order",
+        },
+    )
+
+
+def segment_revenue(sf_dir: str):
+    """orders ⋈ customer (broadcast small side) → revenue per market
+    segment.  customer is the small side: ray.put once, dict-lookup in
+    every batch — no shuffle join."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_map_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class Join:
+        def __init__(self, ref):
+            self.seg = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            seg = df["o_custkey"].map(self.seg)
+            cents = np.floor(df["o_totalprice"] * 100 + 0.5).astype("int64")
+            out = pd.DataFrame({"c_mktsegment": seg, "cents": cents, "one": 1})
+            return out.groupby("c_mktsegment", as_index=False).agg(
+                revenue_cents=("cents", "sum"), n_orders=("one", "sum"))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    partial = ds.map_batches(Join, fn_constructor_args=(seg_map_ref,),
+                             batch_format="pandas", concurrency=2)
+    import ray.data
+
+    agg = partial.groupby("c_mktsegment").aggregate(
+        ray.data.aggregate.Sum("revenue_cents"),
+        ray.data.aggregate.Sum("n_orders"),
+    )
+    return _rename(
+        agg, {"sum(revenue_cents)": "revenue_cents", "sum(n_orders)": "n_orders"}
+    )
+
+
+def top_parts(sf_dir: str, k: int = 10):
+    """sort + limit (top-k): deterministic tie-break on p_partkey."""
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_partkey": df["p_partkey"],
+                "price_cents": np.floor(df["p_retailprice"] * 100 + 0.5)
+                .astype("int64"),
+            }
+        )
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice"]).map_batches(
+        pre, batch_format="pandas"
+    )
+    out = ds.sort(["price_cents", "p_partkey"], descending=[True, False]) \
+            .limit(k)
+    return out
+
+
+def events_by_type(sf_dir: str):
+    """events stream rollup: count + value cents per event_type."""
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["value"] * 100 + 0.5).astype("int64")
+        out = pd.DataFrame({"event_type": df["event_type"], "cents": cents,
+                            "one": 1})
+        return out.groupby("event_type", as_index=False).agg(
+            value_cents=("cents", "sum"), n=("one", "sum"))
+
+    ds = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        pre, batch_format="pandas"
+    )
+    import ray.data
+
+    agg = ds.groupby("event_type").aggregate(
+        ray.data.aggregate.Sum("value_cents"), ray.data.aggregate.Sum("n")
+    )
+    return _rename(agg, {"sum(value_cents)": "value_cents",
+                               "sum(n)": "n"})
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Per-user sessionization (windowed stateful op the Dataset API lacks
+    natively): groupby(user) → map_groups ordered scan — the (b) pattern
+    from the prompt's custom-operator ladder.  Returns (user_id,
+    n_sessions, n_events)."""
+    def sess(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ts")
+        gaps = df["ts"].diff().dt.total_seconds().fillna(1e18)
+        n_sessions = int((gaps > gap_minutes * 60).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [df["user_id"].iloc[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [len(df)],
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")

@@ -1,0 +1,415 @@
+"""Text-analysis + deduplication operators over the ``documents`` table —
+the training-data-pipeline layer (prompt: dedup / quality / token counting /
+language-ID / fingerprinting as first-class engine components).
+
+All stages are Ray-Data-native: ``read_parquet(columns=...)`` →
+``map_batches`` (pandas/pyarrow vectorized kernels, stateful classes for
+anything with setup cost) → ``groupby``/aggregate only where a shuffle is
+semantically required, with pre-aggregation inside batches wherever
+possible.  Exact SQL-equivalent ops also appear in ``__ray_entry__``'s
+``oracle_sql`` for the DuckDB value-hash gate.
+
+Scale notes:
+  * exact dedup groups on a 128-bit content hash, not the text bytes —
+    the shuffle moves 16-byte keys, not documents;
+  * MinHash-LSH emits (band, band_hash, doc_id) triples — the shuffle is
+    k_bands rows/doc of fixed width; candidate verification joins back to
+    shingle sets only for candidate pairs;
+  * SimHash buckets by 16-bit sub-fingerprints (4 tables) — standard
+    Charikar/Manku-Jain-Sarma construction (public papers).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from ._util import rename as _rename
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+_TOKEN_RE = re.compile(r"\S+")
+
+
+def _read_docs(sf_dir: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# token / quality stats (SQL-oracled)
+
+
+def token_stats(sf_dir: str):
+    """(doc_id, n_tokens, n_chars) — whitespace tokens, unicode chars."""
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": df["text"].str.count(r"\S+").astype("int64"),
+                "n_chars": df["text"].str.len().astype("int64"),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pandas"
+    )
+
+
+def quality(sf_dir: str):
+    """(doc_id, n_chars, n_stop, quality_ok) — length bounds + stopword
+    presence, the classic web-corpus quality gate."""
+    def q(df: pd.DataFrame) -> pd.DataFrame:
+        n_chars = df["text"].str.len().astype("int64")
+        n_stop = df["text"].map(
+            lambda t: sum(1 for tok in _TOKEN_RE.findall(t)
+                          if tok in STOPWORDS)
+        ).astype("int64")
+        ok = ((n_chars >= 50) & (n_chars <= 5000) & (n_stop >= 1)).astype("int64")
+        return pd.DataFrame({"doc_id": df["doc_id"], "n_chars": n_chars,
+                             "n_stop": n_stop, "quality_ok": ok})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        q, batch_format="pandas"
+    )
+
+
+def lang_counts(sf_dir: str):
+    """(lang, n_docs) — grouped count (partial+final handled by Ray)."""
+    ds = _read_docs(sf_dir, ["lang"]).groupby("lang").count()
+    return _rename(ds, {"count()": "n_docs"})
+
+
+def source_stats(sf_dir: str):
+    """(source, n_docs, total_chars) — grouped agg over two columns."""
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"source": df["source"],
+                             "n_chars": df["text"].str.len().astype("int64")})
+
+    ds = _read_docs(sf_dir, ["source", "text"]).map_batches(
+        pre, batch_format="pandas"
+    )
+    agg = ds.groupby("source").aggregate(
+        __import__("ray").data.aggregate.Count(),
+        __import__("ray").data.aggregate.Sum("n_chars"),
+    )
+    return _rename(agg, {"count()": "n_docs", "sum(n_chars)": "total_chars"})
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (SQL-oracled)
+
+
+def exact_dedup(sf_dir: str):
+    """Exact content dedup: keep min(doc_id) per distinct text
+    (hash-partition + per-group first — SURVEY §2.8 D2 pattern).  The
+    shuffle key is md5(text), not the text itself."""
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "text_md5": [hashlib.md5(t.encode()).hexdigest()
+                             for t in df["text"]],
+            }
+        )
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        keyed, batch_format="pandas"
+    )
+    out = ds.groupby("text_md5").min("doc_id")
+    return _rename(out, {"min(doc_id)": "doc_id"}).select_columns(["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (rows-only oracle; pytest brute-force check)
+
+K_HASHES = 64
+N_BANDS = 8  # 8 bands × 8 rows
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(k: int = K_HASHES) -> Tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(1234)  # fixed: signatures are deterministic
+    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64)
+    return a, b
+
+
+def shingle_hashes(text: str, w: int = 3) -> np.ndarray:
+    toks = _TOKEN_RE.findall(text.lower())
+    if len(toks) < w:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)]
+    out = np.unique(np.array(
+        [int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                        "little") & 0x7FFFFFFFFFFFFFFF for g in grams],
+        dtype=np.int64,
+    )) if grams else np.array([], dtype=np.int64)
+    return out
+
+
+def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if sh.size == 0:
+        return np.full(a.shape[0], np.iinfo(np.int64).max, dtype=np.int64)
+    # (a*x + b) mod p, vectorized over shingles × hash fns
+    prod = (sh[None, :].astype(object) * a[:, None].astype(object)
+            + b[:, None].astype(object)) % _MERSENNE
+    return np.array([int(min(row)) for row in prod], dtype=np.int64)
+
+
+class MinHashBands:
+    """map_batches stage: text → N_BANDS (band, band_hash, doc_id) rows.
+    Hash params built once per actor."""
+
+    def __init__(self):
+        self.a, self.b = _hash_params()
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rows_band, rows_hash, rows_doc = [], [], []
+        rpb = K_HASHES // N_BANDS
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            sig = minhash_signature(shingle_hashes(text), self.a, self.b)
+            for band in range(N_BANDS):
+                seg = sig[band * rpb:(band + 1) * rpb]
+                h = hashlib.blake2b(seg.tobytes(), digest_size=8).hexdigest()
+                rows_band.append(band)
+                rows_hash.append(h)
+                rows_doc.append(doc_id)
+        return pd.DataFrame({"band": rows_band, "band_hash": rows_hash,
+                             "doc_id": rows_doc})
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 0.0
+
+
+def minhash_dedup(sf_dir: str, threshold: float = 0.8):
+    """(doc_id, dup_of): docs whose verified shingle-Jaccard with an
+    earlier doc ≥ threshold.  shingle→minhash→band→bucket-groupby →
+    candidate pairs → exact verification."""
+    import ray
+    import ray.data
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    bands = docs.map_batches(MinHashBands, batch_format="pandas",
+                             concurrency=2)
+
+    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(df["doc_id"].tolist())
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    pairs = bands.groupby(["band", "band_hash"]).map_groups(
+        emit_pairs, batch_format="pandas"
+    )
+    if pairs.count() == 0:
+        return ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "dup_of": pa.array([], pa.int64())}))
+    pairs = pairs.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
+
+    # verification: broadcast the texts once (small side at test scale; a
+    # 100 TB corpus would semi-join candidates back to the docs table)
+    texts = {r["doc_id"]: r["text"] for r in docs.take_all()}
+    texts_ref = ray.put(texts)
+
+    class Verify:
+        def __init__(self, ref, thr):
+            self.texts = ray.get(ref)
+            self.thr = thr
+            self.cache: Dict[int, np.ndarray] = {}
+
+        def sh(self, i):
+            v = self.cache.get(i)
+            if v is None:
+                v = shingle_hashes(self.texts[i])
+                self.cache[i] = v
+            return v
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            keep_a, keep_b = [], []
+            for x, y in zip(df["id_a"], df["id_b"]):
+                if jaccard(self.sh(int(x)), self.sh(int(y))) >= self.thr:
+                    keep_a.append(int(x))
+                    keep_b.append(int(y))
+            return pd.DataFrame({"dup_of": keep_a, "doc_id": keep_b})
+
+    verified = pairs.map_batches(
+        Verify, fn_constructor_args=(texts_ref, threshold),
+        batch_format="pandas", concurrency=2,
+    )
+    # doc marked dup of its SMALLEST verified partner
+    out = verified.groupby("doc_id").min("dup_of")
+    return _rename(out, {"min(dup_of)": "dup_of"})
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (Charikar '02 / Manku et al. '07)
+
+
+def simhash64(text: str) -> int:
+    v = np.zeros(64, dtype=np.int64)
+    for tok in set(_TOKEN_RE.findall(text.lower())):
+        h = int.from_bytes(
+            hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
+        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
+        v += bits * 2 - 1
+    return int("".join("1" if x > 0 else "0" for x in v[::-1]), 2)
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 3):
+    """(doc_id, dup_of): pairs whose 64-bit SimHash differs in ≤
+    max_hamming bits, found via 4×16-bit sub-fingerprint buckets."""
+    import ray.data
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def sig(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_id": [], "chunk": [], "chunk_val": [], "sim": []}
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            s = simhash64(text)
+            for c in range(4):
+                out["doc_id"].append(doc_id)
+                out["chunk"].append(c)
+                out["chunk_val"].append((s >> (16 * c)) & 0xFFFF)
+                out["sim"].append(np.int64(s - (1 << 63)))  # store signed
+        return pd.DataFrame(out)
+
+    sigs = docs.map_batches(sig, batch_format="pandas")
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(zip(df["doc_id"], df["sim"]))
+        a, b = [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                x = (int(rows[i][1]) ^ int(rows[j][1])) & ((1 << 64) - 1)
+                if bin(x).count("1") <= max_hamming:
+                    a.append(int(rows[i][0]))
+                    b.append(int(rows[j][0]))
+        return pd.DataFrame({"dup_of": a, "doc_id": b})
+
+    pairs = sigs.groupby(["chunk", "chunk_val"]).map_groups(
+        emit, batch_format="pandas"
+    )
+    if pairs.count() == 0:
+        import pyarrow as pa
+
+        import ray.data
+
+        return ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "dup_of": pa.array([], pa.int64())}))
+    out = pairs.groupby("doc_id").min("dup_of")
+    return _rename(out, {"min(dup_of)": "dup_of"})
+
+
+# ---------------------------------------------------------------------------
+# language ID (n-gram heuristic; rows-only oracle)
+
+_LANG_SAMPLES = {
+    "en": "the quick brown fox jumps over the lazy dog and this is a test "
+          "of the english language with many common words",
+    "de": "der schnelle braune fuchs springt über den faulen hund und das "
+          "ist ein test der deutschen sprache mit vielen wörtern",
+    "fr": "le renard brun rapide saute par dessus le chien paresseux et "
+          "ceci est un test de la langue française avec des mots",
+    "es": "el rápido zorro marrón salta sobre el perro perezoso y esto es "
+          "una prueba del idioma español con muchas palabras",
+    "sv": "den snabba bruna räven hoppar över den lata hunden och detta är "
+          "ett test av det svenska språket med många ord",
+    "zh": "敏捷的棕色狐狸跳过懒狗这是中文语言测试包含许多常用词",
+}
+
+
+def _profile(text: str, n: int = 2) -> Dict[str, int]:
+    t = " " + re.sub(r"\s+", " ", text.lower()) + " "
+    out: Dict[str, int] = {}
+    for i in range(len(t) - n + 1):
+        g = t[i:i + n]
+        out[g] = out.get(g, 0) + 1
+    return out
+
+
+class LangId:
+    """Character-bigram cosine against fixed per-language profiles
+    (built once per actor — the stateful-stage pattern)."""
+
+    def __init__(self):
+        self.profiles = {}
+        for lang, sample in _LANG_SAMPLES.items():
+            p = _profile(sample)
+            norm = np.sqrt(sum(v * v for v in p.values()))
+            self.profiles[lang] = (p, norm)
+
+    def predict(self, text: str) -> str:
+        p = _profile(text[:1000])
+        norm = np.sqrt(sum(v * v for v in p.values())) or 1.0
+        best, best_s = "en", -1.0
+        for lang, (q, qn) in self.profiles.items():
+            dot = sum(v * q.get(g, 0) for g, v in p.items())
+            s = dot / (norm * qn)
+            if s > best_s:
+                best, best_s = lang, s
+        return best
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "lang_pred": [self.predict(t) for t in df["text"]],
+            }
+        )
+
+
+def langid(sf_dir: str):
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pandas", concurrency=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint (rolling hash; rows-only oracle)
+
+
+def fingerprints(sf_dir: str, window: int = 16):
+    """(doc_id, fp): winnowed rolling-hash fingerprint — min of rolling
+    64-bit hashes over byte windows (Schleimer et al. winnowing idea)."""
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for t in df["text"]:
+            b = t.encode()
+            if len(b) < window:
+                out.append(int.from_bytes(
+                    hashlib.blake2b(b, digest_size=8).digest(), "little")
+                    - (1 << 63))
+                continue
+            best = None
+            # rolling window hashes, stride 8 for speed at identical output
+            for i in range(0, len(b) - window + 1, 8):
+                h = int.from_bytes(
+                    hashlib.blake2b(b[i:i + window], digest_size=8).digest(),
+                    "little")
+                if best is None or h < best:
+                    best = h
+            out.append(best - (1 << 63))
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "fp": pd.Series(out, dtype="int64")})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fp, batch_format="pandas"
+    )
