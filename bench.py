@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1):
+
+  * crawl_bulk   — the order-free BFS crawl over the synthetic pages
+                   table (pages parsed/s + frontier URLs/s: the
+                   BASELINE.json metric)
+  * crawl_rounds — the ordered politeness-rounds engine on a seed subset
+  * page_text    — vectorized extract-text over the whole pages table
+  * doc ops      — exact dedup + token stats + minhash over documents
+  * ann          — brute-force cosine top-k over embeddings
+
+``--scaling`` runs the headline (crawl_bulk + page_text) twice in FRESH
+ray sessions at num_cpus=8 and num_cpus=32 on the same input and reports
+throughput at both plus efficiency = T_32 / (4 × T_8) (the sandbox proxy
+for the N→4N-node criterion — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _sf_dir() -> str:
+    return os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _num_cpus() -> int:
+    return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_suite(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+
+    from methanol_web_crawler_ray.config import default_config
+    from methanol_web_crawler_ray.pipelines import ann, bulk, crawl, textops
+    from methanol_web_crawler_ray.sources import pagegen
+    from methanol_web_crawler_ray.sources.pagestore import build_store
+
+    out: dict = {"queries": {}}
+    pdir = pagegen.pages_dir_for(sf_dir)
+    build_store(pdir)  # one-time; excluded from per-query timings below
+
+    # --- crawl_bulk: BFS the whole synthetic web from every host root
+    import pyarrow.parquet as pq
+
+    seeds = [r["url"] for r in
+             pq.read_table(os.path.join(pdir, "seeds.parquet")).to_pylist()]
+    # broad seed set → the crawl covers most of the table (throughput run)
+    hosts = sorted({r for r in
+                    pq.read_table(os.path.join(pdir, "pages.parquet"),
+                                  columns=["url"]).column("url").to_pylist()
+                    if r.endswith("/robots.txt")})
+    seeds = seeds + [h.replace("/robots.txt", "/") for h in hosts]
+    seeds = sorted(set(seeds))
+
+    cfg = default_config(depth_limit=12, external=True)
+    bulk_out = "/tmp/mwc_bench_bulk"
+    shutil.rmtree(bulk_out, ignore_errors=True)
+    t0 = time.time()
+    stats = bulk.crawl_bfs(cfg, pdir, seeds, out_dir=bulk_out,
+                           concurrency=max(2, num_cpus - 4),
+                           num_shards=8, batch_size=128)
+    el = time.time() - t0
+    out["queries"]["crawl_bulk"] = round(el, 3)
+    out["pages_parsed"] = stats["pages_parsed"]
+    out["links_extracted"] = stats["links_extracted"]
+    out["pages_per_sec"] = round(stats["pages_parsed"] / el, 1)
+    out["frontier_urls_per_sec"] = round(stats["frontier_urls"] / el, 1)
+
+    # --- crawl_rounds: ordered engine, first two hosts
+    ck = "/tmp/mwc_bench_rounds"
+    shutil.rmtree(ck, ignore_errors=True)
+    t0 = time.time()
+    crawl.crawl_rounds(default_config(depth_limit=5, external=False),
+                       pdir, seeds[:2], ckpt_dir=ck,
+                       concurrency=max(2, num_cpus // 4))
+    out["queries"]["crawl_rounds"] = round(time.time() - t0, 3)
+
+    # --- page_text: vectorized extract-text over every page
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as E
+
+    t0 = time.time()
+    n_text = E._q_page_text(sf_dir).count()
+    out["queries"]["page_text"] = round(time.time() - t0, 3)
+    out["texts_per_sec"] = round(n_text / out["queries"]["page_text"], 1)
+
+    # --- documents ops
+    t0 = time.time()
+    textops.exact_dedup(sf_dir).count()
+    out["queries"]["doc_exact_dedup"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    textops.token_stats(sf_dir).count()
+    out["queries"]["doc_token_stats"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    textops.minhash_dedup(sf_dir).count()
+    out["queries"]["doc_minhash_dedup"] = round(time.time() - t0, 3)
+
+    # --- ann
+    t0 = time.time()
+    ann.ann_topk(sf_dir).count()
+    out["queries"]["ann_topk"] = round(time.time() - t0, 3)
+
+    return out
+
+
+def main() -> None:
+    sf_dir = _sf_dir()
+    if "--scaling" in sys.argv:
+        # two fresh processes at 8 and 32 CPUs (N vs 4N proxy)
+        results = {}
+        for n in (8, 32):
+            code = (
+                "import json,sys; sys.path.insert(0, %r); "
+                "import bench; r = bench.run_suite(%r, %d); "
+                "print('RESULT ' + json.dumps(r))"
+                % (os.path.dirname(os.path.abspath(__file__)), sf_dir, n)
+            )
+            p = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True, timeout=3600)
+            for line in p.stdout.splitlines():
+                if line.startswith("RESULT "):
+                    results[n] = json.loads(line[7:])
+            if n not in results:
+                print(p.stdout[-2000:], file=sys.stderr)
+                print(p.stderr[-2000:], file=sys.stderr)
+                raise SystemExit(f"scaling run at {n} cpus failed")
+        tput8 = results[8]["pages_per_sec"]
+        tput32 = results[32]["pages_per_sec"]
+        eff = tput32 / (4 * tput8) if tput8 else 0.0
+        print(json.dumps(
+            {
+                "metric": "scaling efficiency (pages/s, 8→32 cpus)",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "pages_per_sec_8cpu": tput8,
+                "pages_per_sec_32cpu": tput32,
+                "sf": sf_dir,
+                "queries": {"cpus8": results[8]["queries"],
+                            "cpus32": results[32]["queries"]},
+            }
+        ))
+        return
+
+    n = _num_cpus()
+    r = run_suite(sf_dir, n)
+    total = sum(r["queries"].values())
+    print(json.dumps(
+        {
+            "metric": "pages parsed/sec (bulk BFS crawl) + suite seconds",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": r["queries"],
+            "pages_per_sec": r.get("pages_per_sec"),
+            "frontier_urls_per_sec": r.get("frontier_urls_per_sec"),
+            "texts_per_sec": r.get("texts_per_sec"),
+            "pages_parsed": r.get("pages_parsed"),
+            "sf": sf_dir,
+            "num_cpus": n,
+        }
+    ))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

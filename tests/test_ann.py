@@ -1,0 +1,62 @@
+"""ANN / embedding ops vs numpy brute force."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from methanol_web_crawler_ray.pipelines import ann
+
+
+@pytest.fixture(scope="module")
+def emb(sf_dir):
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    ids = np.array([r["vec_id"] for r in tbl])
+    M = np.array([r["embedding"] for r in tbl], dtype=np.float64)
+    return ids, M
+
+
+def _brute_topk(ids, M, qid, k=10):
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    q = Mn[list(ids).index(qid)]
+    sims = Mn @ q
+    order = sorted(range(len(ids)),
+                   key=lambda i: (-sims[i], ids[i]))
+    return [int(ids[i]) for i in order if int(ids[i]) != qid][:k]
+
+
+def test_ann_topk_exact(ray_session, sf_dir, emb):
+    ids, M = emb
+    res = ann.ann_topk(sf_dir).take_all()
+    got = {}
+    for r in res:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qid in range(5):
+        expected = _brute_topk(ids, M, qid)
+        mine = [n for _rk, n in sorted(got[qid])]
+        assert mine == expected, f"query {qid}"
+
+
+def test_ann_lsh_recall(ray_session, sf_dir, emb):
+    ids, M = emb
+    exact = {r["query_id"]: set() for r in ann.ann_topk(sf_dir).take_all()}
+    for r in ann.ann_topk(sf_dir).take_all():
+        exact[r["query_id"]].add(r["neighbor_id"])
+    approx = {}
+    for r in ann.ann_topk_lsh(sf_dir).take_all():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # multiprobe LSH with 12 planes: expect nonzero recall, full precision
+    # of membership in the probed buckets (approximate by design)
+    recalls = []
+    for q, ex in exact.items():
+        ap = approx.get(q, set())
+        recalls.append(len(ap & ex) / max(len(ex), 1))
+    assert sum(recalls) / len(recalls) > 0.1
+
+
+def test_embedding_neardup_genuine(ray_session, sf_dir, emb):
+    ids, M = emb
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    idx = {int(i): k for k, i in enumerate(ids)}
+    for r in ann.embedding_neardup(sf_dir, threshold=0.9).take_all():
+        a, b = idx[int(r["dup_of"])], idx[int(r["vec_id"])]
+        assert float(Mn[a] @ Mn[b]) >= 0.9

@@ -1,0 +1,90 @@
+"""Text-analysis / dedup operators vs brute-force in-process oracles."""
+
+import itertools
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from methanol_web_crawler_ray.pipelines import textops
+
+
+@pytest.fixture(scope="module")
+def docs(sf_dir):
+    return pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+
+
+def test_token_stats(ray_session, sf_dir, docs):
+    out = {r["doc_id"]: r for r in textops.token_stats(sf_dir).take_all()}
+    assert len(out) == len(docs)
+    for d in docs[:50]:
+        r = out[d["doc_id"]]
+        assert r["n_tokens"] == len(d["text"].split())
+        assert r["n_chars"] == len(d["text"])
+
+
+def test_exact_dedup(ray_session, sf_dir, docs):
+    keep = sorted(r["doc_id"] for r in textops.exact_dedup(sf_dir).take_all())
+    by_text = {}
+    for d in docs:
+        by_text.setdefault(d["text"], []).append(d["doc_id"])
+    expected = sorted(min(v) for v in by_text.values())
+    assert keep == expected
+
+
+def test_minhash_dedup_vs_bruteforce(ray_session, sf_dir, docs):
+    """LSH-found verified dups must agree with brute-force Jaccard ≥ 0.8
+    pairs on recall of genuinely-high-similarity pairs."""
+    n = min(len(docs), 200)
+    sub = docs[:n]
+    shingles = {d["doc_id"]: textops.shingle_hashes(d["text"]) for d in sub}
+    brute = set()
+    for a, b in itertools.combinations(sorted(shingles), 2):
+        if textops.jaccard(shingles[a], shingles[b]) >= 0.8:
+            brute.add((a, b))
+    found = {(int(r["dup_of"]), int(r["doc_id"]))
+             for r in textops.minhash_dedup(sf_dir).take_all()}
+    # every brute-force pair where the dup maps to its minimum partner
+    # must be found (banding at t≈(1/8)^(1/8)≈0.77 < 0.8 → high recall);
+    # found pairs must all be genuine
+    for a, b in found:
+        assert textops.jaccard(
+            textops.shingle_hashes(next(d["text"] for d in docs
+                                        if d["doc_id"] == a)),
+            textops.shingle_hashes(next(d["text"] for d in docs
+                                        if d["doc_id"] == b)),
+        ) >= 0.8
+    missed = {p for p in brute if p[1] not in {f[1] for f in found}}
+    assert not missed, f"LSH missed high-sim pairs: {missed}"
+
+
+def test_simhash_pairs_genuine(ray_session, sf_dir, docs):
+    pairs = textops.simhash_pairs(sf_dir).take_all()
+    texts = {d["doc_id"]: d["text"] for d in docs}
+    for r in pairs:
+        a = textops.simhash64(texts[int(r["dup_of"])])
+        b = textops.simhash64(texts[int(r["doc_id"])])
+        assert bin(a ^ b).count("1") <= 3
+
+
+def test_langid_runs_deterministic(ray_session, sf_dir):
+    a = sorted((r["doc_id"], r["lang_pred"])
+               for r in textops.langid(sf_dir).take_all())
+    b = sorted((r["doc_id"], r["lang_pred"])
+               for r in textops.langid(sf_dir).take_all())
+    assert a == b and len(a) > 0
+    # sanity: the classifier separates the built-in samples themselves
+    l = textops.LangId()
+    for lang, sample in textops._LANG_SAMPLES.items():
+        assert l.predict(sample) == lang
+
+
+def test_fingerprints_deterministic(ray_session, sf_dir, docs):
+    fps = {r["doc_id"]: r["fp"] for r in textops.fingerprints(sf_dir).take_all()}
+    assert len(fps) == len(docs)
+    # same text ⇒ same fingerprint
+    by_text = {}
+    for d in docs:
+        by_text.setdefault(d["text"], []).append(fps[d["doc_id"]])
+    for v in by_text.values():
+        assert len(set(v)) == 1
