@@ -110,7 +110,8 @@ def ann_topk(sf_dir: str, k: int = 10, n_queries: int = 5):
 # ---------------------------------------------------------------------------
 # LSH (random hyperplanes)
 
-N_PLANES = 12
+N_PLANES = 6  # few planes + radius-2 multiprobe: random-data neighbors
+# are weakly correlated, so recall needs generous probing
 
 
 def _planes(dim: int, n_planes: int = N_PLANES) -> np.ndarray:
@@ -124,7 +125,7 @@ def _bucket_of(M: np.ndarray, planes: np.ndarray) -> np.ndarray:
 
 
 def ann_topk_lsh(sf_dir: str, k: int = 10, n_queries: int = 5,
-                 multiprobe: int = 1):
+                 multiprobe: int = 2):
     """Approximate top-k: probe the query's hyperplane bucket (plus
     single-bit-flip neighbors).  Recall measured in tests vs ann_topk."""
     import ray
@@ -139,9 +140,13 @@ def ann_topk_lsh(sf_dir: str, k: int = 10, n_queries: int = 5,
     for qid, v in queries.items():
         b = int(_bucket_of(v[None, :], planes)[0])
         s = {b}
-        if multiprobe:
+        if multiprobe >= 1:
             for bit in range(N_PLANES):
                 s.add(b ^ (1 << bit))
+        if multiprobe >= 2:
+            for i in range(N_PLANES):
+                for j in range(i + 1, N_PLANES):
+                    s.add(b ^ (1 << i) ^ (1 << j))
         probe[qid] = s
     all_buckets = set().union(*probe.values())
     queries_ref = ray.put((queries, planes, probe))

@@ -130,14 +130,16 @@ def exact_dedup(sf_dir: str):
 # MinHash + LSH near-dup (rows-only oracle; pytest brute-force check)
 
 K_HASHES = 64
-N_BANDS = 8  # 8 bands × 8 rows
+N_BANDS = 16  # 16 bands × 4 rows: s-curve threshold (1/16)^(1/4)≈0.5,
+# recall at jaccard 0.8 is 1-(1-0.8^4)^16 ≈ 0.9998 — a dedup pass must not
+# miss true dups; precision is restored by exact verification
 _MERSENNE = (1 << 61) - 1
 
 
 def _hash_params(k: int = K_HASHES) -> Tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(1234)  # fixed: signatures are deterministic
-    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64)
+    a = rng.integers(1, np.iinfo(np.uint64).max, size=k, dtype=np.uint64) | 1
+    b = rng.integers(0, np.iinfo(np.uint64).max, size=k, dtype=np.uint64)
     return a, b
 
 
@@ -158,10 +160,12 @@ def shingle_hashes(text: str, w: int = 3) -> np.ndarray:
 def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     if sh.size == 0:
         return np.full(a.shape[0], np.iinfo(np.int64).max, dtype=np.int64)
-    # (a*x + b) mod p, vectorized over shingles × hash fns
-    prod = (sh[None, :].astype(object) * a[:, None].astype(object)
-            + b[:, None].astype(object)) % _MERSENNE
-    return np.array([int(min(row)) for row in prod], dtype=np.int64)
+    # universal-ish hashing in wrapping uint64 arithmetic (a odd) — one
+    # vectorized multiply-add per (hash fn × shingle), no bigint math
+    x = sh.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        vals = x[None, :] * a[:, None] + b[:, None]
+    return vals.min(axis=1).view(np.int64)
 
 
 class MinHashBands:
@@ -202,26 +206,41 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8):
     import ray.data
 
     docs = _read_docs(sf_dir, ["doc_id", "text"])
+    # Bucket membership is computed once and kept (16 small rows/doc).
+    # Collision detection uses groupby().count() — a sort-based AGGREGATE,
+    # never map_groups: LSH buckets are overwhelmingly singletons, and a
+    # per-group task for each of them is pathological (one Ray task per
+    # unique (band, hash)).  Only the rare >1 buckets are then collected.
     bands = docs.map_batches(MinHashBands, batch_format="pandas",
-                             concurrency=2)
-
-    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(df["doc_id"].tolist())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"id_a": a, "id_b": b})
-
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        emit_pairs, batch_format="pandas"
-    )
-    if pairs.count() == 0:
+                             concurrency=2).materialize()
+    counts = bands.groupby(["band", "band_hash"]).count()
+    hot = counts.filter(lambda r: r["count()"] > 1).take_all()
+    if not hot:
         return ray.data.from_arrow(pa.table(
             {"doc_id": pa.array([], pa.int64()),
              "dup_of": pa.array([], pa.int64())}))
-    pairs = pairs.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
+    hotset = {(h["band"], h["band_hash"]) for h in hot}
+
+    members = bands.filter(
+        lambda r: (r["band"], r["band_hash"]) in hotset
+    ).take_all()  # collision rows only — small by construction
+    buckets: Dict[Tuple, List[int]] = {}
+    for m in members:
+        buckets.setdefault((m["band"], m["band_hash"]), []).append(m["doc_id"])
+    pair_set = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pair_set.add((ids[i], ids[j]))
+    if not pair_set:
+        return ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "dup_of": pa.array([], pa.int64())}))
+    pair_list = sorted(pair_set)
+    pairs = ray.data.from_arrow(pa.table(
+        {"id_a": pa.array([p[0] for p in pair_list], pa.int64()),
+         "id_b": pa.array([p[1] for p in pair_list], pa.int64())}))
 
     # verification: broadcast the texts once (small side at test scale; a
     # 100 TB corpus would semi-join candidates back to the docs table)
@@ -290,32 +309,45 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
                 out["sim"].append(np.int64(s - (1 << 63)))  # store signed
         return pd.DataFrame(out)
 
-    sigs = docs.map_batches(sig, batch_format="pandas")
+    import ray.data
 
-    def emit(df: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(zip(df["doc_id"], df["sim"]))
-        a, b = [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                x = (int(rows[i][1]) ^ int(rows[j][1])) & ((1 << 64) - 1)
-                if bin(x).count("1") <= max_hamming:
-                    a.append(int(rows[i][0]))
-                    b.append(int(rows[j][0]))
-        return pd.DataFrame({"dup_of": a, "doc_id": b})
-
-    pairs = sigs.groupby(["chunk", "chunk_val"]).map_groups(
-        emit, batch_format="pandas"
-    )
-    if pairs.count() == 0:
-        import pyarrow as pa
-
-        import ray.data
-
+    # same aggregate-then-probe pattern as minhash_dedup: never a Ray
+    # task per (mostly singleton) bucket
+    sigs = docs.map_batches(sig, batch_format="pandas").materialize()
+    counts = sigs.groupby(["chunk", "chunk_val"]).count()
+    hot = counts.filter(lambda r: r["count()"] > 1).take_all()
+    if not hot:
         return ray.data.from_arrow(pa.table(
             {"doc_id": pa.array([], pa.int64()),
              "dup_of": pa.array([], pa.int64())}))
-    out = pairs.groupby("doc_id").min("dup_of")
-    return _rename(out, {"min(dup_of)": "dup_of"})
+    hotset = {(h["chunk"], h["chunk_val"]) for h in hot}
+    members = sigs.filter(
+        lambda r: (r["chunk"], r["chunk_val"]) in hotset
+    ).take_all()
+    buckets: Dict[Tuple, List[Tuple[int, int]]] = {}
+    for m in members:
+        buckets.setdefault((m["chunk"], m["chunk_val"]), []).append(
+            (int(m["doc_id"]), int(m["sim"]))
+        )
+    pair_set = set()
+    for rows in buckets.values():
+        rows = sorted(rows)
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                x = (rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)
+                if bin(x).count("1") <= max_hamming:
+                    pair_set.add((rows[i][0], rows[j][0]))
+    if not pair_set:
+        return ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "dup_of": pa.array([], pa.int64())}))
+    best: Dict[int, int] = {}
+    for a, b in sorted(pair_set):
+        if b not in best or a < best[b]:
+            best[b] = a
+    return ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(sorted(best), pa.int64()),
+         "dup_of": pa.array([best[k] for k in sorted(best)], pa.int64())}))
 
 
 # ---------------------------------------------------------------------------

@@ -44,13 +44,13 @@ def test_ann_lsh_recall(ray_session, sf_dir, emb):
     approx = {}
     for r in ann.ann_topk_lsh(sf_dir).take_all():
         approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    # multiprobe LSH with 12 planes: expect nonzero recall, full precision
-    # of membership in the probed buckets (approximate by design)
+    # 6 planes + radius-2 multiprobe: decent recall even on random
+    # vectors (approximate by design; see ann.py)
     recalls = []
     for q, ex in exact.items():
         ap = approx.get(q, set())
         recalls.append(len(ap & ex) / max(len(ex), 1))
-    assert sum(recalls) / len(recalls) > 0.1
+    assert sum(recalls) / len(recalls) >= 0.25
 
 
 def test_embedding_neardup_genuine(ray_session, sf_dir, emb):
