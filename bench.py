@@ -54,15 +54,12 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     # --- crawl_bulk: BFS the whole synthetic web from every host root
     import pyarrow.parquet as pq
 
-    seeds = [r["url"] for r in
-             pq.read_table(os.path.join(pdir, "seeds.parquet")).to_pylist()]
-    # broad seed set → the crawl covers most of the table (throughput run)
-    hosts = sorted({r for r in
-                    pq.read_table(os.path.join(pdir, "pages.parquet"),
-                                  columns=["url"]).column("url").to_pylist()
-                    if r.endswith("/robots.txt")})
-    seeds = seeds + [h.replace("/robots.txt", "/") for h in hosts]
-    seeds = sorted(set(seeds))
+    # seed every host root → the crawl covers the whole reachable table
+    # (throughput run)
+    urls = pq.read_table(os.path.join(pdir, "pages.parquet"),
+                         columns=["url"]).column("url").to_pylist()
+    hosts = sorted({u.split("/")[2] for u in urls})
+    seeds = [f"http://{h}/" for h in hosts]
 
     cfg = default_config(depth_limit=12, external=True)
     bulk_out = "/tmp/mwc_bench_bulk"

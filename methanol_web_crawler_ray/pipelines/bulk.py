@@ -40,7 +40,7 @@ from ..config import EngineConfig
 from ..functions.matchkit import DISCARD, FTIndex, POSSIBLE_MATCH
 from ..functions.parsechain import AttrList, parse_chain_spec, run_chain
 from ..functions.robots import parse_robots
-from ..functions.urlkit import URL, url_set
+from ..functions.urlkit import URL, resolve, url_set
 from ..state.seen import shard_of
 from .hostloop import url_hash
 from .simulator import plan_seed_hosts
@@ -118,8 +118,6 @@ class ParseExtract:
             n_links = 0
             local = set()
             for ref in refs:
-                from ..functions.urlkit import resolve
-
                 u = resolve(base, ref)
                 if u is None:
                     continue
