@@ -150,7 +150,7 @@ class HostTurnStep:
 
         new_state, log, status = run_host_round(
             self.cfg, self.fetch, self.pool, state, seeds, arrivals,
-            self.crawler,
+            self.crawler, self.round_num,
         )
 
         rows: List[dict] = []

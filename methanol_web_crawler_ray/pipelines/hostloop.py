@@ -214,6 +214,16 @@ class CrawlKernel:
         self._bk: Optional[tuple] = None
         self._peek_list_idx: Optional[int] = None
 
+        # politeness virtual clock (SURVEY §2 T3 / north-star min-heap on
+        # next-fetch-time): ``clock`` is this host's next allowed transfer
+        # time in virtual seconds; a rounds turn runs inside ``window``
+        # [round*round_seconds, (round+1)*round_seconds) and each transfer
+        # advances the clock by the effective delay (robots Crawl-delay or
+        # the politeness mode's base delay).  Crawl-delay larger than the
+        # round window simply defers the host whole rounds.
+        self.clock: float = 0.0
+        self.window = None  # (start, end) for the current rounds turn
+
         # rounds-mode extraction dedup memo (see module docstring)
         self.ext_emitted: set = set()
 
@@ -261,6 +271,7 @@ class CrawlKernel:
             "redirects": self.redirects,
             "jail_url": self.jail_url,
             "ext_emitted": self.ext_emitted,
+            "clock": self.clock,
         }
 
     def load_state(self, d: dict) -> None:
@@ -276,6 +287,7 @@ class CrawlKernel:
         self.redirects = d["redirects"]
         self.jail_url = d["jail_url"]
         self.ext_emitted = d["ext_emitted"]
+        self.clock = d.get("clock", 0.0)
 
     # -- ue_* transcriptions ----------------------------------------------
 
@@ -420,13 +432,25 @@ class CrawlKernel:
         self.depth_counter -= 1
         return self.ue_add(canon)
 
+    def _transfer(self) -> None:
+        """Account one network transfer (GET / HEAD / robots): the
+        politeness timer sleeps between transfers (io.c:566-578); here the
+        virtual clock advances by the effective per-host delay."""
+        self.log.transfers += 1
+        delay = max(
+            (self.robots.crawl_delay if self.robots else None) or 0.0,
+            self.cfg.base_delay,
+        )
+        start = self.window[0] if self.window else 0.0
+        self.clock = max(self.clock, start) + delay
+
     # -- robots / jail -----------------------------------------------------
 
     def fetch_robots(self) -> None:
         """lm_worker_get_robotstxt (worker.c:989-1071)."""
         self.rfetched = True
         robots_url = f"http://{self.host}/robots.txt"
-        self.log.transfers += 1
+        self._transfer()
         row = self.fetch.get(robots_url)
         if row is None:
             # connection-level failure (M_FAILED) → empty filter
@@ -480,7 +504,7 @@ class CrawlKernel:
         attrs = AttrList(ft.attributes)
 
         # handler: default lm_io_get == pages-table lookup (S1/J1)
-        self.log.transfers += 1
+        self._transfer()
         page = self.fetch.get(row.u.s)
         if page is None:
             return  # M_FAILED: no parse
@@ -541,7 +565,7 @@ class CrawlKernel:
             match = False
             ft = idx.match_by_url(row.u)
             if ft is POSSIBLE_MATCH:
-                self.log.transfers += 1  # HEAD (S2)
+                self._transfer()  # HEAD (S2)
                 mime = self.fetch.head(row.u.s)
                 if mime:
                     mime = mime.split(";", 1)[0]
@@ -605,21 +629,20 @@ class CrawlKernel:
     # -- the main loop (worker.c:214-407), one "turn" ----------------------
 
     def run_turn(self, budget: Optional[int] = "auto") -> str:
-        """Run until frontier exhaustion ('exhausted') or the transfer
-        budget is spent ('budget').  ``budget='auto'`` recomputes the
-        politeness budget each iteration so a robots Crawl-delay parsed
-        mid-turn throttles immediately.  In inline mode the caller handles
-        pending-host switching on 'exhausted'."""
+        """Run until frontier exhaustion ('exhausted') or the politeness
+        window closes ('budget').  ``budget='auto'`` uses the virtual
+        next-fetch clock against ``self.window`` (set by run_host_round) —
+        a robots Crawl-delay parsed mid-turn throttles immediately, and a
+        delay longer than the window defers the host whole rounds.  A
+        numeric budget caps raw transfer count (tests); None is unbounded
+        (the single-worker reference mode).  In inline mode the caller
+        handles pending-host switching on 'exhausted'."""
         self._peek_list_idx = None
         while True:
             if budget == "auto":
-                b = budget_for(
-                    self.cfg,
-                    self.robots.crawl_delay if self.robots else None,
-                )
-            else:
-                b = budget
-            if b is not None and self.log.transfers >= b:
+                if self.window is not None and self.clock >= self.window[1]:
+                    return "budget"
+            elif budget is not None and self.log.transfers >= budget:
                 return "budget"
             row = self.ue_next()
             if row is None:

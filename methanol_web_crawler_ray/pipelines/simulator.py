@@ -154,7 +154,8 @@ def plan_seed_hosts(cfg: EngineConfig, seeds: Sequence[str],
 
 def run_host_round(cfg: EngineConfig, fetcher, seen_pool, state: Optional[dict],
                    seeds: Optional[List[str]], arrivals: Optional[List[Tuple]],
-                   crawler: Optional[str]) -> Tuple[dict, TurnLog, str]:
+                   crawler: Optional[str],
+                   round_num: int = 0) -> Tuple[dict, TurnLog, str]:
     """One host's turn in one round — THE shared step function: the
     sequential simulator calls it directly; the Ray pipeline calls it
     inside the per-host map_groups stage.  ``seen_pool`` exposes
@@ -186,6 +187,8 @@ def run_host_round(cfg: EngineConfig, fetcher, seen_pool, state: Optional[dict],
         if arrivals and arrivals[0][2]:
             k.crawler_name = arrivals[0][2]
             k.depth_limit = k.crawler.depth_limit
+    rs = float(cfg.round_seconds)
+    k.window = (round_num * rs, (round_num + 1) * rs)
     status = k.run_turn(budget="auto")
     return k.state_dict(), k.log, status
 
@@ -274,7 +277,7 @@ def simulate_rounds(cfg: EngineConfig, fetcher, seeds: Sequence[str],
             new_state, log, status = run_host_round(
                 cfg, fetcher, seen, st,
                 (init or {}).get("seeds"), (init or {}).get("arrivals"),
-                crawler,
+                crawler, round_num,
             )
             states[host] = new_state
             _merge_log(result, log, round_num, seq_base)
