@@ -1,0 +1,185 @@
+"""Output sinks — the Methanol master's MySQL tables as Parquet.
+
+  - target sink (S8/S9): the master's per-filetype ``ft_<name>`` tables
+    (mn-masterd/main.c:490-621: one row per unique SHA1(url), one column
+    per declared attribute) become one Parquet directory per filetype with
+    columns (url, url_hash, date, <attr>...), exact-deduped on url_hash
+    via groupby().map_groups(first) — SURVEY §2 A4/D2.
+  - crawl-log sink (S10): ``nol_url`` (hash PRIMARY KEY, url, date;
+    mn-masterd/main.c:341-348, upsert mn-slaved/client.c:510-557) becomes
+    an append-only Parquet log partitioned by round, deduped at read with
+    the same groupby-first.
+  - writefile handler analog (S7, lm_handler_writefile builtin.c:63-133):
+    payload columns stream to Parquet keyed by url_hash — key-unique by
+    construction instead of the reference's ``name-1.ext`` probing.
+
+All sinks are streaming ``write_parquet`` consumers; nothing funnels
+through the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional
+
+import pyarrow as pa
+
+
+def _first_by_hash(tbl: pa.Table) -> pa.Table:
+    """Per-group first (deterministic: lowest date, then url) — the SQL
+    UNIQUE-key upsert's keep-first semantics."""
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(
+        tbl, sort_keys=[("url_hash", "ascending"), ("date", "ascending"),
+                        ("url", "ascending")]
+    )
+    tbl = tbl.take(idx)
+    mask = [True] * tbl.num_rows
+    hashes = tbl.column("url_hash").to_pylist()
+    for i in range(1, len(hashes)):
+        if hashes[i] == hashes[i - 1]:
+            mask[i] = False
+    return tbl.filter(pa.array(mask))
+
+
+def write_targets(ckpt_dir: str, out_dir: str) -> Dict[str, int]:
+    """Fold a crawl checkpoint's target rows into per-filetype Parquet
+    dirs (ft_<name>/...), exact-deduped on url_hash.
+
+    The shuffle key is url_hash (groupby) and runs as a Ray Data pipeline;
+    attribute values become one column per declared attribute.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data
+
+    rounds = sorted(
+        d for d in os.listdir(ckpt_dir)
+        if d.startswith("round_")
+        and os.path.exists(os.path.join(ckpt_dir, d, "_COMPLETE"))
+    )
+    if not rounds:
+        return {}
+    import glob as _glob
+
+    paths = [
+        f for d in rounds
+        for f in sorted(_glob.glob(os.path.join(ckpt_dir, d, "result", "*.parquet")))
+    ]
+    ds = ray.data.read_parquet(paths)
+    targets = ds.filter(lambda r: r["kind"] == "target")
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        urls, hashes, fts, dates, attrs_json = [], [], [], [], []
+        for url, name, n, payload in zip(
+            tbl.column("url").to_pylist(),
+            tbl.column("name").to_pylist(),
+            tbl.column("n").to_pylist(),
+            tbl.column("payload").to_pylist(),
+        ):
+            p = pickle.loads(payload)
+            urls.append(url)
+            hashes.append(p["url_hash"])
+            fts.append(name)
+            dates.append(int(n or 0))
+            attrs_json.append(pickle.dumps(p["attrs"]))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "url_hash": pa.array(hashes, pa.string()),
+                "filetype": pa.array(fts, pa.string()),
+                "date": pa.array(dates, pa.int64()),
+                "attrs": pa.array(attrs_json, pa.large_binary()),
+            }
+        )
+
+    flat = targets.map_batches(explode, batch_format="pyarrow")
+
+    def dedup_group(tbl: pa.Table) -> pa.Table:
+        return _first_by_hash(tbl)
+
+    deduped = flat.groupby("url_hash").map_groups(
+        dedup_group, batch_format="pyarrow"
+    ).materialize()
+
+    counts: Dict[str, int] = {}
+    for ft in set(deduped.unique("filetype")):
+        sub = deduped.filter(lambda r, ft=ft: r["filetype"] == ft)
+        # expand pickled attrs into real columns for this filetype
+        def widen(tbl: pa.Table, ft=ft) -> pa.Table:
+            rows = tbl.to_pylist()
+            attr_names = sorted(
+                {k for r in rows for k in pickle.loads(r["attrs"])}
+            )
+            cols = {
+                "url": [r["url"] for r in rows],
+                "url_hash": [r["url_hash"] for r in rows],
+                "date": [r["date"] for r in rows],
+            }
+            for a in attr_names:
+                cols[f"attr_{a}"] = [
+                    pickle.loads(r["attrs"]).get(a) for r in rows
+                ]
+            t = pa.table(cols)
+            return t
+
+        sub.map_batches(widen, batch_format="pyarrow").write_parquet(
+            os.path.join(out_dir, f"ft_{ft}")
+        )
+        counts[ft] = sub.count()
+    return counts
+
+
+def write_crawl_log(ckpt_dir: str, out_dir: str) -> int:
+    """nol_url analog: (url_hash, url, round) appended per round,
+    partitioned by round — dedup happens at read (read_crawl_log)."""
+    import ray.data
+
+    from .hostloop import url_hash
+
+    rounds = sorted(
+        d for d in os.listdir(ckpt_dir)
+        if d.startswith("round_")
+        and os.path.exists(os.path.join(ckpt_dir, d, "_COMPLETE"))
+    )
+    total = 0
+    for d in rounds:
+        src = os.path.join(ckpt_dir, d, "result")
+        ds = ray.data.read_parquet(src).filter(lambda r: r["kind"] == "visit")
+
+        def log_rows(tbl: pa.Table) -> pa.Table:
+            urls = tbl.column("url").to_pylist()
+            rounds_col = tbl.column("n").to_pylist()
+            return pa.table(
+                {
+                    "url_hash": pa.array([url_hash(u) for u in urls]),
+                    "url": pa.array(urls, pa.string()),
+                    "round": pa.array(
+                        [int(r or 0) for r in rounds_col], pa.int64()),
+                }
+            )
+
+        out = ds.map_batches(log_rows, batch_format="pyarrow")
+        n = out.count()
+        if n:
+            out.write_parquet(os.path.join(out_dir, d))
+        total += n
+    return total
+
+
+def read_crawl_log(out_dir: str):
+    """Read the log deduped on url_hash (first round wins)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(out_dir)
+
+    def first(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(tbl, sort_keys=[("round", "ascending"),
+                                              ("url", "ascending")])
+        return tbl.take(idx).slice(0, 1)
+
+    return ds.groupby("url_hash").map_groups(first, batch_format="pyarrow")
