@@ -7,24 +7,30 @@ refresh / training-data harvesting over a frozen pages table — ordering
 inside a host is irrelevant and the whole crawl collapses into the
 classic Ray Data shape (SURVEY.md §3.5):
 
-  frontier_d ⋈ pages                 # J1: hash join (Dataset.join) or a
-                                     #     selective bucketed-store read
-  → map_batches(ParseExtract)        # M1-M11 + F1-F4 in one vectorized
-                                     #   pass over Arrow batches
-  → seen anti-join (sharded actor pool, batched per block)  # T1/J2
-  → robots filter (per-host compiled rules, broadcast via ray.put)  # M13/J3
-  → frontier_{d+1}; targets/texts stream to Parquet sinks   # S8-S10
+  frontier_d ⋈ pages                  # J1 — the frontier is broadcast
+                                      #   (ray.put once per wave) and each
+                                      #   store block filters itself with a
+                                      #   vectorized Arrow is_in; the pages
+                                      #   side never moves
+  → parse/extract/classify            # M1-M11 + F1-F4, one fused pass
+  → seen anti-join (sharded actors)   # T1/J2, batched per block
+  → robots filter (broadcast rules)   # M13/J3
+  → frontier_{d+1}; pages stream to Parquet sinks          # S8-S10
 
-Differences from the ordered engine, by design:
-  * no politeness budgets or per-host sequencing — all hosts in parallel,
-    every depth level is one wave (pure BFS);
-  * seen-set winners under concurrency are nondeterministic, but the
-    visited SET equals the ordered engine's set whenever the link graph
-    is crawled to the same depth with no budget truncation (tested);
-  * per-filetype counters count unique bound URLs (duplicates are
-    anti-joined away before classification re-runs).
+Performance notes (measured against the first implementation):
+  * ONE fused map_batches per wave (filter+parse+classify+seen+robots)
+    instead of four chained stages — one execution, one materialize;
+  * plain TASK UDFs with process-level caches (ftindex, robots filters,
+    frontier set) instead of actor pools — Ray reuses worker processes, so
+    the cache is warm and there is no per-wave actor startup;
+  * the store is read from Parquet once and kept materialized in the
+    object store across waves (zero-copy blocks, spillable).
 
-This is the benchmark headline: pages parsed/s and frontier URLs/s.
+Differences from the ordered engine, by design: no politeness budgets or
+per-host sequencing (all hosts in parallel, one wave per depth); seen-set
+winners under concurrency are nondeterministic but the visited SET equals
+the ordered engine's set when crawled to the same depth with no budget
+truncation (tested); redirects and fetch-misses are skipped, not visited.
 """
 
 from __future__ import annotations
@@ -43,207 +49,205 @@ from ..functions.robots import parse_robots
 from ..functions.urlkit import URL, resolve, url_set
 from ..state.seen import shard_of
 from .hostloop import url_hash
-from .simulator import plan_seed_hosts
 
-LINK_SCHEMA = pa.schema(
+OUT_SCHEMA = pa.schema(
     [
-        ("url", pa.string()),          # canonical child URL
-        ("host", pa.string()),         # normalized host
-        ("seen_key", pa.string()),
-        ("depth", pa.int32()),
-        ("filetype", pa.string()),
-        ("is_external", pa.bool_()),
-    ]
-)
-
-PAGE_SCHEMA = pa.schema(
-    [
+        ("kind", pa.string()),  # 'link' (frontier candidate) | 'page'
         ("url", pa.string()),
         ("host", pa.string()),
         ("depth", pa.int32()),
+        ("seen_key", pa.string()),
         ("filetype", pa.string()),
+        ("is_external", pa.bool_()),
         ("text", pa.large_binary()),
         ("title", pa.large_binary()),
         ("url_hash", pa.string()),
-        ("n_links", pa.int32()),
     ]
 )
 
+# process-level caches: Ray reuses worker processes across tasks, so
+# these survive waves without actor pools
+_CTX_CACHE: Dict = {}
 
-class ParseExtract:
-    """Stateful map_batches stage: ftindex + parser chains compiled once
-    per actor (__init__), then vectorized batch work (__call__).
 
-    One pass per page: canonicalize (M1/M2), run the filetype's parser
-    chain (M5-M11) collecting raw refs, resolve + classify every ref
-    (F1-F4), emit a link table and a page table."""
+def _get_ctx(cfg_blob: bytes, crawler: Optional[str]):
+    key = (cfg_blob, crawler)
+    ctx = _CTX_CACHE.get(key)
+    if ctx is None:
+        cfg: EngineConfig = pickle.loads(cfg_blob)
+        cr = cfg.crawlers[crawler or cfg.default_crawler]
+        ctx = (cfg, cr, FTIndex(cr, cfg.filetypes))
+        _CTX_CACHE[key] = ctx
+    return ctx
 
-    def __init__(self, cfg_blob: bytes, crawler: Optional[str], depth: int):
-        self.cfg: EngineConfig = pickle.loads(cfg_blob)
-        cr = self.cfg.crawlers[crawler or self.cfg.default_crawler]
-        self.crawler = cr
-        self.idx = FTIndex(cr, self.cfg.filetypes)
-        self.depth = depth
 
-    def classify(self, u: URL):
-        ft = self.idx.match_by_url(u)
-        if ft is POSSIBLE_MATCH:
-            return None  # MIME lookup deferred — bulk mode drops (F2 note)
-        return ft
+_REF_CACHE: Dict = {}
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        bodies = batch.column("body").to_pylist()
-        ctypes = batch.column("content_type").to_pylist()
-        statuses = batch.column("status").to_pylist()
 
-        link_rows: Dict[str, list] = {f.name: [] for f in LINK_SCHEMA}
-        page_rows: Dict[str, list] = {f.name: [] for f in PAGE_SCHEMA}
+def _get_ref(ref):
+    import ray
 
-        for url, body, ctype, status in zip(urls, bodies, ctypes, statuses):
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    v = _REF_CACHE.get(key)
+    if v is None:
+        v = ray.get(ref)
+        _REF_CACHE[key] = v
+        if len(_REF_CACHE) > 8:
+            _REF_CACHE.pop(next(iter(_REF_CACHE)))
+    return v
+
+
+_ROBOTS_CACHE: Dict = {}
+
+
+def _get_robots(robots_ref, user_agent: str):
+    if robots_ref is None:
+        return {}
+    key = robots_ref.hex()
+    v = _ROBOTS_CACHE.get(key)
+    if v is None:
+        raw = _get_ref(robots_ref)
+        v = {h: parse_robots(body, user_agent).filter
+             for h, body in raw.items()}
+        _ROBOTS_CACHE[key] = v
+    return v
+
+
+def make_wave_fn(cfg_blob: bytes, crawler: Optional[str], depth: int,
+                 frontier_ref, robots_ref, seen_actors, keep_external: bool):
+    """The fused per-wave UDF (plain task function; all state cached at
+    process level or broadcast via object refs)."""
+
+    num_shards = len(seen_actors)
+
+    def wave(batch: pa.Table) -> pa.Table:
+        import ray
+
+        cfg, cr, idx = _get_ctx(cfg_blob, crawler)
+        frontier: set = _get_ref(frontier_ref)
+        robots = _get_robots(robots_ref, cfg.user_agent)
+
+        # --- J1: filter this store block down to frontier rows (vectorized)
+        mask = pc.is_in(batch.column("url"),
+                        value_set=pa.array(list(frontier), pa.string())) \
+            if len(frontier) < 100_000 else None
+        if mask is not None:
+            batch = batch.filter(mask)
+        else:  # very large frontier: python-set membership is faster to ship
+            sel = [u in frontier for u in batch.column("url").to_pylist()]
+            batch = batch.filter(pa.array(sel))
+        if batch.num_rows == 0:
+            return pa.table({f.name: [] for f in OUT_SCHEMA},
+                            schema=OUT_SCHEMA)
+
+        # --- parse + extract + classify
+        out: Dict[str, list] = {f.name: [] for f in OUT_SCHEMA}
+        link_hosts: List[str] = []
+        link_keys: List[str] = []
+        link_idx: List[int] = []
+
+        for url, body, ctype, status in zip(
+            batch.column("url").to_pylist(),
+            batch.column("body").to_pylist(),
+            batch.column("content_type").to_pylist(),
+            batch.column("status").to_pylist(),
+        ):
             base = url_set(url)
             if base is None:
                 continue
-            ft = self.classify(base)
-            if ft in (DISCARD, None) or not ft.has_parser:
+            ft = idx.match_by_url(base)
+            if ft in (DISCARD, POSSIBLE_MATCH) or not ft.has_parser:
                 continue
             if status is not None and 300 <= status < 400:
                 continue  # redirects handled by the ordered engine
             refs: List[bytes] = []
             attrs = AttrList(ft.attributes)
-            chain = parse_chain_spec(ft.parser)
-            buf = run_chain(chain, body or b"", base, ctype, status or 200,
-                            attrs, refs.append)
+            buf = run_chain(parse_chain_spec(ft.parser), body or b"", base,
+                            ctype, status or 200, attrs, refs.append)
 
-            n_links = 0
             local = set()
             for ref in refs:
                 u = resolve(base, ref)
                 if u is None:
                     continue
-                cft = self.classify(u)
-                if cft in (DISCARD, None):
+                cft = idx.match_by_url(u)
+                if cft in (DISCARD, POSSIBLE_MATCH):
                     continue
                 key = u.seen_key
                 if key in local:
                     continue  # in-page dedup (ue_add first-wins)
                 local.add(key)
-                link_rows["url"].append(u.s)
-                link_rows["host"].append(u.host_norm)
-                link_rows["seen_key"].append(key)
-                link_rows["depth"].append(self.depth + 1)
-                link_rows["filetype"].append(cft.name)
-                link_rows["is_external"].append(bool(u.is_external))
-                n_links += 1
+                if not cft.has_parser:
+                    # target-only filetype (bind_url worker.c:712-713):
+                    # reported immediately, never fetched; still deduped
+                    # through the seen pool like every extracted URL
+                    link_idx.append(len(out["url"]))
+                    out["kind"].append("target")
+                    out["url"].append(u.s)
+                    out["host"].append(u.host_norm)
+                    out["depth"].append(depth + 1)
+                    out["seen_key"].append(key)
+                    out["filetype"].append(cft.name)
+                    out["is_external"].append(bool(u.is_external))
+                    out["text"].append(None)
+                    out["title"].append(None)
+                    out["url_hash"].append(url_hash(u.s))
+                    link_hosts.append(u.host_norm)
+                    link_keys.append(key)
+                    continue
+                if u.is_external and not keep_external:
+                    continue
+                # robots (M13): evaluated before the URL enters the frontier
+                f = robots.get(u.host_norm)
+                if f is not None and not f.eval_url(u):
+                    continue
+                link_idx.append(len(out["url"]))
+                out["kind"].append("link")
+                out["url"].append(u.s)
+                out["host"].append(u.host_norm)
+                out["depth"].append(depth + 1)
+                out["seen_key"].append(key)
+                out["filetype"].append(cft.name)
+                out["is_external"].append(bool(u.is_external))
+                out["text"].append(None)
+                out["title"].append(None)
+                out["url_hash"].append(None)
+                link_hosts.append(u.host_norm)
+                link_keys.append(key)
 
-            page_rows["url"].append(url)
-            page_rows["host"].append(base.host_norm)
-            page_rows["depth"].append(self.depth)
-            page_rows["filetype"].append(ft.name)
-            page_rows["text"].append(buf)
-            page_rows["title"].append(attrs.values.get("title"))
-            page_rows["url_hash"].append(url_hash(url))
-            page_rows["n_links"].append(n_links)
+            out["kind"].append("page")
+            out["url"].append(url)
+            out["host"].append(base.host_norm)
+            out["depth"].append(depth)
+            out["seen_key"].append(None)
+            out["filetype"].append(ft.name)
+            out["is_external"].append(None)
+            out["text"].append(buf)
+            out["title"].append(attrs.values.get("title"))
+            out["url_hash"].append(url_hash(url))
 
-        links = pa.table(link_rows, schema=LINK_SCHEMA)
-        pages = pa.table(page_rows, schema=PAGE_SCHEMA)
-        # one output stream: links carry null text; pages carry null seen_key
-        return pa.table(
-            {
-                "kind": pa.array(
-                    ["link"] * links.num_rows + ["page"] * pages.num_rows
-                ),
-                "url": pa.concat_arrays(
-                    [links.column("url").combine_chunks(),
-                     pages.column("url").combine_chunks()]
-                ),
-                "host": pa.concat_arrays(
-                    [links.column("host").combine_chunks(),
-                     pages.column("host").combine_chunks()]
-                ),
-                "depth": pa.concat_arrays(
-                    [links.column("depth").combine_chunks(),
-                     pages.column("depth").combine_chunks()]
-                ),
-                "seen_key": pa.concat_arrays(
-                    [links.column("seen_key").combine_chunks(),
-                     pa.nulls(pages.num_rows, pa.string())]
-                ),
-                "filetype": pa.concat_arrays(
-                    [links.column("filetype").combine_chunks(),
-                     pages.column("filetype").combine_chunks()]
-                ),
-                "is_external": pa.concat_arrays(
-                    [links.column("is_external").combine_chunks(),
-                     pa.nulls(pages.num_rows, pa.bool_())]
-                ),
-                "text": pa.concat_arrays(
-                    [pa.nulls(links.num_rows, pa.large_binary()),
-                     pages.column("text").combine_chunks()]
-                ),
-                "title": pa.concat_arrays(
-                    [pa.nulls(links.num_rows, pa.large_binary()),
-                     pages.column("title").combine_chunks()]
-                ),
-                "url_hash": pa.concat_arrays(
-                    [pa.nulls(links.num_rows, pa.string()),
-                     pages.column("url_hash").combine_chunks()]
-                ),
+        # --- T1/J2: batched seen anti-join, one RPC per touched shard
+        if link_keys:
+            by_shard: Dict[int, List[int]] = {}
+            for i, h in enumerate(link_hosts):
+                by_shard.setdefault(shard_of(h, num_shards), []).append(i)
+            futs = {
+                s: seen_actors[s].try_add_ordered.remote(
+                    [link_keys[i] for i in idxs])
+                for s, idxs in by_shard.items()
             }
-        )
+            drop = set()
+            for s, idxs in by_shard.items():
+                for i, ok in zip(idxs, ray.get(futs[s])):
+                    if not ok:
+                        drop.add(link_idx[i])
+            if drop:
+                keep = [i for i in range(len(out["url"])) if i not in drop]
+                out = {k: [v[i] for i in keep] for k, v in out.items()}
 
+        return pa.table(out, schema=OUT_SCHEMA)
 
-class SeenFilter:
-    """Batched anti-join against the sharded seen pool (T1/J2): one RPC
-    per touched shard per block."""
-
-    def __init__(self, actors):
-        self.actors = actors
-        self.n = len(actors)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import ray
-
-        hosts = batch.column("host").to_pylist()
-        keys = batch.column("seen_key").to_pylist()
-        by_shard: Dict[int, List[int]] = {}
-        for i, h in enumerate(hosts):
-            by_shard.setdefault(shard_of(h, self.n), []).append(i)
-        futs = {
-            s: self.actors[s].try_add_ordered.remote([keys[i] for i in idxs])
-            for s, idxs in by_shard.items()
-        }
-        mask = [False] * batch.num_rows
-        for s, idxs in by_shard.items():
-            for i, ok in zip(idxs, ray.get(futs[s])):
-                mask[i] = ok
-        return batch.filter(pa.array(mask))
-
-
-class RobotsFilter:
-    """Per-host robots rules, compiled once from the broadcast robots map
-    (M13/J3: broadcast-small-side instead of a shuffle join)."""
-
-    def __init__(self, robots_ref, user_agent: str):
-        import ray
-
-        raw: Dict[str, str] = ray.get(robots_ref)
-        self.filters = {
-            h: parse_robots(body, user_agent).filter for h, body in raw.items()
-        }
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        hosts = batch.column("host").to_pylist()
-        mask = []
-        for url, host in zip(urls, hosts):
-            f = self.filters.get(host)
-            if f is None:
-                mask.append(True)
-                continue
-            u = url_set(url)
-            mask.append(bool(u) and f.eval_url(u))
-        return batch.filter(pa.array(mask))
+    return wave
 
 
 def load_robots_map(store_dir: str) -> Dict[str, str]:
@@ -274,10 +278,10 @@ def crawl_bfs(
     seen_mode: str = "exact",
     num_buckets: int = 32,
     concurrency: Optional[int] = None,
-    batch_size: int = 256,
+    batch_size: int = 512,
     use_robots: bool = True,
 ) -> Dict[str, float]:
-    """Run the BFS bulk crawl; writes pages/links Parquet per depth under
+    """Run the BFS bulk crawl; writes pages Parquet per depth under
     out_dir and returns throughput stats."""
     import os
 
@@ -286,6 +290,7 @@ def crawl_bfs(
 
     from ..sources.pagestore import build_store
     from ..state.seen import make_seen_pool
+    from .simulator import plan_seed_hosts
 
     t0 = time.time()
     store_dir = build_store(pages_dir, num_buckets=num_buckets)
@@ -298,53 +303,35 @@ def crawl_bfs(
     if use_robots and cr.robotstxt:
         robots_ref = ray.put(load_robots_map(store_dir))
 
-    # seed frontier (registered in the seen set like ue_add_initial)
+    # the store stays resident (and spillable) across waves
+    store_ds = ray.data.read_parquet(
+        store_dir, columns=["url", "status", "content_type", "body"]
+    ).materialize()
+
     seed_urls = []
     for h, urls in plan_seed_hosts(cfg, seeds, crawler).items():
         for u in urls:
             parsed = url_set(u if "://" in u else "http://" + u)
             if parsed is not None:
                 seed_urls.append((parsed.s, parsed.host_norm, parsed.seen_key))
-    for s, h, k in seed_urls:
-        pool.try_add_batch(h, [k])
+    grouped: Dict[str, List[str]] = {}
+    for _s, h, k in seed_urls:
+        grouped.setdefault(h, []).append(k)
+    pool.try_add_grouped(grouped)
 
-    frontier = pa.table(
-        {
-            "url": [s for s, _h, _k in seed_urls],
-            "host": [h for _s, h, _k in seed_urls],
-            "depth": pa.array([0] * len(seed_urls), pa.int32()),
-        }
-    )
-
-    stats = {"pages_parsed": 0, "links_extracted": 0, "frontier_urls": len(seed_urls)}
-    store_ds_path = store_dir
+    frontier: List[str] = [s for s, _h, _k in seed_urls]
+    stats = {"pages_parsed": 0, "links_extracted": 0,
+             "frontier_urls": len(frontier)}
 
     depth = 0
-    while frontier.num_rows and depth < depth_limit:
-        # J1: frontier ⋈ pages — selective bucketed read with filter
-        # pushdown (urls of this wave only leave storage)
-        import pyarrow.dataset as pads
-
-        buckets = sorted(
-            {shard_of(h, num_buckets) for h in
-             frontier.column("host").to_pylist()}
-        )
-        url_set_filter = pc.field("url").isin(frontier.column("url"))
-        fetched = ray.data.read_parquet(
-            store_ds_path,
-            filter=(pc.field("b").isin(buckets)) & url_set_filter,
-            columns=["url", "status", "content_type", "body"],
-        )
-
-        parsed = fetched.map_batches(
-            ParseExtract,
-            fn_constructor_args=(cfg_blob, crawler, depth),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=concurrency,
+    while frontier and depth < depth_limit:
+        frontier_ref = ray.put(set(frontier))
+        wave = make_wave_fn(cfg_blob, crawler, depth, frontier_ref,
+                            robots_ref, pool.actors, cr.external)
+        parsed = store_ds.map_batches(
+            wave, batch_format="pyarrow", batch_size=batch_size,
             num_cpus=1,
-        )
-        parsed = parsed.materialize()
+        ).materialize()
 
         pages_out = parsed.filter(lambda r: r["kind"] == "page")
         pages_out.select_columns(
@@ -352,34 +339,23 @@ def crawl_bfs(
         ).write_parquet(os.path.join(out_dir, f"pages/depth={depth}"))
         n_pages = pages_out.count()
 
+        targets_out = parsed.filter(lambda r: r["kind"] == "target")
+        if targets_out.count():
+            targets_out.select_columns(
+                ["url", "host", "filetype", "url_hash"]
+            ).write_parquet(os.path.join(out_dir, f"targets/depth={depth}"))
+
         links = parsed.filter(lambda r: r["kind"] == "link")
-        if not cr.external:
-            links = links.filter(lambda r: not r["is_external"])
-        n_links = links.count()
-
-        fresh = links.map_batches(
-            SeenFilter, fn_constructor_args=(pool.actors,),
-            batch_format="pyarrow", concurrency=min(4, num_shards),
-            num_cpus=0.5,
+        link_tbl = pa.concat_tables(
+            [t for t in ray.get(links.select_columns(["url"]).to_arrow_refs())
+             if t.num_rows] or
+            [pa.table({"url": pa.array([], pa.string())})]
         )
-        if robots_ref is not None:
-            fresh = fresh.map_batches(
-                RobotsFilter, fn_constructor_args=(robots_ref, cfg.user_agent),
-                batch_format="pyarrow", concurrency=2, num_cpus=0.5,
-            )
-        frontier_tbl = fresh.select_columns(["url", "host", "depth"]) \
-                            .to_arrow_refs()
-        import ray as _ray
-
-        parts = [t for t in _ray.get(frontier_tbl) if t.num_rows]
-        frontier = (pa.concat_tables(parts) if parts
-                    else pa.table({"url": pa.array([], pa.string()),
-                                   "host": pa.array([], pa.string()),
-                                   "depth": pa.array([], pa.int32())}))
+        frontier = link_tbl.column("url").to_pylist()
 
         stats["pages_parsed"] += n_pages
-        stats["links_extracted"] += n_links
-        stats["frontier_urls"] += frontier.num_rows
+        stats["links_extracted"] += len(frontier)
+        stats["frontier_urls"] += len(frontier)
         depth += 1
 
     stats["elapsed_sec"] = time.time() - t0
