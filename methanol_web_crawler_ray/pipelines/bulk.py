@@ -323,34 +323,27 @@ def crawl_bfs(
     stats = {"pages_parsed": 0, "links_extracted": 0,
              "frontier_urls": len(frontier)}
 
+    import pyarrow.dataset as pads
+
     depth = 0
     while frontier and depth < depth_limit:
         frontier_ref = ray.put(set(frontier))
         wave = make_wave_fn(cfg_blob, crawler, depth, frontier_ref,
                             robots_ref, pool.actors, cr.external)
-        parsed = store_ds.map_batches(
+        # ONE streamed execution per wave: map → write (pages, links and
+        # targets all land in the wave dir; no mid-pipeline materialize)
+        wave_dir = os.path.join(out_dir, f"wave={depth}")
+        store_ds.map_batches(
             wave, batch_format="pyarrow", batch_size=batch_size,
             num_cpus=1,
-        ).materialize()
+        ).write_parquet(wave_dir)
 
-        pages_out = parsed.filter(lambda r: r["kind"] == "page")
-        pages_out.select_columns(
-            ["url", "host", "depth", "filetype", "text", "title", "url_hash"]
-        ).write_parquet(os.path.join(out_dir, f"pages/depth={depth}"))
-        n_pages = pages_out.count()
-
-        targets_out = parsed.filter(lambda r: r["kind"] == "target")
-        if targets_out.count():
-            targets_out.select_columns(
-                ["url", "host", "filetype", "url_hash"]
-            ).write_parquet(os.path.join(out_dir, f"targets/depth={depth}"))
-
-        links = parsed.filter(lambda r: r["kind"] == "link")
-        link_tbl = pa.concat_tables(
-            [t for t in ray.get(links.select_columns(["url"]).to_arrow_refs())
-             if t.num_rows] or
-            [pa.table({"url": pa.array([], pa.string())})]
-        )
+        # next frontier + counts come from a plain local Arrow read of the
+        # just-written wave (kind/url columns only)
+        wd = pads.dataset(wave_dir)
+        link_tbl = wd.to_table(filter=pc.field("kind") == "link",
+                               columns=["url"])
+        n_pages = wd.count_rows(filter=pc.field("kind") == "page")
         frontier = link_tbl.column("url").to_pylist()
 
         stats["pages_parsed"] += n_pages
