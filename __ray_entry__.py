@@ -268,6 +268,71 @@ def _q_media_decode(sf_dir: str):
     return multimodal.media_decode()
 
 
+def _q_page_xmlconv(sf_dir: str):
+    """xmlconv (M9) over every html page: url → xhtml (rows-only check;
+    byte-level goldens live in tests/test_conv.py)."""
+    import ray.data
+
+    from methanol_web_crawler_ray.functions.xmlconv import xmlconv
+    from methanol_web_crawler_ray.sources.pagestore import build_store
+
+    store = build_store(_pages_dir(sf_dir))
+
+    def conv(batch: pa.Table) -> pa.Table:
+        urls, outs = [], []
+        for url, body, ctype, status in zip(
+            batch.column("url").to_pylist(),
+            batch.column("body").to_pylist(),
+            batch.column("content_type").to_pylist(),
+            batch.column("status").to_pylist(),
+        ):
+            if status == 200 and (ctype or "").startswith("text/html"):
+                urls.append(url)
+                outs.append(xmlconv(body or b""))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "xhtml": pa.array(outs, pa.large_binary())})
+
+    return ray.data.read_parquet(
+        store, columns=["url", "content_type", "status", "body"]
+    ).map_batches(conv, batch_format="pyarrow", batch_size=256)
+
+
+def _q_page_classify(sf_dir: str):
+    """ftindex URL→filetype decision tree (F1-F4) over every page URL
+    (rows-only; the decision-tree semantics are unit-golden-tested)."""
+    import ray.data
+
+    from methanol_web_crawler_ray.config import default_config
+    from methanol_web_crawler_ray.functions.matchkit import (DISCARD, FTIndex,
+                                                             POSSIBLE_MATCH)
+    from methanol_web_crawler_ray.functions.urlkit import url_set
+
+    cfg = default_config()
+    idx = FTIndex(cfg.crawler(), cfg.filetypes)
+
+    def classify(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        out = []
+        for u in urls:
+            parsed = url_set(u)
+            if parsed is None:
+                out.append("invalid")
+                continue
+            m = idx.match_by_url(parsed)
+            if m is DISCARD:
+                out.append("discard")
+            elif m is POSSIBLE_MATCH:
+                out.append("lookup")
+            else:
+                out.append(m.name)
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "filetype": pa.array(out, pa.string())})
+
+    return ray.data.read_parquet(
+        f"{_pages_dir(sf_dir)}/pages.parquet", columns=["url"]
+    ).map_batches(classify, batch_format="pyarrow", batch_size=1024)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl engine (SURVEY §2 / §3) — oracled vs the sequential
@@ -279,6 +344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # standalone parse/convert kernels over the whole pages table
         "page_text": _q_page_text,
         "page_links": _q_page_links,
+        "page_xmlconv": _q_page_xmlconv,
+        "page_classify": _q_page_classify,
         # text analysis (SQL-oracled)
         "doc_token_stats": textops.token_stats,
         "doc_quality": textops.quality,

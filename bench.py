@@ -112,17 +112,59 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
+def run_scaling_job(num_cpus: int, n_pages: int) -> dict:
+    """The scaling headline in one fresh Ray session: the bulk BFS crawl
+    over a heavy (Common-Crawl-sized bodies, dense links) pages table —
+    compute-bound so the 8→32-cpu comparison measures the ENGINE, not
+    fixed pipeline latency."""
+    import shutil
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from methanol_web_crawler_ray.config import default_config
+    from methanol_web_crawler_ray.pipelines import bulk
+    from methanol_web_crawler_ray.sources import pagegen
+    from methanol_web_crawler_ray.sources.pagestore import build_store
+
+    pdir = pagegen.pages_dir_custom(n_pages, heavy=True, tag="scaling")
+    build_store(pdir)
+    import pyarrow.parquet as pq
+
+    urls = pq.read_table(os.path.join(pdir, "pages.parquet"),
+                         columns=["url"]).column("url").to_pylist()
+    seeds = sorted({f"http://{u.split('/')[2]}/" for u in urls})
+    cfg = default_config(depth_limit=12, external=True)
+    out = f"/tmp/mwc_scaling_{num_cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    stats = bulk.crawl_bfs(cfg, pdir, seeds, out_dir=out,
+                           num_shards=8, batch_size=256)
+    el = time.time() - t0
+    out = {
+        "queries": {"crawl_bulk_heavy": round(el, 3)},
+        "pages_parsed": stats["pages_parsed"],
+        "pages_per_sec": round(stats["pages_parsed"] / el, 1),
+        "frontier_urls_per_sec": round(stats["frontier_urls"] / el, 1),
+    }
+    ray.shutdown()
+    return out
+
+
 def main() -> None:
     sf_dir = _sf_dir()
     if "--scaling" in sys.argv:
-        # two fresh processes at 8 and 32 CPUs (N vs 4N proxy)
+        # two fresh processes at 8 and 32 CPUs (N vs 4N proxy) over the
+        # heavy scaling corpus (generated once, shared via /tmp cache)
+        n_pages = int(os.environ.get("MWC_SCALING_PAGES", "200000"))
         results = {}
         for n in (8, 32):
             code = (
                 "import json,sys; sys.path.insert(0, %r); "
-                "import bench; r = bench.run_suite(%r, %d); "
+                "import bench; r = bench.run_scaling_job(%d, %d); "
                 "print('RESULT ' + json.dumps(r))"
-                % (os.path.dirname(os.path.abspath(__file__)), sf_dir, n)
+                % (os.path.dirname(os.path.abspath(__file__)), n, n_pages)
             )
             p = subprocess.run([sys.executable, "-c", code],
                                capture_output=True, text=True, timeout=3600)
@@ -143,6 +185,7 @@ def main() -> None:
                 "unit": "ratio",
                 "pages_per_sec_8cpu": tput8,
                 "pages_per_sec_32cpu": tput32,
+                "scaling_pages": n_pages,
                 "sf": sf_dir,
                 "queries": {"cpus8": results[8]["queries"],
                             "cpus32": results[32]["queries"]},

@@ -339,12 +339,19 @@ def crawl_bfs(
         ).write_parquet(wave_dir)
 
         # next frontier + counts come from a plain local Arrow read of the
-        # just-written wave (kind/url columns only)
-        wd = pads.dataset(wave_dir)
-        link_tbl = wd.to_table(filter=pc.field("kind") == "link",
-                               columns=["url"])
-        n_pages = wd.count_rows(filter=pc.field("kind") == "page")
-        frontier = link_tbl.column("url").to_pylist()
+        # just-written wave (kind/url columns only).  A wave whose frontier
+        # was all misses writes nothing (no dir).
+        import os as _os
+
+        if _os.path.isdir(wave_dir):
+            wd = pads.dataset(wave_dir)
+            link_tbl = wd.to_table(filter=pc.field("kind") == "link",
+                                   columns=["url"])
+            n_pages = wd.count_rows(filter=pc.field("kind") == "page")
+            frontier = link_tbl.column("url").to_pylist()
+        else:
+            n_pages = 0
+            frontier = []
 
         stats["pages_parsed"] += n_pages
         stats["links_extracted"] += len(frontier)

@@ -112,8 +112,8 @@ def _redirect_target(host: str, j: int, k: int) -> Optional[str]:
     return None
 
 
-def _build_html_page(host: str, j: int, k: int, hosts: List[str]
-                     ) -> Tuple[bytes, str, List[str], str]:
+def _build_html_page(host: str, j: int, k: int, hosts: List[str],
+                     heavy: bool = False) -> Tuple[bytes, str, List[str], str]:
     """Returns (html_bytes, expected_text_str, raw_links_in_order, lang)."""
     lang = ("en", "sv", "de")[j % 3]
     title = f"Page {j} of {host}"
@@ -135,7 +135,8 @@ def _build_html_page(host: str, j: int, k: int, hosts: List[str]
     parts.append(f"<h1>{title}</h1>")
 
     # filler prose (deterministic)
-    prose = " ".join(_WORDS[(j + i) % len(_WORDS)] for i in range(14))
+    n_words = 1400 if heavy else 14  # heavy ≈ real-page text volume
+    prose = " ".join(_WORDS[(j + i) % len(_WORDS)] for i in range(n_words))
     if _has_entities(j):
         prose += " caf&eacute; m&auml;rk&ouml;"  # named entities
     if _kind(j) == "html" and j % 13 == 6:
@@ -177,6 +178,19 @@ def _build_html_page(host: str, j: int, k: int, hosts: List[str]
         css_ref = "bg.css"  # 404 css ref
         parts.append("<style>body { background: url(" + css_ref + "); }</style>")
         links.append(css_ref)  # style URLs surface at their doc position
+
+    if heavy:
+        # denser link graph + padding paragraphs (Common-Crawl-ish body
+        # size); targets are existing same-host pages, fully predictable
+        for i in range(1, 9):
+            c = (j * 7 + i * 131) % k
+            if c != j:
+                parts.append(a(_page_path(c).replace("&", "&amp;")))
+        for pblk in range(6):
+            pad = " ".join(
+                _WORDS[(j * 3 + pblk + i) % len(_WORDS)] for i in range(220)
+            )
+            parts.append(f"<p>{pad}</p>")
 
     parts.append("</body></html>")
     html_text = "\n".join(parts)
@@ -232,7 +246,7 @@ def _robots_body(host: str, hi: int) -> Optional[str]:
     return "\n".join(lines) + "\n"
 
 
-def generate(n_pages: int) -> Dict[str, pa.Table]:
+def generate(n_pages: int, heavy: bool = False) -> Dict[str, pa.Table]:
     plan = host_plan(n_pages)
     hosts = [h for h, _ in plan]
 
@@ -297,7 +311,8 @@ def generate(n_pages: int) -> Dict[str, pa.Table]:
                 emit(_url_of(host, j), body, text, "en", 200, None,
                      "text/css", links)
             else:
-                html, text, links, lang = _build_html_page(host, j, k, hosts)
+                html, text, links, lang = _build_html_page(host, j, k, hosts,
+                                                            heavy)
                 ctype = ("text/html; charset=ISO-8859-1"
                          if _charset_latin1(host, j) else "text/html")
                 emit(_url_of(host, j), html, text, lang, 200, None,
@@ -353,11 +368,20 @@ def pages_dir_for(sf_dir: str, base: str = "/tmp/mwc_pages") -> str:
     table; BASELINE.json's input shape is synthesized per FIXTURES.md.)"""
     name = os.path.basename(os.path.normpath(sf_dir))
     n = SF_SIZES.get(name, 2000)
-    out = os.path.join(base, f"{name}-{n}")
+    return pages_dir_custom(n, heavy=False, tag=name, base=base)
+
+
+def pages_dir_custom(n: int, heavy: bool = False, tag: str = "custom",
+                     base: str = "/tmp/mwc_pages") -> str:
+    """Generate (once) an arbitrary-size pages table; ``heavy`` builds
+    Common-Crawl-ish page bodies (~10 KB, dense link graph) — the scaling
+    benchmark's compute-bound corpus."""
+    suffix = "-heavy" if heavy else ""
+    out = os.path.join(base, f"{tag}-{n}{suffix}")
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
         os.makedirs(out, exist_ok=True)
-        tables = generate(n)
+        tables = generate(n, heavy=heavy)
         for tname, tbl in tables.items():
             pq.write_table(tbl, os.path.join(out, f"{tname}.parquet"))
         with open(marker, "w") as f:

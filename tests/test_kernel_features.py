@@ -1,0 +1,125 @@
+"""Kernel features beyond the default config: external_peek, switch_to,
+initial_filetype, UMEX-bound filetypes in the crawl."""
+
+from methanol_web_crawler_ray.config import EngineConfig, default_config
+from methanol_web_crawler_ray.functions.matchkit import Crawler, Filetype
+from methanol_web_crawler_ray.pipelines import simulator as sim
+from methanol_web_crawler_ray.pipelines.hostloop import DictFetcher, PageRow
+
+
+def _web(pages):
+    return DictFetcher({u: PageRow(url=u, **kw) for u, kw in pages.items()})
+
+
+def test_external_peek():
+    """epeek (worker.c:679-707): external matches crawl up to peek_limit
+    depths under saved/restored depth state, single-worker mode."""
+    f = _web({
+        "http://a.x/": dict(body=b'<a href="http://b.x/p1.html">b</a>'
+                                 b'<a href="in.html">i</a>'),
+        "http://a.x/in.html": dict(body=b''),
+        "http://b.x/p1.html": dict(body=b'<a href="p2.html">2</a>'),
+        "http://b.x/p2.html": dict(body=b'<a href="p3.html">3</a>'),
+        "http://b.x/p3.html": dict(body=b''),
+    })
+    cfg = default_config(robotstxt=False, depth_limit=4,
+                         external=False, external_peek=True, peek_limit=2)
+    r = sim.simulate_single_worker(cfg, f, ["http://a.x/"])
+    urls = [v[0] for v in r.visits]
+    # the peek visits the parked external match itself...
+    assert "http://b.x/p1.html" in urls
+    # ...but NOT deeper: the peeked page's children inherit LM_URL_EXTERNAL
+    # (url.c:297 flag copy), and during a peek bind_url drops externals
+    # (epeek is off while is_peeking, worker.c:548-549 + 676-707) — the
+    # same faithful quirk that makes external crawling one level deep.
+    assert "http://b.x/p2.html" not in urls
+    assert "http://b.x/p3.html" not in urls
+    # and the home host's crawl continues after the peek (depth restored)
+    assert "http://a.x/in.html" in urls
+    # without epeek the external match is dropped entirely
+    cfg2 = default_config(robotstxt=False, depth_limit=4, external=False)
+    r2 = sim.simulate_single_worker(cfg2, f, ["http://a.x/"])
+    assert "http://b.x/p1.html" not in [v[0] for v in r2.visits]
+
+
+def test_switch_to_crawler():
+    """filetype.switch_to (perform, worker.c:747-748): crawling a matching
+    URL switches the active crawler (different depth_limit here)."""
+    filetypes = {
+        "html": Filetype(name="html",
+                         extensions=("html",),
+                         mimetypes=("text/html",), parser="html"),
+        "deep": Filetype(name="deep", extensions=("php",),
+                         mimetypes=("text/html",), parser="html",
+                         switch_to="deepcrawler"),
+    }
+    crawlers = {
+        "default": Crawler(name="default", filetypes=("html", "deep"),
+                           depth_limit=2, robotstxt=False,
+                           dir_url="@html", extless_url="@html",
+                           dynamic_url="@html", unknown_url="discard"),
+        "deepcrawler": Crawler(name="deepcrawler", filetypes=("html", "deep"),
+                               depth_limit=6, robotstxt=False,
+                               dir_url="@html", extless_url="@html",
+                               dynamic_url="@html", unknown_url="discard"),
+    }
+    cfg = EngineConfig(crawlers=crawlers, filetypes=filetypes)
+    f = _web({
+        "http://a.x/": dict(body=b'<a href="go.php">go</a>'),
+        "http://a.x/go.php": dict(body=b'<a href="d1.php">1</a>'),
+        "http://a.x/d1.php": dict(body=b'<a href="d2.php">2</a>'),
+        "http://a.x/d2.php": dict(body=b'<a href="d3.php">3</a>'),
+        "http://a.x/d3.php": dict(body=b''),
+        "http://a.x/stop.html": dict(body=b''),
+    })
+    r = sim.simulate_single_worker(cfg, f, ["http://a.x/"])
+    urls = [v[0] for v in r.visits]
+    # depth_limit=2 alone would stop after go.php; each .php page
+    # re-triggers switch_to (perform, worker.c:747-748), and the per-list
+    # state_info mechanism (worker.c:289-293) switches back on html lists
+    # — so the .php chain descends under deepcrawler's limit 6
+    assert "http://a.x/d2.php" in urls and "http://a.x/d3.php" in urls
+
+
+def test_initial_filetype_binding():
+    """crawler.initial_filetype (worker.c:239-244): seeds bound directly,
+    skipping the initial sort."""
+    cfg = default_config(robotstxt=False, initial_filetype="html",
+                         depth_limit=2)
+    f = _web({
+        # extension-less dynamic seed that unknown_url=discard would drop
+        "http://a.x/": dict(body=b'<a href="x.html">x</a>'),
+        "http://a.x/x.html": dict(body=b''),
+    })
+    r = sim.simulate_single_worker(cfg, f, ["http://a.x/"])
+    assert [v[0] for v in r.visits] == ["http://a.x/", "http://a.x/x.html"]
+
+
+def test_umex_filetype_in_crawl():
+    """A filetype bound by UMEX expr only (F4): PATH</search?*q=*>."""
+    filetypes = {
+        "html": Filetype(name="html", extensions=("html",),
+                         mimetypes=("text/html",), parser="html"),
+        "search": Filetype(name="search", expr="PATH</search?*q=*>",
+                           mimetypes=(), parser="html"),
+    }
+    crawlers = {
+        # dynamic_url=discard: the UMEX scan only runs when the dynamic
+        # binding falls through (ftindex.c:160-166) — with "lookup" the
+        # URL would resolve via MIME instead and bind as html
+        "default": Crawler(name="default", filetypes=("html", "search"),
+                           depth_limit=3, robotstxt=False,
+                           dir_url="@html", unknown_url="discard",
+                           extless_url="discard", dynamic_url="discard"),
+    }
+    cfg = EngineConfig(crawlers=crawlers, filetypes=filetypes)
+    f = _web({
+        "http://a.x/": dict(body=b'<a href="/search?q=abc&start=0">s</a>'),
+        "http://a.x/search?q=abc&start=0": dict(body=b'<a href="hit.html">h</a>'),
+        "http://a.x/hit.html": dict(body=b''),
+    })
+    r = sim.simulate_single_worker(cfg, f, ["http://a.x/"])
+    urls = [v[0] for v in r.visits]
+    assert "http://a.x/search?q=abc&start=0" in urls
+    assert "http://a.x/hit.html" in urls
+    assert r.ft_counts.get("search", 0) >= 1
