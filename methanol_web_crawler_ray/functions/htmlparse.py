@@ -219,39 +219,47 @@ def extract_html_links(buf: bytes) -> List[bytes]:
     p = 0
     te = 0  # persists across iterations like the C local (may go stale)
     while p < e:
+        # The C do-while steps p bytewise, re-running the tag scan at every
+        # '<' until one is its own tag-begin fixpoint (scan sets tb == scan
+        # start).  Non-'<' bytes are no-ops, so this fast-forwards with
+        # find() over them and visits the '<' positions IN ORDER — the
+        # observable (tb, te) sequence is byte-identical (hot-path rewrite;
+        # goldens in tests/test_parse.py gate it).
         tb = e
-        # do-while: advance to the next '<', scanning the tag for its '>'
-        while True:
-            if p < e and buf[p] == 0x3C:  # '<'
-                tb = p
-                s = p + 1
-                while s < e:
-                    if buf[s] == 0x3D:  # '='
-                        s += 1
-                        q = buf[s] if s < e else 0
-                        if q == 0x22 or q == 0x27:
-                            # memchr starts ON the quote → no-op (html.c:128-131)
-                            pass
-                        else:
-                            s += 1  # C do-while: first value char untested
-                            while s < e and buf[s] != 0x3E and not _isspace(buf[s]):
-                                s += 1
-                            if s < e and buf[s] == 0x3E:
-                                te = s
-                                break
-                            if s >= e:
-                                break
-                    if s >= e:
-                        break
-                    if buf[s] == 0x3C:
-                        tb = s
-                    elif buf[s] == 0x3E:
-                        te = s
-                        break
+        f = buf.find(b"<", p, e)
+        while f >= 0:
+            tb = f
+            s = f + 1
+            while s < e:
+                if buf[s] == 0x3D:  # '='
                     s += 1
-            p += 1
-            if p >= tb:
+                    q = buf[s] if s < e else 0
+                    if q == 0x22 or q == 0x27:
+                        # memchr starts ON the quote → no-op (html.c:128-131)
+                        pass
+                    else:
+                        s += 1  # C do-while: first value char untested
+                        while s < e and buf[s] != 0x3E and not _isspace(buf[s]):
+                            s += 1
+                        if s < e and buf[s] == 0x3E:
+                            te = s
+                            break
+                        if s >= e:
+                            break
+                if s >= e:
+                    break
+                if buf[s] == 0x3C:
+                    tb = s
+                elif buf[s] == 0x3E:
+                    te = s
+                    break
+                s += 1
+            if tb == f:
                 break
+            f = buf.find(b"<", f + 1, e)
+        if f < 0:
+            tb = e
+        p = tb + 1
         if tb >= e:
             break
         ttype = _parse_tag(buf, tb, te, e, curies, out)

@@ -87,28 +87,31 @@ def _find_charset(html: bytes, content_type: Optional[str]) -> Optional[str]:
                 if j >= 0:
                     cs = cs[:j]
             return cs or None
+    # find()-based rewrite of the C bytewise scan (hot path: runs for every
+    # page without a header charset); semantics identical — only '<' bytes
+    # trigger any work in the original loop
     e = len(html)
-    s = 0
-    while s < e:
-        if html[s] == 0x3C:  # '<'
-            s += 1
-            while s < e and html[s] in _WS:
-                s += 1
-            if html[s : s + 4].lower() != b"meta":
-                continue
-            s += 4
-            p = html.find(b">", s)
-            if p < 0:
-                break
-            idx = html.find(b"charset=", s, p)
-            if idx < 0:
-                continue
-            p2 = idx + 8
-            cs_s = p2
-            while p2 < e and (html[p2] in _ALNUM or html[p2] == 0x2D):
-                p2 += 1
-            return html[cs_s:p2].decode("ascii", "replace")
+    s = html.find(b"<")
+    while 0 <= s < e:
         s += 1
+        while s < e and html[s] in _WS:
+            s += 1
+        if html[s : s + 4].lower() != b"meta":
+            s = html.find(b"<", s)
+            continue
+        s += 4
+        p = html.find(b">", s)
+        if p < 0:
+            break
+        idx = html.find(b"charset=", s, p)
+        if idx < 0:
+            s = html.find(b"<", s)
+            continue
+        p2 = idx + 8
+        cs_s = p2
+        while p2 < e and (html[p2] in _ALNUM or html[p2] == 0x2D):
+            p2 += 1
+        return html[cs_s:p2].decode("ascii", "replace")
     return None
 
 

@@ -114,7 +114,8 @@ def _get_robots(robots_ref, user_agent: str):
 
 
 def make_wave_fn(cfg_blob: bytes, crawler: Optional[str], depth: int,
-                 frontier_ref, robots_ref, seen_actors, keep_external: bool):
+                 frontier_ref, robots_ref, seen_actors, keep_external: bool,
+                 emit_text: bool = True):
     """The fused per-wave UDF (plain task function; all state cached at
     process level or broadcast via object refs)."""
 
@@ -222,7 +223,9 @@ def make_wave_fn(cfg_blob: bytes, crawler: Optional[str], depth: int,
             out["seen_key"].append(None)
             out["filetype"].append(ft.name)
             out["is_external"].append(None)
-            out["text"].append(buf)
+            # emit_text=False: metadata-only output (url_hash certifies the
+            # bytes) for IO-free throughput measurement
+            out["text"].append(buf if emit_text else None)
             out["title"].append(attrs.values.get("title"))
             out["url_hash"].append(url_hash(url))
 
@@ -280,6 +283,7 @@ def crawl_bfs(
     concurrency: Optional[int] = None,
     batch_size: int = 512,
     use_robots: bool = True,
+    emit_text: bool = True,
 ) -> Dict[str, float]:
     """Run the BFS bulk crawl; writes pages Parquet per depth under
     out_dir and returns throughput stats."""
@@ -303,9 +307,13 @@ def crawl_bfs(
     if use_robots and cr.robotstxt:
         robots_ref = ray.put(load_robots_map(store_dir))
 
-    # the store stays resident (and spillable) across waves
+    # the store stays resident (and spillable) across waves, split into
+    # enough blocks that every wave can use the whole CPU pool even when
+    # frontier rows cluster in few host buckets (the mega-host skew)
+    n_blocks = max(64, int(ray.cluster_resources().get("CPU", 8)) * 8)
     store_ds = ray.data.read_parquet(
-        store_dir, columns=["url", "status", "content_type", "body"]
+        store_dir, columns=["url", "status", "content_type", "body"],
+        override_num_blocks=n_blocks,
     ).materialize()
 
     seed_urls = []
@@ -325,11 +333,13 @@ def crawl_bfs(
 
     import pyarrow.dataset as pads
 
+    wave_times = []
     depth = 0
     while frontier and depth < depth_limit:
+        t_wave = time.time()
         frontier_ref = ray.put(set(frontier))
         wave = make_wave_fn(cfg_blob, crawler, depth, frontier_ref,
-                            robots_ref, pool.actors, cr.external)
+                            robots_ref, pool.actors, cr.external, emit_text)
         # ONE streamed execution per wave: map → write (pages, links and
         # targets all land in the wave dir; no mid-pipeline materialize)
         wave_dir = os.path.join(out_dir, f"wave={depth}")
@@ -356,6 +366,8 @@ def crawl_bfs(
         stats["pages_parsed"] += n_pages
         stats["links_extracted"] += len(frontier)
         stats["frontier_urls"] += len(frontier)
+        wave_times.append(
+            (depth, round(time.time() - t_wave, 2), n_pages, len(frontier)))
         depth += 1
 
     stats["elapsed_sec"] = time.time() - t0
@@ -364,5 +376,6 @@ def crawl_bfs(
         stats["frontier_urls"] / max(stats["elapsed_sec"], 1e-9)
     )
     stats["seen_size"] = pool.size()
+    stats["wave_times"] = wave_times
     pool.shutdown()
     return stats
