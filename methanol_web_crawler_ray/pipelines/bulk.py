@@ -330,6 +330,8 @@ def crawl_bfs(
     frontier: List[str] = [s for s, _h, _k in seed_urls]
     stats = {"pages_parsed": 0, "links_extracted": 0,
              "frontier_urls": len(frontier)}
+    stats["setup_sec"] = time.time() - t0  # store load/bucketing, pool, robots
+    t_loop = time.time()
 
     import pyarrow.dataset as pads
 
@@ -370,6 +372,7 @@ def crawl_bfs(
             (depth, round(time.time() - t_wave, 2), n_pages, len(frontier)))
         depth += 1
 
+    stats["crawl_sec"] = time.time() - t_loop  # the scaling-relevant part
     stats["elapsed_sec"] = time.time() - t0
     stats["pages_per_sec"] = stats["pages_parsed"] / max(stats["elapsed_sec"], 1e-9)
     stats["frontier_urls_per_sec"] = (
