@@ -29,6 +29,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 STOPWORDS = ("the", "a", "of", "and", "to")
 
@@ -187,6 +188,8 @@ class MinHashBands:
                 rows_hash.append(h)
                 rows_doc.append(doc_id)
         return pd.DataFrame({"band": rows_band, "band_hash": rows_hash,
+                             "bk": [f"{b}:{h}" for b, h in
+                                    zip(rows_band, rows_hash)],
                              "doc_id": rows_doc})
 
 
@@ -213,20 +216,24 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8):
     # unique (band, hash)).  Only the rare >1 buckets are then collected.
     bands = docs.map_batches(MinHashBands, batch_format="pandas",
                              concurrency=2).materialize()
-    counts = bands.groupby(["band", "band_hash"]).count()
-    hot = counts.filter(lambda r: r["count()"] > 1).take_all()
+    counts = bands.groupby("bk").count()
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t.column("count()"), 1)),
+        batch_format="pyarrow",
+    ).take_all()
     if not hot:
         return ray.data.from_arrow(pa.table(
             {"doc_id": pa.array([], pa.int64()),
              "dup_of": pa.array([], pa.int64())}))
-    hotset = {(h["band"], h["band_hash"]) for h in hot}
+    hot_arr = pa.array([h["bk"] for h in hot], pa.string())
 
-    members = bands.filter(
-        lambda r: (r["band"], r["band_hash"]) in hotset
+    members = bands.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("bk"), value_set=hot_arr)),
+        batch_format="pyarrow",
     ).take_all()  # collision rows only — small by construction
     buckets: Dict[Tuple, List[int]] = {}
     for m in members:
-        buckets.setdefault((m["band"], m["band_hash"]), []).append(m["doc_id"])
+        buckets.setdefault(m["bk"], []).append(m["doc_id"])
     pair_set = set()
     for ids in buckets.values():
         ids = sorted(ids)
@@ -315,14 +322,21 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     # task per (mostly singleton) bucket
     sigs = docs.map_batches(sig, batch_format="pandas").materialize()
     counts = sigs.groupby(["chunk", "chunk_val"]).count()
-    hot = counts.filter(lambda r: r["count()"] > 1).take_all()
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t.column("count()"), 1)),
+        batch_format="pyarrow",
+    ).take_all()
     if not hot:
         return ray.data.from_arrow(pa.table(
             {"doc_id": pa.array([], pa.int64()),
              "dup_of": pa.array([], pa.int64())}))
     hotset = {(h["chunk"], h["chunk_val"]) for h in hot}
-    members = sigs.filter(
-        lambda r: (r["chunk"], r["chunk_val"]) in hotset
+    members = sigs.map_batches(
+        lambda t, hs=hotset: t.filter(pa.array(
+            [(c, v) in hs for c, v in zip(t.column("chunk").to_pylist(),
+                                          t.column("chunk_val").to_pylist())]
+        )),
+        batch_format="pyarrow",
     ).take_all()
     buckets: Dict[Tuple, List[Tuple[int, int]]] = {}
     for m in members:
