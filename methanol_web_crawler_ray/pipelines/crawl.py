@@ -197,7 +197,12 @@ class HostTurnStep:
             add("cand", src_host=host, src_seq=i,
                 seq=shard_of(c.url.host_norm, self.pool.num_shards),
                 payload=pickle.dumps(c))
-        add("state", name=status,
+        # n = the first round in which this host's politeness clock allows
+        # another transfer — the driver DEFERS the host until then (its
+        # turn would be an exact no-op: run_turn returns before popping
+        # anything when the clock is past the window)
+        due_round = int(new_state.get("clock", 0.0) // self.cfg.round_seconds)
+        add("state", name=status, n=due_round,
             payload=pickle.dumps({"state": new_state,
                                   "visit_seq": seq_base + len(log.visits)}))
         return _rows_table(rows)
@@ -304,9 +309,32 @@ def crawl_rounds(
         work_tbl = _rows_table(rows)
 
     r = start_round
+    import pyarrow.compute as pc
+
     while r < max_rounds and work_tbl is not None and work_tbl.num_rows:
+        # politeness deferral: hosts whose clock is past this round's
+        # window would no-op — split them out; if NOTHING is due, fast-
+        # forward to the earliest due round (visit rounds/seqs are
+        # unaffected: skipped rounds are empty in the sequential model too)
+        is_state = pc.equal(work_tbl.column("kind"), "state")
+        due_mask = pc.or_kleene(
+            pc.invert(is_state),
+            pc.less_equal(pc.fill_null(work_tbl.column("n"), 0), r),
+        )
+        deferred = work_tbl.filter(pc.invert(pc.fill_null(due_mask, True)))
+        due = work_tbl.filter(pc.fill_null(due_mask, True))
+        if due.num_rows == 0:
+            nxt = pc.min(deferred.column("n")).as_py()
+            if nxt is None or nxt >= max_rounds:
+                break
+            r = max(r, int(nxt))
+            continue
+        work_tbl = due
+
         round_dir = os.path.join(ckpt_dir, f"round_{r:04d}")
         os.makedirs(round_dir, exist_ok=True)
+        # deferred states checkpoint WITH the round (resume lineage)
+        pq.write_table(deferred, os.path.join(round_dir, "deferred.parquet"))
 
         work = ray.data.from_arrow(work_tbl)
         results = work.groupby("host").map_groups(
@@ -359,6 +387,11 @@ def _next_work_tbl(round_dir: str) -> Optional[pa.Table]:
         arr = pads.dataset(ap).to_table()
         if arr.num_rows:
             parts.append(arr.select(RESULT_FIELDS).cast(RESULT_SCHEMA))
+    dp = os.path.join(round_dir, "deferred.parquet")
+    if os.path.exists(dp):
+        dt = pq.read_table(dp)
+        if dt.num_rows:
+            parts.append(dt.select(RESULT_FIELDS).cast(RESULT_SCHEMA))
     if not parts:
         return None
     return pa.concat_tables(parts)

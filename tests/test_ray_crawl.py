@@ -64,6 +64,31 @@ def test_resume_from_checkpoint(crawl_ckpt, ray_session):
         sorted(t["url_hash"] for t in full.targets)
 
 
+def test_throttled_parity_and_deferral(ray_session):
+    """Politeness-throttled crawl (friendly mode + robots Crawl-delay):
+    the Ray engine defers not-due hosts and fast-forwards empty rounds,
+    and must still match the sequential model EXACTLY — per-host visit
+    sequences WITH round numbers."""
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+    cfg = default_config(depth_limit=5, external=True)
+    cfg.mode = "friendly"      # 10 s between transfers
+    cfg.round_seconds = 30     # → ~3 transfers per host per round
+    seeds = ["http://host-0000.example/", "http://host-0001.example/"]
+
+    fetch = DictFetcher(pagegen.load_fetch_dict(d))
+    r_sim = sim.simulate_rounds(cfg, fetch, seeds)
+    assert r_sim.rounds > 5  # genuinely multi-round
+
+    ck = "/tmp/mwc_test_throttled"
+    shutil.rmtree(ck, ignore_errors=True)
+    crawl.crawl_rounds(cfg, d, seeds, ckpt_dir=ck, concurrency=2)
+    r_ray = crawl.collect_result(ck)
+
+    assert sorted((v[0], v[3], v[4]) for v in r_ray.visits) == \
+        sorted((v[0], v[3], v[4]) for v in r_sim.visits)
+    assert r_sim.texts == r_ray.texts
+
+
 def test_cuckoo_mode_smoke(ray_session):
     """Cuckoo seen-set mode: same crawl outcome at fixture scale (false
     positives are ~2^-14/URL; none expected on 200 URLs)."""
