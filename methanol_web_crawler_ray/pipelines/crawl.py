@@ -364,6 +364,18 @@ def crawl_rounds(
                 f.write(blob)
         with open(os.path.join(round_dir, "_COMPLETE"), "w") as f:
             f.write("ok")
+        # prune older seen snapshots (the heavy part of the checkpoint;
+        # resume only ever reads the LAST complete round's) — keep 2
+        complete = sorted(
+            d for d in os.listdir(ckpt_dir)
+            if d.startswith("round_")
+            and os.path.exists(os.path.join(ckpt_dir, d, "_COMPLETE"))
+        )
+        for old in complete[:-2]:
+            for i in range(num_shards):
+                sp = os.path.join(ckpt_dir, old, f"seen_{i}.bin")
+                if os.path.exists(sp):
+                    os.remove(sp)
 
         work_tbl = _next_work_tbl(round_dir)
         r += 1

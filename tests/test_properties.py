@@ -1,0 +1,88 @@
+"""Property tests (SURVEY.md §5.5): canonicalizer idempotence, seen-set
+closure under permutation, cuckoo-filter membership soundness."""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from methanol_web_crawler_ray.functions.urlkit import url_set
+from methanol_web_crawler_ray.state.seen import (CuckooFilter, LocalSeenPool,
+                                                 SeenShardState)
+
+_url_chars = st.text(
+    alphabet=string.ascii_letters + string.digits + "/.-_%?&=#+~",
+    min_size=0, max_size=60,
+)
+_host_chars = st.text(
+    alphabet=string.ascii_lowercase + string.digits + ".-",
+    min_size=1, max_size=24,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(host=_host_chars, path=_url_chars)
+def test_canonicalizer_reaches_fixpoint(host, path):
+    """Re-canonicalizing stabilizes within one extra application.  Exact
+    idempotence does NOT hold — faithful to the reference: a trailing
+    ``/.`` canonicalizes to a bare ``.`` (url.c:402-404), which re-parses
+    as a bare-host URL and grows a ``/`` — so the property is
+    canon²(x) == canon³(x), with flags stable at the fixpoint."""
+    raw = f"http://{host}/{path}"
+    u = url_set(raw)
+    if u is None:
+        return
+    u2 = url_set(u.s)
+    assert u2 is not None, f"canonical form failed to re-parse: {u.s!r}"
+    u3 = url_set(u2.s)
+    assert u3 is not None
+    assert u3.s == u2.s
+    assert (u3.host_o, u3.host_l, u3.protocol) == (u2.host_o, u2.host_l,
+                                                   u2.protocol)
+    assert u3.is_dynamic == u2.is_dynamic
+
+
+@settings(max_examples=100, deadline=None)
+@given(keys=st.lists(st.text(min_size=1, max_size=30), max_size=50),
+       seed=st.integers(0, 2**16))
+def test_seen_set_closure_under_permutation(keys, seed):
+    """The final seen SET is order-independent (only winners differ)."""
+    import random
+
+    a = SeenShardState("exact")
+    a.try_add_batch(keys)
+    shuffled = list(keys)
+    random.Random(seed).shuffle(shuffled)
+    b = SeenShardState("exact")
+    b.try_add_batch(shuffled)
+    assert a.exact == b.exact
+    # exactly one True per distinct key
+    c = SeenShardState("exact")
+    verdicts = c.try_add_batch(keys)
+    assert sum(verdicts) == len(set(keys))
+
+
+@settings(max_examples=30, deadline=None)
+@given(keys=st.lists(st.text(min_size=1, max_size=20), min_size=1,
+                     max_size=200, unique=True))
+def test_cuckoo_no_false_negatives(keys):
+    """A cuckoo filter may false-positive but never false-negative."""
+    f = CuckooFilter(1 << 10)
+    inserted = [k for k in keys if f.try_add(k) or k in f]
+    for k in inserted:
+        assert k in f
+
+
+@settings(max_examples=50, deadline=None)
+@given(pairs=st.lists(
+    st.tuples(st.sampled_from(["a.x", "b.y", "c.z"]),
+              st.text(min_size=1, max_size=16)),
+    max_size=60,
+))
+def test_pool_sharding_consistent(pairs):
+    """Shard routing never splits one host's keyspace: re-adding through
+    the pool equals a single global set."""
+    pool = LocalSeenPool(num_shards=4)
+    out = []
+    for h, k in pairs:
+        out.append(pool.try_add_batch(h, [h + "/" + k])[0])
+    assert sum(out) == len({(h, k) for h, k in pairs})
