@@ -265,6 +265,7 @@ def crawl_rounds(
     num_buckets: int = 32,
     concurrency: int = 8,
     max_rounds: int = 1000,
+    prune_snapshots: bool = False,
 ) -> str:
     """Run the crawl; returns ckpt_dir (read results via collect_result).
     Ray must already be initialized by the caller (driver contract)."""
@@ -286,10 +287,16 @@ def crawl_rounds(
             if d.startswith("round_")
             and os.path.exists(os.path.join(ckpt_dir, d, "_COMPLETE"))
         )
+        # resume from the latest complete round that still has its seen
+        # snapshots (older rounds may have been pruned)
+        while done_rounds:
+            last = os.path.join(ckpt_dir, done_rounds[-1])
+            if os.path.exists(os.path.join(last, "seen_0.bin")):
+                break
+            done_rounds.pop()
         if done_rounds:
             last = os.path.join(ckpt_dir, done_rounds[-1])
             start_round = int(done_rounds[-1].split("_")[1]) + 1
-            # restore seen shards
             blobs = []
             for i in range(num_shards):
                 with open(os.path.join(last, f"seen_{i}.bin"), "rb") as f:
@@ -364,18 +371,19 @@ def crawl_rounds(
                 f.write(blob)
         with open(os.path.join(round_dir, "_COMPLETE"), "w") as f:
             f.write("ok")
-        # prune older seen snapshots (the heavy part of the checkpoint;
-        # resume only ever reads the LAST complete round's) — keep 2
-        complete = sorted(
-            d for d in os.listdir(ckpt_dir)
-            if d.startswith("round_")
-            and os.path.exists(os.path.join(ckpt_dir, d, "_COMPLETE"))
-        )
-        for old in complete[:-2]:
-            for i in range(num_shards):
-                sp = os.path.join(ckpt_dir, old, f"seen_{i}.bin")
-                if os.path.exists(sp):
-                    os.remove(sp)
+        if prune_snapshots:
+            # drop older seen snapshots (the heavy part of the checkpoint;
+            # resume reads the latest round that still has them) — keep 2
+            complete = sorted(
+                d for d in os.listdir(ckpt_dir)
+                if d.startswith("round_")
+                and os.path.exists(os.path.join(ckpt_dir, d, "_COMPLETE"))
+            )
+            for old in complete[:-2]:
+                for i in range(num_shards):
+                    sp = os.path.join(ckpt_dir, old, f"seen_{i}.bin")
+                    if os.path.exists(sp):
+                        os.remove(sp)
 
         work_tbl = _next_work_tbl(round_dir)
         r += 1
