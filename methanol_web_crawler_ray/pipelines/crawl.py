@@ -279,7 +279,7 @@ def crawl_rounds(
 
     os.makedirs(ckpt_dir, exist_ok=True)
     start_round = 0
-    work_tbl: Optional[pa.Table] = None
+    work = None  # ray Dataset of RESULT_SCHEMA rows (state/seed/arrival)
 
     if resume:
         done_rounds = sorted(
@@ -302,49 +302,66 @@ def crawl_rounds(
                 with open(os.path.join(last, f"seen_{i}.bin"), "rb") as f:
                     blobs.append(f.read())
             pool.restore(blobs)
-            work_tbl = _next_work_tbl(last)
+            work = _work_ds(last)
 
-    if work_tbl is None and start_round == 0:
+    if work is None and start_round == 0:
         by_host = plan_seed_hosts(cfg, seeds, crawler)
         register_seed_hosts(pool, list(by_host))
         rows = []
         for host, urls in by_host.items():
             for i, u in enumerate(urls):
-                r = {f: None for f in RESULT_FIELDS}
-                r.update(kind="seed", host=host, url=u, seq=i)
-                rows.append(r)
-        work_tbl = _rows_table(rows)
+                row = {f: None for f in RESULT_FIELDS}
+                row.update(kind="seed", host=host, url=u, seq=i)
+                rows.append(row)
+        work = ray.data.from_arrow(_rows_table(rows))
 
-    r = start_round
+    # The work flow is DATASET-NATIVE end to end: host states stream
+    # Parquet → (filter) → groupby(host) shuffle → Parquet.  The driver
+    # holds only row counts and round numbers — at 10^8-host scale the
+    # state table never materializes in driver memory.
     import pyarrow.compute as pc
 
-    while r < max_rounds and work_tbl is not None and work_tbl.num_rows:
+    def _due_expr(tbl: pa.Table, rnd: int):
+        is_state = pc.equal(tbl.column("kind"), "state")
+        return pc.fill_null(
+            pc.or_kleene(
+                pc.invert(is_state),
+                pc.less_equal(pc.fill_null(tbl.column("n"), 0), rnd),
+            ),
+            True,
+        )
+
+    r = start_round
+    while r < max_rounds and work is not None:
+        work = work.materialize()
+        if work.count() == 0:
+            break
+
         # politeness deferral: hosts whose clock is past this round's
         # window would no-op — split them out; if NOTHING is due, fast-
-        # forward to the earliest due round (visit rounds/seqs are
-        # unaffected: skipped rounds are empty in the sequential model too)
-        is_state = pc.equal(work_tbl.column("kind"), "state")
-        due_mask = pc.or_kleene(
-            pc.invert(is_state),
-            pc.less_equal(pc.fill_null(work_tbl.column("n"), 0), r),
-        )
-        deferred = work_tbl.filter(pc.invert(pc.fill_null(due_mask, True)))
-        due = work_tbl.filter(pc.fill_null(due_mask, True))
-        if due.num_rows == 0:
-            nxt = pc.min(deferred.column("n")).as_py()
+        # forward to the earliest due round (skipped rounds are empty in
+        # the sequential model too, so visit rounds/seqs are unaffected)
+        due = work.map_batches(
+            lambda t, rnd=r: t.filter(_due_expr(t, rnd)),
+            batch_format="pyarrow",
+        ).materialize()
+        if due.count() == 0:
+            nxt = work.min("n")
             if nxt is None or nxt >= max_rounds:
                 break
             r = max(r, int(nxt))
             continue
-        work_tbl = due
+        deferred = work.map_batches(
+            lambda t, rnd=r: t.filter(pc.invert(_due_expr(t, rnd))),
+            batch_format="pyarrow",
+        )
 
         round_dir = os.path.join(ckpt_dir, f"round_{r:04d}")
         os.makedirs(round_dir, exist_ok=True)
         # deferred states checkpoint WITH the round (resume lineage)
-        pq.write_table(deferred, os.path.join(round_dir, "deferred.parquet"))
+        deferred.write_parquet(os.path.join(round_dir, "deferred"))
 
-        work = ray.data.from_arrow(work_tbl)
-        results = work.groupby("host").map_groups(
+        results = due.groupby("host").map_groups(
             HostTurnStep(cfg_blob, store_dir, num_buckets,
                          pool.actors, r, crawler),
             batch_format="pandas",
@@ -353,11 +370,10 @@ def crawl_rounds(
         _write_round(results, round_dir)
 
         # round barrier: merge external candidates per shard (kind=cand
-        # rows carry shard id in `seq`)
-        cand_tbl = _read_kind(round_dir, "cand",
-                              columns=["seq", "src_host", "src_seq", "payload"])
-        if cand_tbl.num_rows:
-            cand_ds = ray.data.from_arrow(cand_tbl)
+        # rows carry shard id in `seq`); candidates stream Parquet →
+        # shard-groupby → Parquet, never through the driver
+        cand_ds = _read_kind_ds(round_dir, "cand")
+        if cand_ds is not None and cand_ds.count():
             arrivals = cand_ds.groupby("seq").map_groups(
                 MergeStep(cfg_blob, pool.actors),
                 batch_format="pandas",
@@ -385,36 +401,59 @@ def crawl_rounds(
                     if os.path.exists(sp):
                         os.remove(sp)
 
-        work_tbl = _next_work_tbl(round_dir)
+        work = _work_ds(round_dir)
         r += 1
 
     pool.shutdown()
     return ckpt_dir
 
 
-def _next_work_tbl(round_dir: str) -> Optional[pa.Table]:
-    """Next round's work: ACTIVE states (status != exhausted) + arrivals."""
-    import pyarrow.compute as pc
-    import pyarrow.dataset as pads
+def _result_files(round_dir: str) -> List[str]:
+    import glob
 
-    states = _read_kind(round_dir, "state")
-    active = states.filter(pc.field("name") != "exhausted")
+    return sorted(glob.glob(os.path.join(round_dir, "result", "*.parquet")))
+
+
+def _read_kind_ds(round_dir: str, kind: str, extra_filter=None):
+    """Lazy Dataset over one kind of result row (Parquet filter pushdown)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    files = _result_files(round_dir)
+    if not files:
+        return None
+    flt = pc.field("kind") == kind
+    if extra_filter is not None:
+        flt = flt & extra_filter
+    return ray.data.read_parquet(files, filter=flt, columns=RESULT_FIELDS)
+
+
+def _work_ds(round_dir: str):
+    """Next round's work as a LAZY dataset: ACTIVE states (status !=
+    exhausted) ∪ arrivals ∪ deferred states."""
+    import glob
+
+    import pyarrow.compute as pc
+    import ray.data
+
     parts = []
-    if active.num_rows:
-        parts.append(active.select(RESULT_FIELDS).cast(RESULT_SCHEMA))
-    ap = os.path.join(round_dir, "arrivals")
-    if os.path.isdir(ap):
-        arr = pads.dataset(ap).to_table()
-        if arr.num_rows:
-            parts.append(arr.select(RESULT_FIELDS).cast(RESULT_SCHEMA))
-    dp = os.path.join(round_dir, "deferred.parquet")
-    if os.path.exists(dp):
-        dt = pq.read_table(dp)
-        if dt.num_rows:
-            parts.append(dt.select(RESULT_FIELDS).cast(RESULT_SCHEMA))
+    st = _read_kind_ds(round_dir, "state",
+                       extra_filter=(pc.field("name") != "exhausted"))
+    if st is not None:
+        parts.append(st)
+    for sub in ("arrivals", "deferred"):
+        d = os.path.join(round_dir, sub)
+        if os.path.isdir(d):
+            files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+            if files:
+                parts.append(ray.data.read_parquet(files,
+                                                   columns=RESULT_FIELDS))
     if not parts:
         return None
-    return pa.concat_tables(parts)
+    ds = parts[0]
+    for p2 in parts[1:]:
+        ds = ds.union(p2)
+    return ds
 
 
 def collect_result(ckpt_dir: str) -> CrawlResult:
