@@ -187,79 +187,19 @@ def _q_crawl_counts(sf_dir: str):
 
 
 def _q_page_text(sf_dir: str):
-    """Vectorized extract-text over the WHOLE pages table (M10/M11 as a
-    standalone map_batches op) — byte-identity vs the golden text column."""
-    import ray.data
+    """Vectorized extract-text over the WHOLE pages table (M10/M11) —
+    byte-identity vs the golden text column."""
+    from methanol_web_crawler_ray.stages.extract import page_text
 
-    from methanol_web_crawler_ray.functions.textconv import extract_text
-    from methanol_web_crawler_ray.sources.pagestore import build_store
-
-    pdir = _pages_dir(sf_dir)
-    store = build_store(pdir)
-
-    def ex(batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        bodies = batch.column("body").to_pylist()
-        ctypes = batch.column("content_type").to_pylist()
-        texts = [
-            extract_text(b or b"", c).decode("utf-8", "surrogateescape")
-            for b, c in zip(bodies, ctypes)
-        ]
-        return pa.table({"url": pa.array(urls, pa.string()),
-                         "text": pa.array(texts, pa.string())})
-
-    return ray.data.read_parquet(
-        store, columns=["url", "content_type", "body"]
-    ).map_batches(ex, batch_format="pyarrow", batch_size=256)
+    return page_text(_pages_dir(sf_dir))
 
 
 def _q_page_links(sf_dir: str):
-    """Per-page raw link extraction (M5/M6/M7) in document order over the
-    whole table — vs the generator's by-construction golden_links."""
-    import ray.data
+    """Per-page raw link extraction (M5/M6/M7) in document order — vs the
+    generator's by-construction golden_links."""
+    from methanol_web_crawler_ray.stages.extract import page_links
 
-    from methanol_web_crawler_ray.functions.htmlparse import (
-        extract_css_urls, extract_html_links, extract_text_urls)
-    from methanol_web_crawler_ray.sources.pagestore import build_store
-
-    pdir = _pages_dir(sf_dir)
-    store = build_store(pdir)
-
-    def ex(batch: pa.Table) -> pa.Table:
-        out_url, out_seq, out_ref = [], [], []
-        for url, body, ctype, status in zip(
-            batch.column("url").to_pylist(),
-            batch.column("body").to_pylist(),
-            batch.column("content_type").to_pylist(),
-            batch.column("status").to_pylist(),
-        ):
-            if status != 200:
-                continue
-            body = body or b""
-            ct = (ctype or "").split(";")[0]
-            if ct in ("text/html",):
-                refs = extract_html_links(body)
-            elif ct == "text/css":
-                refs = extract_css_urls(body)
-            elif ct == "text/plain":
-                refs = extract_text_urls(body)
-            else:
-                refs = []
-            for i, r in enumerate(refs):
-                out_url.append(url)
-                out_seq.append(i)
-                out_ref.append(r.decode("utf-8", "surrogateescape"))
-        return pa.table(
-            {
-                "url": pa.array(out_url, pa.string()),
-                "link_seq": pa.array(out_seq, pa.int32()),
-                "ref_raw": pa.array(out_ref, pa.string()),
-            }
-        )
-
-    return ray.data.read_parquet(
-        store, columns=["url", "content_type", "status", "body"]
-    ).map_batches(ex, batch_format="pyarrow", batch_size=256)
+    return page_links(_pages_dir(sf_dir))
 
 
 def _q_media_decode(sf_dir: str):
@@ -269,68 +209,31 @@ def _q_media_decode(sf_dir: str):
 
 
 def _q_page_xmlconv(sf_dir: str):
-    """xmlconv (M9) over every html page: url → xhtml (rows-only check;
-    byte-level goldens live in tests/test_conv.py)."""
-    import ray.data
+    """xmlconv (M9) over every html page (rows-only check; byte-level
+    goldens live in tests/test_conv.py)."""
+    from methanol_web_crawler_ray.stages.extract import page_xmlconv
 
-    from methanol_web_crawler_ray.functions.xmlconv import xmlconv
-    from methanol_web_crawler_ray.sources.pagestore import build_store
-
-    store = build_store(_pages_dir(sf_dir))
-
-    def conv(batch: pa.Table) -> pa.Table:
-        urls, outs = [], []
-        for url, body, ctype, status in zip(
-            batch.column("url").to_pylist(),
-            batch.column("body").to_pylist(),
-            batch.column("content_type").to_pylist(),
-            batch.column("status").to_pylist(),
-        ):
-            if status == 200 and (ctype or "").startswith("text/html"):
-                urls.append(url)
-                outs.append(xmlconv(body or b""))
-        return pa.table({"url": pa.array(urls, pa.string()),
-                         "xhtml": pa.array(outs, pa.large_binary())})
-
-    return ray.data.read_parquet(
-        store, columns=["url", "content_type", "status", "body"]
-    ).map_batches(conv, batch_format="pyarrow", batch_size=256)
+    return page_xmlconv(_pages_dir(sf_dir))
 
 
 def _q_page_classify(sf_dir: str):
     """ftindex URL→filetype decision tree (F1-F4) over every page URL
     (rows-only; the decision-tree semantics are unit-golden-tested)."""
+    from methanol_web_crawler_ray.stages.extract import page_classify
+
+    return page_classify(_pages_dir(sf_dir))
+
+
+def _q_page_canonicalize(sf_dir: str):
+    """Vectorized canonicalizer stage (M1-M4) over every page URL
+    (rows-only; byte-level goldens live in tests/test_urlkit.py)."""
     import ray.data
 
-    from methanol_web_crawler_ray.config import default_config
-    from methanol_web_crawler_ray.functions.matchkit import (DISCARD, FTIndex,
-                                                             POSSIBLE_MATCH)
-    from methanol_web_crawler_ray.functions.urlkit import url_set
+    from methanol_web_crawler_ray.stages.canonicalize import canonicalize
 
-    cfg = default_config()
-    idx = FTIndex(cfg.crawler(), cfg.filetypes)
-
-    def classify(batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        out = []
-        for u in urls:
-            parsed = url_set(u)
-            if parsed is None:
-                out.append("invalid")
-                continue
-            m = idx.match_by_url(parsed)
-            if m is DISCARD:
-                out.append("discard")
-            elif m is POSSIBLE_MATCH:
-                out.append("lookup")
-            else:
-                out.append(m.name)
-        return pa.table({"url": pa.array(urls, pa.string()),
-                         "filetype": pa.array(out, pa.string())})
-
-    return ray.data.read_parquet(
-        f"{_pages_dir(sf_dir)}/pages.parquet", columns=["url"]
-    ).map_batches(classify, batch_format="pyarrow", batch_size=1024)
+    ds = ray.data.read_parquet(f"{_pages_dir(sf_dir)}/pages.parquet",
+                               columns=["url"])
+    return canonicalize(ds)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -346,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_links": _q_page_links,
         "page_xmlconv": _q_page_xmlconv,
         "page_classify": _q_page_classify,
+        "page_canonicalize": _q_page_canonicalize,
         # text analysis (SQL-oracled)
         "doc_token_stats": textops.token_stats,
         "doc_quality": textops.quality,

@@ -51,8 +51,7 @@ import pyarrow.parquet as pq
 
 from ..config import EngineConfig
 from ..state.seen import make_seen_pool, shard_of
-from .hostloop import ExtCandidate
-from .simulator import (CrawlResult, budget_for, merge_externals,
+from .simulator import (CrawlResult, merge_externals,
                         plan_seed_hosts, register_seed_hosts, run_host_round)
 
 # result-row schema (mixed kinds; unused fields null)

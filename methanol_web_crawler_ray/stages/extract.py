@@ -1,0 +1,133 @@
+"""Standalone vectorized parse/convert stages over the pages store —
+the map_batches form of the M5-M11 kernels, independent of any crawl
+(corpus-processing building blocks; `__ray_entry__` exposes each as a
+query).  All read from the host-bucketed store (sources/pagestore) with
+column pruning."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def _store_ds(pages_dir: str, columns):
+    import ray.data
+
+    from ..sources.pagestore import build_store
+
+    store = build_store(pages_dir)
+    return ray.data.read_parquet(store, columns=columns)
+
+
+def page_text(pages_dir: str, batch_size: int = 256):
+    """(url, text): the utf8conv→entityconv chain (M10/M11) over every
+    page — the byte-identity surface vs the golden text column."""
+    from ..functions.textconv import extract_text
+
+    def ex(batch: pa.Table) -> pa.Table:
+        texts = [
+            extract_text(b or b"", c).decode("utf-8", "surrogateescape")
+            for b, c in zip(batch.column("body").to_pylist(),
+                            batch.column("content_type").to_pylist())
+        ]
+        return pa.table({"url": batch.column("url"),
+                         "text": pa.array(texts, pa.string())})
+
+    return _store_ds(pages_dir, ["url", "content_type", "body"]).map_batches(
+        ex, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+def page_links(pages_dir: str, batch_size: int = 256):
+    """(url, link_seq, ref_raw): raw refs in document order per page
+    (M5/M6/M7 by content type; only 200-status rows parse)."""
+    from ..functions.htmlparse import (extract_css_urls, extract_html_links,
+                                       extract_text_urls)
+
+    def ex(batch: pa.Table) -> pa.Table:
+        out_url, out_seq, out_ref = [], [], []
+        for url, body, ctype, status in zip(
+            batch.column("url").to_pylist(),
+            batch.column("body").to_pylist(),
+            batch.column("content_type").to_pylist(),
+            batch.column("status").to_pylist(),
+        ):
+            if status != 200:
+                continue
+            body = body or b""
+            ct = (ctype or "").split(";")[0]
+            if ct == "text/html":
+                refs = extract_html_links(body)
+            elif ct == "text/css":
+                refs = extract_css_urls(body)
+            elif ct == "text/plain":
+                refs = extract_text_urls(body)
+            else:
+                refs = []
+            for i, ref in enumerate(refs):
+                out_url.append(url)
+                out_seq.append(i)
+                out_ref.append(ref.decode("utf-8", "surrogateescape"))
+        return pa.table(
+            {
+                "url": pa.array(out_url, pa.string()),
+                "link_seq": pa.array(out_seq, pa.int32()),
+                "ref_raw": pa.array(out_ref, pa.string()),
+            }
+        )
+
+    return _store_ds(
+        pages_dir, ["url", "content_type", "status", "body"]
+    ).map_batches(ex, batch_format="pyarrow", batch_size=batch_size)
+
+
+def page_xmlconv(pages_dir: str, batch_size: int = 256):
+    """(url, xhtml): the HTML→XML converter (M9) over html pages."""
+    from ..functions.xmlconv import xmlconv
+
+    def conv(batch: pa.Table) -> pa.Table:
+        urls, outs = [], []
+        for url, body, ctype, status in zip(
+            batch.column("url").to_pylist(),
+            batch.column("body").to_pylist(),
+            batch.column("content_type").to_pylist(),
+            batch.column("status").to_pylist(),
+        ):
+            if status == 200 and (ctype or "").startswith("text/html"):
+                urls.append(url)
+                outs.append(xmlconv(body or b""))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "xhtml": pa.array(outs, pa.large_binary())})
+
+    return _store_ds(
+        pages_dir, ["url", "content_type", "status", "body"]
+    ).map_batches(conv, batch_format="pyarrow", batch_size=batch_size)
+
+
+def page_classify(pages_dir: str, cfg=None, crawler=None,
+                  batch_size: int = 1024):
+    """(url, filetype): the ftindex decision tree (F1-F4) over page URLs."""
+    import ray.data
+
+    from ..config import default_config
+    from ..functions.matchkit import DISCARD, FTIndex, POSSIBLE_MATCH
+    from ..functions.urlkit import url_set
+
+    cfg = cfg or default_config()
+    idx = FTIndex(cfg.crawler(crawler), cfg.filetypes)
+
+    def classify(batch: pa.Table) -> pa.Table:
+        out = []
+        for u in batch.column("url").to_pylist():
+            parsed = url_set(u)
+            if parsed is None:
+                out.append("invalid")
+                continue
+            m = idx.match_by_url(parsed)
+            out.append("discard" if m is DISCARD
+                       else "lookup" if m is POSSIBLE_MATCH else m.name)
+        return pa.table({"url": batch.column("url"),
+                         "filetype": pa.array(out, pa.string())})
+
+    return ray.data.read_parquet(
+        f"{pages_dir}/pages.parquet", columns=["url"]
+    ).map_batches(classify, batch_format="pyarrow", batch_size=batch_size)

@@ -1,0 +1,40 @@
+"""Stage-wrapper layer (stages/): vectorized canonicalize + extract."""
+
+import pyarrow as pa
+
+from methanol_web_crawler_ray.sources import pagegen
+from methanol_web_crawler_ray.stages.canonicalize import canonicalize_batch
+from methanol_web_crawler_ray.stages import extract
+
+
+def test_canonicalize_batch():
+    t = pa.table({"url": [
+        "http://A.x/a/../b.html?x=1&amp;y=2",
+        "http://www.h.x/p/",
+        "not a url",
+    ]})
+    out = canonicalize_batch(t)
+    rows = out.to_pylist()
+    assert rows[0]["url_canon"] == "http://A.x/b.html?x=1&y=2"
+    assert rows[0]["is_dynamic"] is True
+    assert rows[1]["host"] == "h.x"  # www stripped in host_norm
+    assert rows[2]["valid"] is False
+
+
+def test_page_text_stage_matches_golden(ray_session):
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+    import pyarrow.parquet as pq
+
+    golden = {r["url"]: r["text"] for r in
+              pq.read_table(f"{d}/pages.parquet").to_pylist()}
+    out = extract.page_text(d).take_all()
+    assert len(out) == len(golden)
+    for r in out:
+        assert r["text"] == golden[r["url"]], r["url"]
+
+
+def test_page_classify_stage(ray_session):
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+    rows = extract.page_classify(d).take_all()
+    kinds = {r["filetype"] for r in rows}
+    assert {"html", "text", "css"} <= kinds
