@@ -340,10 +340,12 @@ def crawl_rounds(
         # window would no-op — split them out; if NOTHING is due, fast-
         # forward to the earliest due round (skipped rounds are empty in
         # the sequential model too, so visit rounds/seqs are unaffected)
+        # due/deferred are cheap lazy filters over the materialized work
+        # blocks — no extra materialization pass
         due = work.map_batches(
             lambda t, rnd=r: t.filter(_due_expr(t, rnd)),
             batch_format="pyarrow",
-        ).materialize()
+        )
         if due.count() == 0:
             nxt = work.min("n")
             if nxt is None or nxt >= max_rounds:
