@@ -56,8 +56,11 @@ def _golden_dir(sf_dir: str) -> str:
     from methanol_web_crawler_ray.pipelines.hostloop import DictFetcher
     from methanol_web_crawler_ray.sources import pagegen
 
+    from methanol_web_crawler_ray._fingerprint import golden_fp
+
     pdir = _pages_dir(sf_dir)
-    gdir = os.path.join(_GOLD_BASE, os.path.basename(pdir))
+    gdir = os.path.join(_GOLD_BASE,
+                        f"{os.path.basename(pdir)}-{golden_fp()}")
     marker = os.path.join(gdir, "_DONE")
     if os.path.exists(marker):
         return gdir

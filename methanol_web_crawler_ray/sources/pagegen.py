@@ -376,8 +376,10 @@ def pages_dir_custom(n: int, heavy: bool = False, tag: str = "custom",
     """Generate (once) an arbitrary-size pages table; ``heavy`` builds
     Common-Crawl-ish page bodies (~10 KB, dense link graph) — the scaling
     benchmark's compute-bound corpus."""
+    from .._fingerprint import pagegen_fp
+
     suffix = "-heavy" if heavy else ""
-    out = os.path.join(base, f"{tag}-{n}{suffix}")
+    out = os.path.join(base, f"{tag}-{n}{suffix}-{pagegen_fp()}")
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
         os.makedirs(out, exist_ok=True)

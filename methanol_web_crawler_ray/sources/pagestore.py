@@ -59,7 +59,10 @@ def build_store(pages_dir: str, out_dir: Optional[str] = None,
     Idempotent (marker file).  Runs as a Ray Data streaming pipeline."""
     import ray.data
 
-    out_dir = out_dir or os.path.join(pages_dir, f"store-{num_buckets}")
+    from .._fingerprint import store_fp
+
+    out_dir = out_dir or os.path.join(
+        pages_dir, f"store-{num_buckets}-{store_fp()}")
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):
         return out_dir
