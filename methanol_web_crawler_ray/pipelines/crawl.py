@@ -358,29 +358,51 @@ def crawl_rounds(
         )
 
         round_dir = os.path.join(ckpt_dir, f"round_{r:04d}")
-        os.makedirs(round_dir, exist_ok=True)
-        # deferred states checkpoint WITH the round (resume lineage)
-        deferred.write_parquet(os.path.join(round_dir, "deferred"))
 
-        results = due.groupby("host").map_groups(
-            HostTurnStep(cfg_blob, store_dir, num_buckets,
-                         pool.actors, r, crawler),
-            batch_format="pandas",
-            num_cpus=1,
-        )
-        _write_round(results, round_dir)
+        # ROUND-LEVEL ATOMICITY (SURVEY §7 "seen-set consistency under
+        # retries"): seen try_add is not idempotent, so turn tasks must
+        # not retry individually (max_retries=0); instead a failed round
+        # restores every shard from the round-START snapshot and re-runs
+        # whole — the deterministic merge order makes the replay
+        # byte-identical.
+        pre_round_seen = pool.snapshots()
+        for attempt in range(3):
+            try:
+                import shutil as _sh
 
-        # round barrier: merge external candidates per shard (kind=cand
-        # rows carry shard id in `seq`); candidates stream Parquet →
-        # shard-groupby → Parquet, never through the driver
-        cand_ds = _read_kind_ds(round_dir, "cand")
-        if cand_ds is not None and cand_ds.count():
-            arrivals = cand_ds.groupby("seq").map_groups(
-                MergeStep(cfg_blob, pool.actors),
-                batch_format="pandas",
-                num_cpus=0.5,
-            )
-            arrivals.write_parquet(os.path.join(round_dir, "arrivals"))
+                _sh.rmtree(round_dir, ignore_errors=True)
+                os.makedirs(round_dir, exist_ok=True)
+                # deferred states checkpoint WITH the round (resume lineage)
+                deferred.write_parquet(os.path.join(round_dir, "deferred"))
+
+                results = due.groupby("host").map_groups(
+                    HostTurnStep(cfg_blob, store_dir, num_buckets,
+                                 pool.actors, r, crawler),
+                    batch_format="pandas",
+                    num_cpus=1,
+                    max_retries=0,
+                )
+                _write_round(results, round_dir)
+
+                # round barrier: merge external candidates per shard
+                # (kind=cand rows carry shard id in `seq`); candidates
+                # stream Parquet → shard-groupby → Parquet, never through
+                # the driver
+                cand_ds = _read_kind_ds(round_dir, "cand")
+                if cand_ds is not None and cand_ds.count():
+                    arrivals = cand_ds.groupby("seq").map_groups(
+                        MergeStep(cfg_blob, pool.actors),
+                        batch_format="pandas",
+                        num_cpus=0.5,
+                        max_retries=0,
+                    )
+                    arrivals.write_parquet(os.path.join(round_dir, "arrivals"))
+                break
+            except Exception:
+                if attempt == 2:
+                    pool.shutdown()
+                    raise
+                pool.restore(pre_round_seen)
 
         # snapshot seen shards (resume lineage)
         for i, blob in enumerate(pool.snapshots()):
