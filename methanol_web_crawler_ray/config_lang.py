@@ -46,6 +46,7 @@ _FT_OPTS = {
     "handler": ("handler", "s"),
     "expr": ("expr", "s"),
     "switch_to": ("switch_to", "s"),
+    "ignore_host": ("ignore_host", "f"),
 }
 _CR_OPTS = {
     "filetypes": ("filetypes", "a"),

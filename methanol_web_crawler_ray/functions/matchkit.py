@@ -53,6 +53,9 @@ class Filetype:
     handler: Optional[str] = None
     expr: Optional[str] = None  # UMEX
     switch_to: Optional[str] = None  # crawler switch
+    # FT_FLAG_IGNORE_HOST (filetype.h:33, option metha.c:151): matching
+    # external URLs are crawled in place instead of parked/dropped
+    ignore_host: bool = False
     ft_id: int = 0
 
     def __post_init__(self) -> None:

@@ -587,7 +587,7 @@ class CrawlKernel:
         self.log.ft_counts[ft.name] += 1
         if ft.has_parser:
             row.bind = ft.ft_id
-            if row.u.is_external and not getattr(ft, "ignore_host", False):
+            if row.u.is_external and not ft.ignore_host:
                 if epeek:
                     self._epeek_start(row)
                     return 1

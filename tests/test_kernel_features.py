@@ -123,3 +123,27 @@ def test_umex_filetype_in_crawl():
     assert "http://a.x/search?q=abc&start=0" in urls
     assert "http://a.x/hit.html" in urls
     assert r.ft_counts.get("search", 0) >= 1
+
+
+def test_ignore_host_flag():
+    """FT_FLAG_IGNORE_HOST (filetype.h:33, bind_url worker.c:678): a
+    matching EXTERNAL URL stays in the local crawl list instead of being
+    parked/dropped."""
+    filetypes = {
+        "html": Filetype(name="html", extensions=("html",),
+                         mimetypes=("text/html",), parser="html",
+                         ignore_host=True),
+    }
+    crawlers = {
+        "default": Crawler(name="default", filetypes=("html",),
+                           depth_limit=3, robotstxt=False, external=False,
+                           dir_url="@html", extless_url="@html",
+                           dynamic_url="@html", unknown_url="discard"),
+    }
+    cfg = EngineConfig(crawlers=crawlers, filetypes=filetypes)
+    f = _web({
+        "http://a.x/": dict(body=b'<a href="http://b.x/p.html">b</a>'),
+        "http://b.x/p.html": dict(body=b'done'),
+    })
+    r = sim.simulate_single_worker(cfg, f, ["http://a.x/"])
+    assert "http://b.x/p.html" in [v[0] for v in r.visits]
