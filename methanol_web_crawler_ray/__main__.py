@@ -151,7 +151,7 @@ def main(argv=None) -> int:
                "rounds": res.rounds, "ft_counts": res.ft_counts}
         if args.write_targets:
             out["target_counts"] = write_targets(args.ckpt,
-                                                 args.write_targets)
+                                                 args.write_targets, cfg)
         if args.write_log:
             out["log_rows"] = write_crawl_log(args.ckpt, args.write_log)
         print(json.dumps(out))

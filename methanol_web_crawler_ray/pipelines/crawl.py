@@ -185,7 +185,10 @@ class HostTurnStep:
             add("visit", url=url, depth=depth, seq=seq_base + i,
                 n=self.round_num)
         for t in log.targets:
+            # n = round number → the ft_* sink's ``date`` column (the
+            # master's received-date; first-round-wins dedup in sinks)
             add("target", url=t["url"], name=t["filetype"],
+                n=self.round_num,
                 payload=pickle.dumps({"url_hash": t["url_hash"],
                                       "attrs": t["attrs"]}))
         for url, buf in log.texts:
@@ -396,7 +399,16 @@ def crawl_rounds(
                         num_cpus=0.5,
                         max_retries=0,
                     )
-                    arrivals.write_parquet(os.path.join(round_dir, "arrivals"))
+                    # Arrival rows only SCHEDULE when the active crawler has
+                    # external=True — simulate_rounds gates new_hosts the
+                    # same way, and the reference pops pending hosts only
+                    # under LM_CRFLAG_EXTERNAL (worker.c:255).  The merge
+                    # itself always runs: its ordered seen/registry adds are
+                    # part of the seen-set semantics in both modes.
+                    sub = ("arrivals" if
+                           cfg.crawlers[crawler or cfg.default_crawler].external
+                           else "arrivals_unscheduled")
+                    arrivals.write_parquet(os.path.join(round_dir, sub))
                 break
             except Exception:
                 if attempt == 2:

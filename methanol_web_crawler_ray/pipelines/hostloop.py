@@ -44,6 +44,14 @@ implementations — pure-Python and Ray — agree exactly with each other):
   * per-filetype counters count duplicate external matches the
     single-worker run would have dropped at add time.
   * the redirect chain counter is per host, not per worker.
+  * inline mode faithfully reproduces the reference's pending-stack
+    stranding quirk (a host popped with an empty parked list never
+    re-enters the stack, so URLs parked onto it later are lost —
+    ue_hostent_create pushes only on creation, ue_remove_pending is
+    commented out); rounds mode admits a host whenever its FIRST
+    candidate merges at the barrier, so it crawls such URLs.  Visit
+    SETS can therefore differ between the modes in that interleaving
+    (tests/test_simulator.py::test_popped_empty_host_strands_later_park).
 
 "Fetching" is an abstract :class:`Fetcher` — the offline analog of
 lm_io_get is a lookup into the Common-Crawl-style pages table (SURVEY §2
@@ -177,6 +185,7 @@ class CrawlKernel:
         crawler: Optional[str] = None,
         # inline-mode hooks (simulator wires these):
         inline_park: Optional[Callable[[URL, int, bool], None]] = None,
+        inline_ext_note: Optional[Callable[[str], None]] = None,
     ):
         self.cfg = cfg
         self.fetch = fetch
@@ -189,6 +198,7 @@ class CrawlKernel:
         self.mode = mode
         self._pending: List[UrlRow] = []
         self.inline_park = inline_park
+        self.inline_ext_note = inline_ext_note
         self.crawler_name = crawler or cfg.default_crawler
         self._ftindex_cache: Dict[str, FTIndex] = {}
 
@@ -372,6 +382,13 @@ class CrawlKernel:
         top.append(row)
         if u.is_external:
             if self.mode == "inline":
+                # ue_add's external cache-check creates the target host's
+                # ent and pushes it pending BEFORE the seen-add
+                # (urlengine.c:219-232 → ue_get_hostent(..., add_pending=1)
+                # → ue_hostent_create pushes on creation) — for EVERY
+                # external link, even ones later discarded in sort.
+                if self.inline_ext_note is not None:
+                    self.inline_ext_note(u.host_norm)
                 self._pend(row, top, u.host_norm, u.seen_key)
             else:
                 # rounds: defer the seen-add to the round barrier; drop
@@ -601,6 +618,26 @@ class CrawlKernel:
                         cand.bind = row.bind
                         cand.crawler = self.crawler_name
                 return 1
+            if row.u.is_external and self.mode == "rounds" \
+                    and row.ext_cand >= 0:
+                # ignore_host keep-in-place (worker.c:678): the row will be
+                # popped and crawled THIS turn, so the deferred barrier
+                # seen-add would arrive too late — resolve the cross-host
+                # verdict synchronously (inline pends at ue_add and
+                # resolves before sort) and turn the barrier candidate
+                # into a no-op.  A URL already crawled/queued by another
+                # host is dropped here like inline's dedup removal.
+                # (Two hosts reaching the same ignore_host URL in the SAME
+                # round race for the add; exactly one wins — the winner is
+                # deterministic sequentially, actor-arrival-order under
+                # Ray.  SETS are stable either way.)
+                cand = self.log.ext_candidates[row.ext_cand]
+                cand.seen_check = False
+                cand.park = False
+                ok = self.seen.try_add_batch(row.u.host_norm,
+                                             [row.u.seen_key])[0]
+                if not ok:
+                    return 1
             return 0
         # no parser/handler → report as target immediately (worker.c:712-713)
         self.log.targets.append(

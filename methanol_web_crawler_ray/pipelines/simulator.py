@@ -92,10 +92,20 @@ def simulate_single_worker(cfg: EngineConfig, fetcher, seeds: Sequence[str],
         return ent
 
     def park(u, bind, _seen_added) -> None:
+        # ue_move_to_secondary (urlengine.c:476-502): ue_get_hostent with
+        # add_pending=1 — but the ent almost always exists already (created
+        # at ue_add's cache-check), so this is a pure list append;
+        # creation-push only for seen_check-free parks (redirect targets).
         ent_of(u.host_norm, add_pending=True).parked.append((u, bind))
 
+    def ext_note(host: str) -> None:
+        # ue_add external branch: create ent + push pending at ADD time
+        # for every external link (urlengine.c:219-232), even links later
+        # discarded in sort — pending ORDER follows first-extraction order.
+        ent_of(host, add_pending=True)
+
     k = CrawlKernel(cfg, fetcher, seen, mode="inline", crawler=crawler,
-                    inline_park=park)
+                    inline_park=park, inline_ext_note=ext_note)
 
     for s in seeds:
         k.ue_add_initial(s)

@@ -44,12 +44,18 @@ def _first_by_hash(tbl: pa.Table) -> pa.Table:
     return tbl.filter(pa.array(mask))
 
 
-def write_targets(ckpt_dir: str, out_dir: str) -> Dict[str, int]:
+def write_targets(ckpt_dir: str, out_dir: str, cfg=None) -> Dict[str, int]:
     """Fold a crawl checkpoint's target rows into per-filetype Parquet
     dirs (ft_<name>/...), exact-deduped on url_hash.
 
     The shuffle key is url_hash (groupby) and runs as a Ray Data pipeline;
-    attribute values become one column per declared attribute.
+    attribute values become one column per declared attribute.  The
+    column set per filetype comes from the config's DECLARED attributes
+    (``cfg.filetypes[ft].attributes`` — the master's CREATE TABLE,
+    mn-masterd/main.c:490-621) so every batch writes the same schema;
+    without a cfg the attribute-key union is computed once per filetype
+    up front (still one stable schema per dir).  ``date`` is the crawl
+    round the target was first reported in.
     """
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
@@ -107,23 +113,37 @@ def write_targets(ckpt_dir: str, out_dir: str) -> Dict[str, int]:
     counts: Dict[str, int] = {}
     for ft in set(deduped.unique("filetype")):
         sub = deduped.filter(lambda r, ft=ft: r["filetype"] == ft)
-        # expand pickled attrs into real columns for this filetype
-        def widen(tbl: pa.Table, ft=ft) -> pa.Table:
-            rows = tbl.to_pylist()
+        # one FIXED column set per filetype dir — declared attributes
+        # when a config is given, else the observed union (computed once,
+        # up front; key-name rows only, not payloads)
+        if cfg is not None and ft in cfg.filetypes:
+            attr_names = sorted(cfg.filetypes[ft].attributes)
+        else:
+            def keys_only(tbl: pa.Table) -> pa.Table:
+                ks = sorted({k for b in tbl.column("attrs").to_pylist()
+                             for k in pickle.loads(b)})
+                return pa.table({"k": pa.array(ks, pa.string())})
+
             attr_names = sorted(
-                {k for r in rows for k in pickle.loads(r["attrs"])}
+                sub.map_batches(keys_only, batch_format="pyarrow")
+                .unique("k")
             )
+
+        def widen(tbl: pa.Table, attr_names=tuple(attr_names)) -> pa.Table:
+            rows = tbl.to_pylist()
             cols = {
-                "url": [r["url"] for r in rows],
-                "url_hash": [r["url_hash"] for r in rows],
-                "date": [r["date"] for r in rows],
+                "url": pa.array([r["url"] for r in rows], pa.string()),
+                "url_hash": pa.array([r["url_hash"] for r in rows],
+                                     pa.string()),
+                "date": pa.array([r["date"] for r in rows], pa.int64()),
             }
             for a in attr_names:
-                cols[f"attr_{a}"] = [
-                    pickle.loads(r["attrs"]).get(a) for r in rows
-                ]
-            t = pa.table(cols)
-            return t
+                # attr values are bytes (attr.c k→bytes map)
+                cols[f"attr_{a}"] = pa.array(
+                    [pickle.loads(r["attrs"]).get(a) for r in rows],
+                    pa.large_binary(),
+                )
+            return pa.table(cols)
 
         sub.map_batches(widen, batch_format="pyarrow").write_parquet(
             os.path.join(out_dir, f"ft_{ft}")

@@ -89,6 +89,90 @@ def test_throttled_parity_and_deferral(ray_session):
     assert r_sim.texts == r_ray.texts
 
 
+def test_external_false_redirect_not_scheduled(ray_session):
+    """external=False + a cross-host redirect: the redirect target parks
+    (move_to_secondary always emits park=True) and the round barrier
+    registers its host, but the host must NOT activate — the reference
+    pops pending hosts only under LM_CRFLAG_EXTERNAL (worker.c:255) and
+    simulate_rounds gates arrivals the same way.  Regression test for the
+    Ray engine scheduling merged arrivals unconditionally."""
+    from _pagetools import html, write_pages
+
+    d = write_pages("/tmp/mwc_test_extfalse_pages", [
+        {"url": "http://a.x/", "body": html(
+            '<a href="/r.html">r</a> <a href="/p2.html">p2</a>')},
+        {"url": "http://a.x/r.html", "status": 301,
+         "location": "http://b.x/p.html"},
+        {"url": "http://a.x/p2.html", "body": html("leaf")},
+        {"url": "http://b.x/p.html", "body": html("foreign")},
+    ])
+    cfg = default_config(depth_limit=3, external=False)
+    fetch = DictFetcher(pagegen.load_fetch_dict(d))
+    r_sim = sim.simulate_rounds(cfg, fetch, ["http://a.x/"])
+    assert all(v[0].startswith("http://a.x/") for v in r_sim.visits)
+
+    ck = "/tmp/mwc_test_extfalse"
+    shutil.rmtree(ck, ignore_errors=True)
+    crawl.crawl_rounds(cfg, d, ["http://a.x/"], ckpt_dir=ck, concurrency=2,
+                       num_shards=2)
+    r_ray = crawl.collect_result(ck)
+    assert sorted((v[0], v[3], v[4]) for v in r_ray.visits) == \
+        sorted((v[0], v[3], v[4]) for v in r_sim.visits)
+    assert r_sim.texts == r_ray.texts
+
+
+def test_ignore_host_rounds_parity(ray_session):
+    """FT_FLAG_IGNORE_HOST in ROUNDS mode: a cross-host URL crawled
+    in-place must take a synchronous seen verdict — a URL already crawled
+    by another host (in an earlier round) is dropped, not re-visited.
+    Regression: the deferred barrier add used to let it re-crawl."""
+    from _pagetools import html, write_pages
+
+    from methanol_web_crawler_ray.config import EngineConfig
+    from methanol_web_crawler_ray.functions.matchkit import Crawler, Filetype
+
+    filetypes = {
+        "html": Filetype(name="html", extensions=("html",),
+                         mimetypes=("text/html",),
+                         parser="html, utf8conv, entityconv",
+                         ignore_host=True),
+    }
+    crawlers = {
+        "default": Crawler(name="default", filetypes=("html",),
+                           depth_limit=4, robotstxt=False, external=False,
+                           dir_url="@html", extless_url="@html",
+                           dynamic_url="@html", unknown_url="discard"),
+    }
+    cfg = EngineConfig(crawlers=crawlers, filetypes=filetypes)
+    # budget 2 transfers/round: a.x reaches b.x/p.html in round 0, c.x only
+    # in round 1 — no same-round race, outcome fully deterministic
+    cfg.mode = "friendly"
+    cfg.round_seconds = 20
+
+    d = write_pages("/tmp/mwc_test_ignhost_pages", [
+        {"url": "http://a.x/", "body": html('<a href="http://b.x/p.html">b</a>')},
+        {"url": "http://c.x/", "body": html('<a href="/c1.html">c1</a>')},
+        {"url": "http://c.x/c1.html",
+         "body": html('<a href="http://b.x/p.html">b</a>')},
+        {"url": "http://b.x/p.html", "body": html("shared")},
+    ])
+    seeds = ["http://a.x/", "http://c.x/"]
+    fetch = DictFetcher(pagegen.load_fetch_dict(d))
+    r_sim = sim.simulate_rounds(cfg, fetch, seeds)
+    b_visits = [v for v in r_sim.visits if v[0] == "http://b.x/p.html"]
+    assert len(b_visits) == 1, "cross-host ignore_host URL crawled once"
+    assert b_visits[0][1] == "a.x"  # a.x won (earlier round)
+
+    ck = "/tmp/mwc_test_ignhost"
+    shutil.rmtree(ck, ignore_errors=True)
+    crawl.crawl_rounds(cfg, d, seeds, ckpt_dir=ck, concurrency=2,
+                       num_shards=2)
+    r_ray = crawl.collect_result(ck)
+    assert sorted((v[0], v[1], v[3], v[4]) for v in r_ray.visits) == \
+        sorted((v[0], v[1], v[3], v[4]) for v in r_sim.visits)
+    assert r_sim.texts == r_ray.texts
+
+
 def test_cuckoo_mode_smoke(ray_session):
     """Cuckoo seen-set mode: same crawl outcome at fixture scale (false
     positives are ~2^-14/URL; none expected on 200 URLs)."""

@@ -90,6 +90,57 @@ def test_redirect_loop_capped_at_20():
     assert len(hops) <= 21
 
 
+def test_pending_pushed_at_ue_add_not_park():
+    """The pending-host LIFO is populated at ue_add's external cache-check
+    (urlengine.c:219-232 → ue_get_hostent(..., add_pending=1)) — i.e. at
+    link EXTRACTION time, for every external link even ones that never
+    park — not at park time.  Here b.x enters pending via an image link
+    (target, never parked) BEFORE c.x (parsed+parked), so LIFO pops c.x
+    first even though c.x's park happened first."""
+    f = _web({
+        "http://a.x/": dict(body=b'<a href="http://b.x/i.png">t</a>'
+                                 b'<a href="http://c.x/p.html">c</a>'
+                                 b'<a href="/d.html">d</a>'),
+        "http://a.x/d.html": dict(body=b''),
+        "http://b.x/q.html": dict(body=b''),
+        "http://c.x/p.html": dict(body=b'<a href="http://b.x/q.html">b</a>'),
+    })
+    cfg = default_config(robotstxt=False, depth_limit=4, external=True)
+    r = sim.simulate_single_worker(cfg, f, ["http://a.x/"])
+    assert [v[0] for v in r.visits] == [
+        "http://a.x/",
+        "http://a.x/d.html",
+        "http://c.x/p.html",   # pending [b, c] → LIFO pops c first
+        "http://b.x/q.html",   # b parked during c's crawl, still pending
+    ]
+
+
+def test_popped_empty_host_strands_later_park():
+    """Reference quirk: a host pushed pending at extraction time can be
+    popped with an EMPTY parked list; a URL parked onto it afterwards is
+    stranded (the pending stack never re-admits an existing ent —
+    ue_hostent_create pushes only on creation; ue_remove_pending is
+    commented out in the reference).  Rounds mode does NOT strand (the
+    barrier registry admits a host once, whenever its first candidate
+    merges) — a documented inline/rounds divergence."""
+    f = _web({
+        # c.x extracted (and parked) BEFORE b.x → pending [c, b]; b.x is
+        # popped empty, then c.x's crawl parks b.x/q.html → stranded
+        "http://a.x/": dict(body=b'<a href="http://c.x/p.html">c</a>'
+                                 b'<a href="http://b.x/i.png">t</a>'),
+        "http://b.x/q.html": dict(body=b''),
+        "http://c.x/p.html": dict(body=b'<a href="http://b.x/q.html">b</a>'),
+    })
+    cfg = default_config(robotstxt=False, depth_limit=4, external=True)
+    r = sim.simulate_single_worker(cfg, f, ["http://a.x/"])
+    urls = [v[0] for v in r.visits]
+    assert "http://c.x/p.html" in urls
+    assert "http://b.x/q.html" not in urls  # stranded, faithfully
+    # ... while rounds mode crawls it (barrier-merged arrival)
+    r2 = sim.simulate_rounds(cfg, f, ["http://a.x/"])
+    assert "http://b.x/q.html" in [v[0] for v in r2.visits]
+
+
 def test_robots_disallow_and_allow_ordering(fixture_fetch):
     """Disallow /private/ + Allow /private/open/ → allow wins (allow rules
     sort before deny, filter.c:75-84)."""

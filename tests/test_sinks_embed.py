@@ -64,14 +64,31 @@ def sink_ckpt(ray_session):
 def test_write_targets_dedup(ray_session, sink_ckpt):
     out = "/tmp/mwc_test_sinks_targets"
     shutil.rmtree(out, ignore_errors=True)
-    counts = sinks.write_targets(sink_ckpt, out)
+    counts = sinks.write_targets(sink_ckpt, out,
+                                 default_config(depth_limit=4))
     assert counts.get("html", 0) > 0
+    import glob
+
     import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
 
     tbl = pads.dataset(os.path.join(out, "ft_html")).to_table()
     hashes = tbl.column("url_hash").to_pylist()
     assert len(hashes) == len(set(hashes))  # UNIQUE url_hash (S9/D2)
     assert "attr_html" in tbl.column_names
+    # every file in one ft_<name> dir carries the SAME declared-attribute
+    # schema (the master's fixed CREATE TABLE), regardless of which attrs
+    # each row happened to set
+    schemas = {
+        tuple(pq.read_schema(f).names)
+        for f in glob.glob(os.path.join(out, "ft_html", "*.parquet"))
+    }
+    assert len(schemas) == 1
+    assert set(next(iter(schemas))) == {"url", "url_hash", "date",
+                                        "attr_html", "attr_title"}
+    # date = first round the target was reported in (not always 0)
+    dates = tbl.column("date").to_pylist()
+    assert max(dates) > 0
 
 
 def test_crawl_log_roundtrip(ray_session, sink_ckpt):
