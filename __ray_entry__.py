@@ -212,31 +212,27 @@ def _q_media_decode(sf_dir: str):
 
 
 def _q_page_xmlconv(sf_dir: str):
-    """xmlconv (M9) over every html page (rows-only check; byte-level
-    goldens live in tests/test_conv.py)."""
+    """xmlconv (M9) over every html page — byte-compared against the
+    generator's by-construction golden_xml table."""
     from methanol_web_crawler_ray.stages.extract import page_xmlconv
 
     return page_xmlconv(_pages_dir(sf_dir))
 
 
 def _q_page_classify(sf_dir: str):
-    """ftindex URL→filetype decision tree (F1-F4) over every page URL
-    (rows-only; the decision-tree semantics are unit-golden-tested)."""
+    """ftindex URL→filetype decision tree (F1-F4) over every page URL —
+    vs the generator's by-construction golden_classify table."""
     from methanol_web_crawler_ray.stages.extract import page_classify
 
     return page_classify(_pages_dir(sf_dir))
 
 
 def _q_page_canonicalize(sf_dir: str):
-    """Vectorized canonicalizer stage (M1-M4) over every page URL
-    (rows-only; byte-level goldens live in tests/test_urlkit.py)."""
-    import ray.data
+    """Extraction chained into canonical resolution (M5-M7 → M1-M4) —
+    vs the generator's by-construction golden_canon table."""
+    from methanol_web_crawler_ray.stages.extract import page_canonicalize_links
 
-    from methanol_web_crawler_ray.stages.canonicalize import canonicalize
-
-    ds = ray.data.read_parquet(f"{_pages_dir(sf_dir)}/pages.parquet",
-                               columns=["url"])
-    return canonicalize(ds)
+    return page_canonicalize_links(_pages_dir(sf_dir))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -306,6 +302,18 @@ def oracle_sql() -> dict[str, str]:
         "page_links": (
             f"SELECT url, link_seq, ref_raw FROM "
             f"read_parquet('{pdir}/golden_links.parquet')"
+        ),
+        "page_xmlconv": (
+            f"SELECT url, xhtml FROM "
+            f"read_parquet('{pdir}/golden_xml.parquet')"
+        ),
+        "page_classify": (
+            f"SELECT url, filetype FROM "
+            f"read_parquet('{pdir}/golden_classify.parquet')"
+        ),
+        "page_canonicalize": (
+            f"SELECT url, link_seq, canon FROM "
+            f"read_parquet('{pdir}/golden_canon.parquet')"
         ),
         "doc_token_stats": (
             "SELECT doc_id, length(regexp_extract_all(text,'\\S+'))::BIGINT "

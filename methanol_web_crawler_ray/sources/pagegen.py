@@ -112,27 +112,70 @@ def _redirect_target(host: str, j: int, k: int) -> Optional[str]:
     return None
 
 
+def _xesc(s: str) -> str:
+    """xmlconv's text/attribute-value escape: '&' → '&amp;' (the ONLY
+    substitution xmlconv makes in text; html.c:424-436, 557-575)."""
+    return s.replace("&", "&amp;")
+
+
+def _base_dir(path: str) -> str:
+    """Directory prefix relative references resolve against (url_combine:
+    after the last '/' of the PATH part — query string excluded)."""
+    p = path.split("?")[0]
+    return p[: p.rfind("/") + 1]
+
+
 def _build_html_page(host: str, j: int, k: int, hosts: List[str],
-                     heavy: bool = False) -> Tuple[bytes, str, List[str], str]:
-    """Returns (html_bytes, expected_text_str, raw_links_in_order, lang)."""
+                     heavy: bool = False):
+    """Returns (html_bytes, expected_text_str, raw_links_in_order, lang,
+    expected_canon_links, expected_xml_bytes) — all predictions are by
+    construction from the known template shapes, not by running parsers."""
     lang = ("en", "sv", "de")[j % 3]
     title = f"Page {j} of {host}"
     links: List[str] = []  # predicted extraction output, document order
+    canons: List[str] = []  # predicted canonical absolute URL per link
+    bdir = _base_dir(_page_path(j))
+
+    def canon_of(ref: str) -> str:
+        # encodecpy's '&amp;'→'&' rule (url.c:354-361); absolute-path vs
+        # relative vs absolute-URL resolution per ue_add's dispatch
+        r = ref.replace("&amp;", "&")
+        if r.startswith("http://"):
+            return r
+        if r.startswith("/"):
+            return f"http://{host}{r}"
+        return f"http://{host}{bdir}{r}"
+
+    parts: List[str] = []      # markup, joined by '\n'
+    xml_parts: List[str] = []  # expected xmlconv output per part
+
+    def add(markup: str, xml: str) -> None:
+        parts.append(markup)
+        xml_parts.append(xml)
 
     def a(href: str, extracted: bool = True) -> str:
         if extracted:
             links.append(href)
+            canons.append(canon_of(href))
+        xml_parts.append(f'<a href="{_xesc(href)}">{_xesc(href)}</a>')
         return f'<a href="{href}">{href}</a>'
 
-    parts: List[str] = []
+    # DOCTYPE + comment: dropped by xmlconv, and so are the '\n'
+    # separators around them (text before the first element is dropped)
     parts.append("<!DOCTYPE html>")
     parts.append("<!-- synthetic fixture page -->")
-    parts.append(f"<html><head><title>{title}</title>")
+    add(f"<html><head><title>{title}</title>",
+        f"<html><head><title>{title}</title>")
     if _charset_latin1(host, j):
-        parts.append('<meta http-equiv="Content-Type" '
-                     'content="text/html; charset=ISO-8859-1">')
-    parts.append("</head><body>")
-    parts.append(f"<h1>{title}</h1>")
+        # 'http' scans as a valueless attribute (the '-' stops the name
+        # scanner) and is dropped; 'equiv' keeps the value; meta is a
+        # void element → self-closes
+        add('<meta http-equiv="Content-Type" '
+            'content="text/html; charset=ISO-8859-1">',
+            '<meta equiv="Content-Type" '
+            'content="text/html; charset=ISO-8859-1"/>')
+    add("</head><body>", "</head><body>")
+    add(f"<h1>{title}</h1>", f"<h1>{title}</h1>")
 
     # filler prose (deterministic)
     n_words = 1400 if heavy else 14  # heavy ≈ real-page text volume
@@ -143,7 +186,7 @@ def _build_html_page(host: str, j: int, k: int, hosts: List[str],
         prose += " numeric&#228;stays"  # numeric entity: must NOT convert
     if _charset_latin1(host, j):
         prose += " naïve"  # non-ASCII that iso-8859-1 can encode
-    parts.append(f"<p>{prose}</p>")
+    add(f"<p>{prose}</p>", f"<p>{_xesc(prose)}</p>")
 
     # tree children (absolute-path refs — predictable resolution); query
     # paths are written ``&amp;``-escaped to exercise encodecpy's
@@ -158,7 +201,8 @@ def _build_html_page(host: str, j: int, k: int, hosts: List[str],
         parts.append(a(_page_path(j + 1)[3:]))  # e.g. "17.html"
 
     if j % 4 == 1:
-        parts.append('<a href="#frag">skipped anchor</a>')  # NOT extracted
+        add('<a href="#frag">skipped anchor</a>',  # NOT extracted
+            '<a href="#frag">skipped anchor</a>')
     if j % 12 == 6 and 3 * j + 1 < k:
         parts.append(a(_page_path(3 * j + 1)))  # duplicate link
     if j % 6 == 3:
@@ -170,14 +214,23 @@ def _build_html_page(host: str, j: int, k: int, hosts: List[str],
     if j % 15 == 8:
         parts.append(a(f"/img/i{j}.png"))  # image filetype: target, no row
     if j % 8 == 5 and k > 1:
-        parts.append(f"<A HREF={_page_path(1)}>uppercase-unquoted</A>")
+        # unquoted value re-quoted with '"'; names+tags lowercased; the
+        # close emitted lowercase at the matching </A>
+        add(f"<A HREF={_page_path(1)}>uppercase-unquoted</A>",
+            f'<a href="{_page_path(1)}">uppercase-unquoted</a>')
         links.append(_page_path(1))
+        canons.append(canon_of(_page_path(1)))
     if j % 21 == 9:
-        parts.append("<script>var x = '<a href=\"fake.html\">';</script>")
+        # encoded-content element: inner '<' → '&lt;' (the close tag scan
+        # lowercases the final chunk — already lowercase here)
+        add("<script>var x = '<a href=\"fake.html\">';</script>",
+            "<script>var x = '&lt;a href=\"fake.html\">';</script>")
     if j % 16 == 10:
         css_ref = "bg.css"  # 404 css ref
-        parts.append("<style>body { background: url(" + css_ref + "); }</style>")
+        add("<style>body { background: url(" + css_ref + "); }</style>",
+            "<style>body { background: url(" + css_ref + "); }</style>")
         links.append(css_ref)  # style URLs surface at their doc position
+        canons.append(canon_of(css_ref))
 
     if heavy:
         # denser link graph + padding paragraphs (Common-Crawl-ish body
@@ -190,22 +243,28 @@ def _build_html_page(host: str, j: int, k: int, hosts: List[str],
             pad = " ".join(
                 _WORDS[(j * 3 + pblk + i) % len(_WORDS)] for i in range(220)
             )
-            parts.append(f"<p>{pad}</p>")
+            add(f"<p>{pad}</p>", f"<p>{pad}</p>")
 
-    parts.append("</body></html>")
+    add("</body></html>", "</body></html>")
     html_text = "\n".join(parts)
+    # xml: the two leading dropped parts contribute nothing, including
+    # their '\n' separators (text outside the element stack is dropped);
+    # every later separator is in-stack text and copied verbatim
+    xml_text = "\n".join(xml_parts)
 
     # ---- expected extracted text (utf8conv → entityconv), by construction
     if _charset_latin1(host, j):
         html_bytes = html_text.encode("iso-8859-1")
+        xml_bytes = xml_text.encode("iso-8859-1")
         converted = html_text  # utf8conv decodes latin-1 → same unicode
     else:
         html_bytes = html_text.encode("utf-8")
+        xml_bytes = xml_text.encode("utf-8")
         converted = html_text
     expected = converted
     for name, ch in _ENTS.items():
         expected = expected.replace(f"&{name};", ch)
-    return html_bytes, expected, links, lang
+    return html_bytes, expected, links, lang, canons, xml_bytes
 
 
 def _build_text_page(host: str, j: int) -> Tuple[bytes, str, List[str]]:
@@ -220,6 +279,24 @@ def _build_css_page(host: str, j: int) -> Tuple[bytes, str, List[str]]:
     ref = f"i{j}.png"
     body = f"body {{ background: url({ref}); color: #000; }}"
     return body.encode(), body, [ref]
+
+
+def _expected_filetype(path: str) -> str:
+    """Predicted ftindex decision for a fixture URL path, from the
+    reference decision tree (ftindex.c:141-238) applied to the default
+    config (dir_url/extless_url/dynamic_url=@html, ext tables): a query
+    string binds dynamic_url; a trailing '/' binds dir_url; else the
+    extension table decides.  Only shapes the generator emits."""
+    if "?" in path:
+        return "html"   # dynamic_url=@html (BIND_DYNAMIC_URL wins)
+    if path.endswith("/"):
+        return "html"   # dir_url=@html
+    if path.endswith(".txt"):
+        return "text"
+    if path.endswith(".css"):
+        return "css"
+    assert path.endswith(".html"), path
+    return "html"
 
 
 def hash_stable(s: str) -> int:
@@ -259,12 +336,17 @@ def generate(n_pages: int, heavy: bool = False) -> Dict[str, pa.Table]:
     link_urls: List[str] = []
     link_seqs: List[int] = []
     link_refs: List[str] = []
+    link_canons: List[Optional[str]] = []
+    xml_urls: List[str] = []
+    xml_bodies: List[bytes] = []
 
     idx = 0
 
     def emit(url: str, html: bytes, text: str, lang: str, status: int,
              location: Optional[str], ctype: str,
-             links: Optional[List[str]] = None) -> None:
+             links: Optional[List[str]] = None,
+             canons: Optional[List[str]] = None,
+             xml: Optional[bytes] = None) -> None:
         nonlocal idx
         urls.append(url)
         ts.append(BASE_TS + idx * 1_000_000)
@@ -276,6 +358,10 @@ def generate(n_pages: int, heavy: bool = False) -> Dict[str, pa.Table]:
             link_urls.append(url)
             link_seqs.append(i)
             link_refs.append(r)
+            link_canons.append(canons[i] if canons else None)
+        if xml is not None:
+            xml_urls.append(url)
+            xml_bodies.append(xml)
         idx += 1
 
     for hi, (host, k) in enumerate(plan):
@@ -309,14 +395,15 @@ def generate(n_pages: int, heavy: bool = False) -> Dict[str, pa.Table]:
             elif kind == "css":
                 body, text, links = _build_css_page(host, j)
                 emit(_url_of(host, j), body, text, "en", 200, None,
-                     "text/css", links)
+                     "text/css", links,
+                     canons=[f"http://{host}/i{j}.png"])
             else:
-                html, text, links, lang = _build_html_page(host, j, k, hosts,
-                                                            heavy)
+                (html, text, links, lang,
+                 canons, xml) = _build_html_page(host, j, k, hosts, heavy)
                 ctype = ("text/html; charset=ISO-8859-1"
                          if _charset_latin1(host, j) else "text/html")
                 emit(_url_of(host, j), html, text, lang, 200, None,
-                     ctype, links)
+                     ctype, links, canons=canons, xml=xml)
 
     pages = pa.table(
         {
@@ -354,8 +441,36 @@ def generate(n_pages: int, heavy: bool = False) -> Dict[str, pa.Table]:
             "ref_raw": pa.array(link_refs, pa.string()),
         }
     )
+    # by-construction golden outputs for the standalone kernels:
+    # canonical resolution per link (M1-M4), ftindex classification per
+    # page URL (F1-F4), xmlconv output per 200-status html page (M9)
+    golden_canon = pa.table(
+        {
+            "url": pa.array(link_urls, pa.string()),
+            "link_seq": pa.array(link_seqs, pa.int32()),
+            "canon": pa.array(link_canons, pa.string()),
+        }
+    )
+    def _path_of(u: str) -> str:
+        ps = u.split("/", 3)
+        return "/" + ps[3] if len(ps) > 3 else "/"
+
+    golden_classify = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "filetype": pa.array([_expected_filetype(_path_of(u))
+                                  for u in urls], pa.string()),
+        }
+    )
+    golden_xml = pa.table(
+        {
+            "url": pa.array(xml_urls, pa.string()),
+            "xhtml": pa.array(xml_bodies, pa.large_binary()),
+        }
+    )
     return {"pages": pages, "page_meta": page_meta, "seeds": seeds,
-            "golden_links": golden_links}
+            "golden_links": golden_links, "golden_canon": golden_canon,
+            "golden_classify": golden_classify, "golden_xml": golden_xml}
 
 
 # table sizes per driver sf tier (FIXTURES.md: tiny/small/bench)

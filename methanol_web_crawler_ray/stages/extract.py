@@ -103,6 +103,34 @@ def page_xmlconv(pages_dir: str, batch_size: int = 256):
     ).map_batches(conv, batch_format="pyarrow", batch_size=batch_size)
 
 
+def page_canonicalize_links(pages_dir: str, batch_size: int = 256):
+    """(url, link_seq, canon): extraction → resolution end-to-end — the
+    M5-M7 extractors chained into the M1-M4 canonicalizer (ue_add's
+    dispatch: absolute-path, relative and absolute-URL refs, encodecpy's
+    '&amp;'→'&' rule).  Oracled against the generator's by-construction
+    golden_canon table."""
+    from ..functions.urlkit import resolve, url_set
+
+    def canon(batch: pa.Table) -> pa.Table:
+        canons = []
+        base_cache = {}
+        for url, ref in zip(batch.column("url").to_pylist(),
+                            batch.column("ref_raw").to_pylist()):
+            base = base_cache.get(url)
+            if base is None:
+                base = url_set(url)
+                base_cache[url] = base
+            u = resolve(base, ref) if base is not None else None
+            canons.append(u.s if u is not None else None)
+        return pa.table({"url": batch.column("url"),
+                         "link_seq": batch.column("link_seq"),
+                         "canon": pa.array(canons, pa.string())})
+
+    return page_links(pages_dir, batch_size=batch_size).map_batches(
+        canon, batch_format="pyarrow"
+    )
+
+
 def page_classify(pages_dir: str, cfg=None, crawler=None,
                   batch_size: int = 1024):
     """(url, filetype): the ftindex decision tree (F1-F4) over page URLs."""

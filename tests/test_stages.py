@@ -38,3 +38,33 @@ def test_page_classify_stage(ray_session):
     rows = extract.page_classify(d).take_all()
     kinds = {r["filetype"] for r in rows}
     assert {"html", "text", "css"} <= kinds
+
+
+def test_goldens_match_kernels(ray_session):
+    """The generator's by-construction golden tables (xmlconv output,
+    classification, canonical links) byte-match the transcribed kernels —
+    the unit-level form of the driver's page_* oracle gates."""
+    import pyarrow.parquet as pq
+
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+
+    gx = {r["url"]: r["xhtml"]
+          for r in pq.read_table(f"{d}/golden_xml.parquet").to_pylist()}
+    got = extract.page_xmlconv(d).take_all()
+    assert len(got) == len(gx) > 0
+    for r in got:
+        assert r["xhtml"] == gx[r["url"]], r["url"]
+
+    gc = {r["url"]: r["filetype"]
+          for r in pq.read_table(f"{d}/golden_classify.parquet").to_pylist()}
+    got = extract.page_classify(d).take_all()
+    assert len(got) == len(gc)
+    for r in got:
+        assert r["filetype"] == gc[r["url"]], r["url"]
+
+    gk = {(r["url"], r["link_seq"]): r["canon"]
+          for r in pq.read_table(f"{d}/golden_canon.parquet").to_pylist()}
+    got = extract.page_canonicalize_links(d).take_all()
+    assert len(got) == len(gk) > 0
+    for r in got:
+        assert r["canon"] == gk[(r["url"], r["link_seq"])], r["url"]
