@@ -281,6 +281,7 @@ def oracle_sql() -> dict[str, str]:
     gold = _golden_dir("/root/testdata/sf0.01")
     pdir = _pages_dir("/root/testdata/sf0.01")
     stop = "('the','a','of','and','to')"
+    langprof = textops.write_langid_profiles("/tmp/mwc_langid_profiles.parquet")
     return {
         "crawl_visits": (
             f"SELECT url, host, depth, round_num, seq FROM "
@@ -347,6 +348,61 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT query_id, neighbor_id, row_number() OVER "
             "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank "
             "FROM s) SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10"
+        ),
+        # winnowing fingerprints (SIGMOD'03 Fig.5): k-gram md5-hex hashes,
+        # window-min with rightmost tie — replayed with a window function
+        # + position-of-min join; short docs (< w grams / < k chars) take
+        # the single whole-window / whole-string path on both sides
+        "doc_fingerprints": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_replace(lower(text), '\\s+', ' ', 'g') AS s "
+            "FROM documents), "
+            f"b AS (SELECT doc_id, s, CASE WHEN length(s) >= {textops.FP_K} "
+            f"THEN length(s) - {textops.FP_K - 1} "
+            "WHEN length(s) > 0 THEN 1 ELSE 0 END AS m FROM t), "
+            "g AS (SELECT doc_id, CAST(i AS INT) AS pos, m, "
+            f"substring(md5(CASE WHEN length(s) >= {textops.FP_K} THEN "
+            f"substring(s, CAST(i AS INT), {textops.FP_K}) ELSE s END), "
+            "17, 16) AS h "
+            "FROM b, UNNEST(range(1, m + 1)) AS u(i)), "
+            "we AS (SELECT doc_id, pos AS wend, m, min(h) OVER "
+            "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN "
+            f"{textops.FP_W - 1} PRECEDING AND CURRENT ROW) AS wmin FROM g), "
+            f"q AS (SELECT * FROM we WHERE wend >= {textops.FP_W} "
+            "OR wend = m), "
+            "sel AS (SELECT q.doc_id, q.wend, q.wmin, max(g.pos) AS pos "
+            "FROM q JOIN g ON g.doc_id = q.doc_id AND g.pos BETWEEN "
+            f"q.wend - {textops.FP_W - 1} AND q.wend AND g.h = q.wmin "
+            "GROUP BY q.doc_id, q.wend, q.wmin) "
+            "SELECT DISTINCT doc_id, pos::BIGINT AS pos, wmin AS fp FROM sel"
+        ),
+        # langid: character-bigram cosine argmax, decided in INTEGERS
+        # (cross-multiplied dot²/|q|² comparison + fixed tie-break prio) —
+        # the SQL replays the identical decision over the same profile
+        # table the Ray stage builds from its constants
+        "doc_langid": (
+            "WITH t AS (SELECT doc_id, ' ' || "
+            "regexp_replace(lower(substring(text,1,1000)), '\\s+', ' ', 'g')"
+            " || ' ' AS s FROM documents), "
+            "g AS (SELECT doc_id, substring(s, CAST(i AS INT), 2) AS gram "
+            "FROM t, UNNEST(range(1, length(s))) AS u(i)), "
+            "dg AS (SELECT doc_id, gram, count(*)::BIGINT AS cnt "
+            "FROM g GROUP BY doc_id, gram), "
+            f"prof AS (SELECT * FROM read_parquet('{langprof}')), "
+            "langs AS (SELECT DISTINCT lang, prio, n2 FROM prof), "
+            "dots AS (SELECT dg.doc_id, p.lang, "
+            "SUM(dg.cnt * p.cnt)::BIGINT AS dot "
+            "FROM dg JOIN prof p ON dg.gram = p.gram "
+            "GROUP BY dg.doc_id, p.lang), "
+            "score AS (SELECT d.doc_id, l.lang, l.prio, l.n2, "
+            "COALESCE(dots.dot, 0) AS dot "
+            "FROM (SELECT doc_id FROM t) d CROSS JOIN langs l "
+            "LEFT JOIN dots ON dots.doc_id = d.doc_id AND dots.lang = l.lang) "
+            "SELECT s.doc_id, s.lang AS lang_pred FROM score s "
+            "WHERE NOT EXISTS (SELECT 1 FROM score m "
+            "WHERE m.doc_id = s.doc_id AND m.lang != s.lang "
+            "AND (m.dot*m.dot*s.n2 > s.dot*s.dot*m.n2 "
+            "OR (m.dot*m.dot*s.n2 = s.dot*s.dot*m.n2 AND m.prio < s.prio)))"
         ),
         "rel_lineitem_agg": (
             "SELECT l_returnflag, l_linestatus, "

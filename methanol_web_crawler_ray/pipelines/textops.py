@@ -391,26 +391,35 @@ def _profile(text: str, n: int = 2) -> Dict[str, int]:
     return out
 
 
+LANG_ORDER = ("en", "de", "fr", "es", "sv", "zh")  # tie-break priority
+
+
 class LangId:
     """Character-bigram cosine against fixed per-language profiles
-    (built once per actor — the stateful-stage pattern)."""
+    (built once per actor — the stateful-stage pattern).
+
+    The argmax is INTEGER-EXACT: cosine(p, q_i) ordering over a fixed
+    document profile p reduces to ordering dot_i² / |q_i|² (the document
+    norm is a common factor), compared by cross-multiplication in
+    integers — no float in the decision, so the DuckDB oracle replicates
+    the prediction bit-for-bit.  Ties keep the earlier language in
+    LANG_ORDER."""
 
     def __init__(self):
-        self.profiles = {}
-        for lang, sample in _LANG_SAMPLES.items():
-            p = _profile(sample)
-            norm = np.sqrt(sum(v * v for v in p.values()))
-            self.profiles[lang] = (p, norm)
+        self.profiles = []
+        for lang in LANG_ORDER:
+            q = _profile(_LANG_SAMPLES[lang])
+            n2 = sum(v * v for v in q.values())  # |q|² (int)
+            self.profiles.append((lang, q, n2))
 
     def predict(self, text: str) -> str:
         p = _profile(text[:1000])
-        norm = np.sqrt(sum(v * v for v in p.values())) or 1.0
-        best, best_s = "en", -1.0
-        for lang, (q, qn) in self.profiles.items():
+        best, bd2, bn2 = None, 0, 1
+        for lang, q, n2 in self.profiles:
             dot = sum(v * q.get(g, 0) for g, v in p.items())
-            s = dot / (norm * qn)
-            if s > best_s:
-                best, best_s = lang, s
+            d2 = dot * dot
+            if best is None or d2 * bn2 > bd2 * n2:  # dot²/n2 strictly wins
+                best, bd2, bn2 = lang, d2, n2
         return best
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
@@ -428,33 +437,87 @@ def langid(sf_dir: str):
     )
 
 
+def write_langid_profiles(path: str) -> str:
+    """Materialize the per-language bigram profiles as Parquet (lang,
+    prio, gram, cnt, n2) for the DuckDB oracle."""
+    import pyarrow.parquet as pq
+
+    rows = {"lang": [], "prio": [], "gram": [], "cnt": [], "n2": []}
+    for prio, lang in enumerate(LANG_ORDER):
+        q = _profile(_LANG_SAMPLES[lang])
+        n2 = sum(v * v for v in q.values())
+        for g, c in q.items():
+            rows["lang"].append(lang)
+            rows["prio"].append(prio)
+            rows["gram"].append(g)
+            rows["cnt"].append(c)
+            rows["n2"].append(n2)
+    tbl = pa.table({
+        "lang": pa.array(rows["lang"], pa.string()),
+        "prio": pa.array(rows["prio"], pa.int32()),
+        "gram": pa.array(rows["gram"], pa.string()),
+        "cnt": pa.array(rows["cnt"], pa.int64()),
+        "n2": pa.array(rows["n2"], pa.int64()),
+    })
+    pq.write_table(tbl, path)
+    return path
+
+
 # ---------------------------------------------------------------------------
 # document fingerprint (rolling hash; rows-only oracle)
 
 
-def fingerprints(sf_dir: str, window: int = 16):
-    """(doc_id, fp): winnowed rolling-hash fingerprint — min of rolling
-    64-bit hashes over byte windows (Schleimer et al. winnowing idea)."""
+_WS_RE = re.compile(r"\s+")
+
+FP_K = 8  # k-gram length (chars, over normalized text)
+FP_W = 4  # winnowing window (grams)
+
+
+def winnow(text: str, k: int = FP_K, w: int = FP_W):
+    """Schleimer-Schwamberger-Wilkerson-Aiken winnowing (SIGMOD '03,
+    Fig. 5): hash every char k-gram of the normalized text, slide a
+    w-gram window, select the MIN hash per window (rightmost occurrence
+    on ties), dedupe (pos, hash).  Hash = lower-8-bytes-hex of md5 so
+    string MIN order is identical in the DuckDB oracle.  Returns sorted
+    [(pos_1based, fp_hex16)]."""
+    s = _WS_RE.sub(" ", text.lower())
+    n = len(s)
+    if n == 0:
+        return []
+    if n >= k:
+        hs = [hashlib.md5(s[i:i + k].encode()).hexdigest()[16:32]
+              for i in range(n - k + 1)]
+    else:
+        hs = [hashlib.md5(s.encode()).hexdigest()[16:32]]
+    m = len(hs)
+    sel = set()
+    if m < w:
+        mn = min(hs)
+        pos = max(i for i, h in enumerate(hs) if h == mn)
+        sel.add((pos + 1, mn))
+    else:
+        for end in range(w - 1, m):
+            lo = end - w + 1
+            mn = min(hs[lo:end + 1])
+            pos = max(i for i in range(lo, end + 1) if hs[i] == mn)
+            sel.add((pos + 1, mn))
+    return sorted(sel)
+
+
+def fingerprints(sf_dir: str):
+    """(doc_id, pos, fp): the winnowed fingerprint set per document —
+    the plagiarism/overlap-detection primitive.  Density ≈ 2/(w+1) of
+    the k-grams; SQL-oracled exactly (window-min + rightmost-tie join)."""
     def fp(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for t in df["text"]:
-            b = t.encode()
-            if len(b) < window:
-                out.append(int.from_bytes(
-                    hashlib.blake2b(b, digest_size=8).digest(), "little")
-                    - (1 << 63))
-                continue
-            best = None
-            # rolling window hashes, stride 8 for speed at identical output
-            for i in range(0, len(b) - window + 1, 8):
-                h = int.from_bytes(
-                    hashlib.blake2b(b[i:i + window], digest_size=8).digest(),
-                    "little")
-                if best is None or h < best:
-                    best = h
-            out.append(best - (1 << 63))
-        return pd.DataFrame({"doc_id": df["doc_id"],
-                             "fp": pd.Series(out, dtype="int64")})
+        ids, poss, fps = [], [], []
+        for doc_id, t in zip(df["doc_id"], df["text"]):
+            for pos, h in winnow(t):
+                ids.append(doc_id)
+                poss.append(pos)
+                fps.append(h)
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                             "pos": pd.Series(poss, dtype="int64"),
+                             "fp": pd.Series(fps, dtype="string")})
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         fp, batch_format="pandas"

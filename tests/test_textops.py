@@ -79,12 +79,22 @@ def test_langid_runs_deterministic(ray_session, sf_dir):
         assert l.predict(sample) == lang
 
 
-def test_fingerprints_deterministic(ray_session, sf_dir, docs):
-    fps = {r["doc_id"]: r["fp"] for r in textops.fingerprints(sf_dir).take_all()}
+def test_fingerprints_winnowing(ray_session, sf_dir, docs):
+    rows = textops.fingerprints(sf_dir).take_all()
+    fps = {}
+    for r in rows:
+        fps.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
     assert len(fps) == len(docs)
-    # same text ⇒ same fingerprint
+    # same text ⇒ same fingerprint set; and winnowing guarantees every
+    # window of FP_W consecutive grams contributes a selection, so gaps
+    # between selected positions are < FP_W
     by_text = {}
     for d in docs:
-        by_text.setdefault(d["text"], []).append(fps[d["doc_id"]])
+        by_text.setdefault(d["text"], []).append(frozenset(fps[d["doc_id"]]))
     for v in by_text.values():
         assert len(set(v)) == 1
+    some = sorted(p for p, _h in next(iter(fps.values())))
+    assert all(b - a <= textops.FP_W for a, b in zip(some, some[1:]))
+    # matches the pure-python reference on a few docs
+    for d in docs[:10]:
+        assert fps[d["doc_id"]] == set(textops.winnow(d["text"]))
