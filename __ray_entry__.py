@@ -282,6 +282,15 @@ def oracle_sql() -> dict[str, str]:
     pdir = _pages_dir("/root/testdata/sf0.01")
     stop = "('the','a','of','and','to')"
     langprof = textops.write_langid_profiles("/tmp/mwc_langid_profiles.parquet")
+    mhparams = textops.write_minhash_params("/tmp/mwc_minhash_params.parquet")
+    lshp = ann.write_lsh_planes("/tmp/mwc_lsh_planes_topk.parquet",
+                                ann.LSH_SEED, ann.LSH_TABLES, ann.LSH_PLANES)
+    ndp = ann.write_lsh_planes("/tmp/mwc_lsh_planes_nd.parquet",
+                               ann.ND_SEED, ann.ND_TABLES, ann.ND_PLANES)
+    emb_aug = ann.augmented_embeddings_path("/root/testdata/sf0.01")
+    from methanol_web_crawler_ray.pipelines import multimodal as _mm
+
+    media_dir = _mm.media_dir_for()
     return {
         "crawl_visits": (
             f"SELECT url, host, depth, round_num, seq FROM "
@@ -349,6 +358,67 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank "
             "FROM s) SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10"
         ),
+        # minhash-LSH dedup: md5-keyed 31-bit shingles, 64 exact integer
+        # permutations (a*x+b < 2^63 — no wrap on either side), 16x4
+        # banding replayed as band-vector equality, exact integer Jaccard
+        # verification (inter*5 >= union*4)
+        "doc_minhash_dedup": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '\\S+') AS toks FROM documents), "
+            "sh0 AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+            "list_transform(range(1, len(toks) - 1), i -> "
+            "toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' "
+            "|| toks[CAST(i AS INT) + 2]) "
+            "WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] "
+            "ELSE [] END AS grams FROM t), "
+            "sh AS (SELECT doc_id, list_distinct(list_transform(grams, "
+            "g -> CAST(md5_number_lower(g) & 2147483647::UBIGINT AS BIGINT)"
+            ")) AS xs FROM sh0), "
+            f"params AS (SELECT * FROM read_parquet('{mhparams}')), "
+            "mins AS (SELECT s.doc_id, p.i, MIN(p.a * u.x + p.b) AS v "
+            "FROM sh s, UNNEST(s.xs) AS u(x), params p "
+            "GROUP BY s.doc_id, p.i), "
+            "sigs AS (SELECT d.doc_id, p.i, "
+            "COALESCE(m.v, 9223372036854775807) AS v "
+            "FROM (SELECT doc_id FROM t) d CROSS JOIN params p "
+            "LEFT JOIN mins m ON m.doc_id = d.doc_id AND m.i = p.i), "
+            "bandv AS (SELECT doc_id, i // 4 AS band, "
+            "string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS bv "
+            "FROM sigs GROUP BY doc_id, i // 4), "
+            "cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb "
+            "FROM bandv a JOIN bandv b ON a.band = b.band AND a.bv = b.bv "
+            "AND a.doc_id < b.doc_id), "
+            "j AS (SELECT c.ida, c.idb, "
+            "len(list_intersect(sa.xs, sb.xs)) AS inter, "
+            "len(sa.xs) + len(sb.xs) - len(list_intersect(sa.xs, sb.xs)) "
+            "AS un FROM cand c JOIN sh sa ON sa.doc_id = c.ida "
+            "JOIN sh sb ON sb.doc_id = c.idb) "
+            f"SELECT idb AS doc_id, min(ida)::BIGINT AS dup_of FROM j "
+            f"WHERE inter * {textops.THRESH_DEN} >= un * {textops.THRESH_NUM} "
+            "GROUP BY idb"
+        ),
+        # simhash: md5-keyed Charikar fingerprints; the banded pipeline is
+        # COMPLETE for hamming<=3 (pigeonhole over 4x16-bit chunks), so the
+        # oracle is the straight all-pairs bit_count(xor)<=3 answer
+        "doc_simhash_pairs": (
+            "WITH toks AS (SELECT doc_id, unnest(list_distinct("
+            "regexp_extract_all(lower(text), '\\S+'))) AS tok "
+            "FROM documents), "
+            "th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks), "
+            "bits AS (SELECT doc_id, i AS bit, "
+            "SUM(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END)"
+            " AS v FROM th, UNNEST(range(64)) AS b(i) GROUP BY doc_id, i), "
+            "fp AS (SELECT doc_id, SUM(CASE WHEN v > 0 THEN "
+            "(1::UBIGINT << CAST(bit AS INT))::HUGEINT ELSE 0 END)"
+            " AS f FROM bits GROUP BY doc_id), "
+            "allfp AS (SELECT d.doc_id, COALESCE(fp.f, 0)::UBIGINT AS f "
+            "FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id), "
+            "pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb "
+            "FROM allfp a JOIN allfp b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.f, b.f)) <= 3) "
+            "SELECT idb AS doc_id, min(ida)::BIGINT AS dup_of "
+            "FROM pairs GROUP BY idb"
+        ),
         # winnowing fingerprints (SIGMOD'03 Fig.5): k-gram md5-hex hashes,
         # window-min with rightmost tie — replayed with a window function
         # + position-of-min join; short docs (< w grams / < k chars) take
@@ -404,6 +474,69 @@ def oracle_sql() -> dict[str, str]:
             "AND (m.dot*m.dot*s.n2 > s.dot*s.dot*m.n2 "
             "OR (m.dot*m.dot*s.n2 = s.dot*s.dot*m.n2 AND m.prio < s.prio)))"
         ),
+        # LSH top-k: bucket bits are signs of exact INTEGER dot products
+        # (quantized embeddings x integer planes), so candidacy replays
+        # identically; ranking reuses list_cosine_similarity like ann_topk
+        "ann_topk_lsh": (
+            "WITH qv AS (SELECT vec_id, CAST(i AS INT) AS dim, "
+            f"CAST(round(embedding[CAST(i AS INT) + 1] * {ann.QSCALE}) "
+            "AS BIGINT) AS q FROM embeddings, UNNEST(range(64)) AS d(i)), "
+            f"pl AS (SELECT * FROM read_parquet('{lshp}')), "
+            "dots AS (SELECT qv.vec_id, pl.tbl, pl.plane, "
+            "SUM(qv.q * pl.w) AS dot FROM qv JOIN pl ON pl.dim = qv.dim "
+            "GROUP BY qv.vec_id, pl.tbl, pl.plane), "
+            "bk AS (SELECT vec_id, tbl, SUM(CASE WHEN dot > 0 THEN "
+            "(1::BIGINT << CAST(plane AS INT)) ELSE 0 END) AS b "
+            "FROM dots GROUP BY vec_id, tbl), "
+            "qb AS (SELECT vec_id AS qid, tbl, b FROM bk WHERE vec_id < 5), "
+            f"pr AS (SELECT qid, tbl, xor(xor(b::UBIGINT, CASE WHEN i < "
+            f"{ann.LSH_PLANES} THEN (1::UBIGINT << CAST(i AS INT)) ELSE 0 "
+            f"END), CASE WHEN j < {ann.LSH_PLANES} THEN "
+            "(1::UBIGINT << CAST(j AS INT)) ELSE 0 END)::BIGINT AS pb "
+            f"FROM qb, UNNEST(range({ann.LSH_PLANES + 1})) AS a(i), "
+            f"UNNEST(range({ann.LSH_PLANES + 1})) AS c(j) "
+            f"WHERE i <= j AND (j = {ann.LSH_PLANES} OR i < j)), "
+            "cand AS (SELECT DISTINCT pr.qid, bk.vec_id FROM pr "
+            "JOIN bk ON bk.tbl = pr.tbl AND bk.b = pr.pb "
+            "WHERE bk.vec_id != pr.qid), "
+            "s AS (SELECT c.qid AS query_id, c.vec_id AS neighbor_id, "
+            "list_cosine_similarity(e.embedding, q.embedding) AS sim "
+            "FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id "
+            "JOIN embeddings q ON q.vec_id = c.qid), "
+            "r AS (SELECT query_id, neighbor_id, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank "
+            "FROM s) SELECT query_id, neighbor_id, rank FROM r "
+            "WHERE rank <= 10"
+        ),
+        # near-dup: same integer bucket replay over the augmented table
+        # (planted pairs at cosine ~0.995 vs threshold 0.98 — wide-margin
+        # float verification), bucket-size cap replicated
+        "embedding_neardup": (
+            f"WITH emb AS (SELECT * FROM read_parquet('{emb_aug}')), "
+            "qv AS (SELECT vec_id, CAST(i AS INT) AS dim, "
+            f"CAST(round(embedding[CAST(i AS INT) + 1] * {ann.QSCALE}) "
+            "AS BIGINT) AS q FROM emb, UNNEST(range(64)) AS d(i)), "
+            f"pl AS (SELECT * FROM read_parquet('{ndp}')), "
+            "dots AS (SELECT qv.vec_id, pl.tbl, pl.plane, "
+            "SUM(qv.q * pl.w) AS dot FROM qv JOIN pl ON pl.dim = qv.dim "
+            "GROUP BY qv.vec_id, pl.tbl, pl.plane), "
+            "bk AS (SELECT vec_id, tbl, SUM(CASE WHEN dot > 0 THEN "
+            "(1::BIGINT << CAST(plane AS INT)) ELSE 0 END) AS b "
+            "FROM dots GROUP BY vec_id, tbl), "
+            "hot AS (SELECT tbl, b FROM bk GROUP BY tbl, b "
+            f"HAVING count(*) > 1 AND count(*) <= {ann.ND_BUCKET_CAP}), "
+            "m AS (SELECT bk.* FROM bk JOIN hot ON hot.tbl = bk.tbl "
+            "AND hot.b = bk.b), "
+            "cand AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb "
+            "FROM m x JOIN m y ON x.tbl = y.tbl AND x.b = y.b "
+            "AND x.vec_id < y.vec_id), "
+            "v AS (SELECT c.ida, c.idb FROM cand c "
+            "JOIN emb a ON a.vec_id = c.ida JOIN emb b ON b.vec_id = c.idb "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) "
+            f">= {ann.ND_THRESHOLD}) "
+            "SELECT idb AS vec_id, min(ida)::BIGINT AS dup_of FROM v "
+            "GROUP BY idb"
+        ),
         "rel_lineitem_agg": (
             "SELECT l_returnflag, l_linestatus, "
             "sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty, "
@@ -435,9 +568,9 @@ def oracle_sql() -> dict[str, str]:
             "epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) "
             "AS gap FROM events) GROUP BY user_id"
         ),
-        # doc_minhash_dedup / doc_simhash_pairs / doc_langid /
-        # doc_fingerprints / ann_topk_lsh / embedding_neardup /
-        # media_decode: not SQL-expressible → rows-only check; their
-        # semantic oracles are brute-force pytest checks
-        # (tests/test_textops.py, tests/test_ann.py).
+        # media decode vs the generator's by-construction metadata
+        "media_decode": (
+            f"SELECT media_id, kind, dim_a, dim_b, body_len FROM "
+            f"read_parquet('{media_dir}/golden_decode.parquet')"
+        ),
     }

@@ -18,6 +18,8 @@ embedding: list<float>, label).
 
 from __future__ import annotations
 
+import os
+
 from ._util import rename as _rename
 from typing import Dict, List, Optional
 
@@ -108,47 +110,100 @@ def ann_topk(sf_dir: str, k: int = 10, n_queries: int = 5):
 
 
 # ---------------------------------------------------------------------------
-# LSH (random hyperplanes)
+# LSH (random hyperplanes) — INTEGER-EXACT bucketing
+#
+# Embeddings are quantized to q = round(v * 10^6)::int64 (exact: a float32
+# times 10^6 in float64 arithmetic is exact, and so is the round) and the
+# hyperplanes are small random INTEGER vectors, so a bucket bit is the sign
+# of an exact integer dot product — the DuckDB oracle computes the very
+# same buckets, bit for bit.  Ranking/verification then uses float cosine,
+# whose decisions have wide margins on this data (see each op's note).
 
-N_PLANES = 6  # few planes + radius-2 multiprobe: random-data neighbors
-# are weakly correlated, so recall needs generous probing
-
-
-def _planes(dim: int, n_planes: int = N_PLANES) -> np.ndarray:
-    rng = np.random.default_rng(4242)
-    return rng.standard_normal((n_planes, dim))
-
-
-def _bucket_of(M: np.ndarray, planes: np.ndarray) -> np.ndarray:
-    bits = (M @ planes.T) > 0  # (n, p)
-    return (bits * (1 << np.arange(planes.shape[0]))).sum(axis=1)
+QSCALE = 1_000_000
 
 
-def ann_topk_lsh(sf_dir: str, k: int = 10, n_queries: int = 5,
-                 multiprobe: int = 2):
-    """Approximate top-k: probe the query's hyperplane bucket (plus
-    single-bit-flip neighbors).  Recall measured in tests vs ann_topk."""
+def _quantize(M: np.ndarray) -> np.ndarray:
+    return np.round(M.astype(np.float64) * QSCALE).astype(np.int64)
+
+
+def _int_planes(seed: int, n_tables: int, n_planes: int,
+                dim: int) -> np.ndarray:
+    """(n_tables, n_planes, dim) int64 in [-1000, 1000]."""
+    rng = np.random.default_rng(seed)
+    p = rng.integers(-1000, 1001, size=(n_tables, n_planes, dim))
+    return p.astype(np.int64)
+
+
+def _int_buckets(Q: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, n_tables) int64 bucket ids; bit j of table t = (Q·W_tj > 0).
+    |dot| ≤ dim·10^6·1000 < 2^63: exact int64."""
+    n_tables, n_planes, _dim = planes.shape
+    out = np.empty((Q.shape[0], n_tables), dtype=np.int64)
+    for t in range(n_tables):
+        bits = (Q @ planes[t].T) > 0  # (n, P) exact integer matmul
+        out[:, t] = (bits.astype(np.int64)
+                     << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+    return out
+
+
+def write_lsh_planes(path: str, seed: int, n_tables: int, n_planes: int,
+                     dim: int = 64) -> str:
+    """Materialize plane constants as Parquet (tbl, plane, dim, w) for
+    the DuckDB oracle."""
+    import pyarrow.parquet as pq
+
+    p = _int_planes(seed, n_tables, n_planes, dim)
+    t_, pl_, d_, w_ = [], [], [], []
+    for t in range(n_tables):
+        for j in range(n_planes):
+            for d in range(dim):
+                t_.append(t)
+                pl_.append(j)
+                d_.append(d)
+                w_.append(int(p[t, j, d]))
+    pq.write_table(pa.table({
+        "tbl": pa.array(t_, pa.int32()),
+        "plane": pa.array(pl_, pa.int32()),
+        "dim": pa.array(d_, pa.int32()),
+        "w": pa.array(w_, pa.int64()),
+    }), path)
+    return path
+
+
+# ann_topk_lsh configuration (shared with the oracle)
+LSH_SEED = 4242
+LSH_TABLES = 2
+LSH_PLANES = 8
+
+
+def _probe_set(b: int, n_planes: int) -> set:
+    """Radius-2 multiprobe: the bucket, all 1-bit flips, all 2-bit flips."""
+    s = {b}
+    for i in range(n_planes):
+        s.add(b ^ (1 << i))
+        for j in range(i + 1, n_planes):
+            s.add(b ^ (1 << i) ^ (1 << j))
+    return s
+
+
+def ann_topk_lsh(sf_dir: str, k: int = 10, n_queries: int = 5):
+    """Approximate top-k: 2 hash tables of 8 integer hyperplanes each,
+    radius-2 multiprobe; candidates ranked by exact cosine.  Bucketing is
+    integer-exact (identical in the DuckDB oracle); the cosine ranking
+    has ≫1e-9 gaps on this data, so the ranks replay identically too.
+    Recall vs ann_topk is measured in tests — approximate by design."""
     import ray
     import ray.data
 
     queries = load_queries(sf_dir, n_queries)
     dim = len(next(iter(queries.values())))
-    planes = _planes(dim)
+    planes = _int_planes(LSH_SEED, LSH_TABLES, LSH_PLANES, dim)
 
-    # probe set per query
-    probe: Dict[int, set] = {}
+    probe: Dict[int, List[set]] = {}
     for qid, v in queries.items():
-        b = int(_bucket_of(v[None, :], planes)[0])
-        s = {b}
-        if multiprobe >= 1:
-            for bit in range(N_PLANES):
-                s.add(b ^ (1 << bit))
-        if multiprobe >= 2:
-            for i in range(N_PLANES):
-                for j in range(i + 1, N_PLANES):
-                    s.add(b ^ (1 << i) ^ (1 << j))
-        probe[qid] = s
-    all_buckets = set().union(*probe.values())
+        bks = _int_buckets(_quantize(v[None, :]), planes)[0]
+        probe[qid] = [_probe_set(int(bks[t]), LSH_PLANES)
+                      for t in range(LSH_TABLES)]
     queries_ref = ray.put((queries, planes, probe))
 
     class Probe:
@@ -157,26 +212,27 @@ def ann_topk_lsh(sf_dir: str, k: int = 10, n_queries: int = 5,
             self.qids = sorted(self.queries)
             self.Q = _normalize(np.stack([self.queries[i] for i in self.qids]))
             self.k = k
-            self.buckets = set().union(*self.probe.values())
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             M = _to_matrix(df["embedding"])
-            bk = _bucket_of(M, self.planes)
-            mask = np.isin(bk, list(self.buckets))
+            bks = _int_buckets(_quantize(M), self.planes)  # (n, T)
+            ids = df["vec_id"].to_numpy()
             out = {"query_id": [], "vec_id": [], "sim": []}
-            if not mask.any():
-                return pd.DataFrame(out)
-            Mn = _normalize(M[mask])
-            ids = df["vec_id"].to_numpy()[mask]
-            bks = bk[mask]
-            sims = Mn @ self.Q.T
+            sims = None
             for qi, qid in enumerate(self.qids):
-                pb = self.probe[qid]
-                for i in range(ids.shape[0]):
-                    if int(bks[i]) in pb and int(ids[i]) != qid:
-                        out["query_id"].append(qid)
-                        out["vec_id"].append(int(ids[i]))
-                        out["sim"].append(float(sims[i, qi]))
+                psets = self.probe[qid]
+                mask = np.zeros(ids.shape[0], dtype=bool)
+                for t in range(LSH_TABLES):
+                    mask |= np.isin(bks[:, t], list(psets[t]))
+                mask &= ids != qid
+                if not mask.any():
+                    continue
+                if sims is None:
+                    sims = _normalize(M) @ self.Q.T
+                for i in np.where(mask)[0]:
+                    out["query_id"].append(qid)
+                    out["vec_id"].append(int(ids[i]))
+                    out["sim"].append(float(sims[i, qi]))
             return pd.DataFrame(out)
 
     partial = _read_emb(sf_dir).map_batches(
@@ -199,47 +255,146 @@ def ann_topk_lsh(sf_dir: str, k: int = 10, n_queries: int = 5,
     )
 
 
-def embedding_neardup(sf_dir: str, threshold: float = 0.98):
-    """(vec_id, dup_of): cosine ≥ threshold pairs via LSH buckets —
-    shingle-free near-dup for embedded corpora."""
+# embedding_neardup configuration (shared with the oracle)
+ND_SEED = 777
+ND_TABLES = 6
+ND_PLANES = 12
+ND_THRESHOLD = 0.98
+ND_BUCKET_CAP = 2000  # skip degenerate buckets (replicated in the oracle)
+ND_PLANT_EVERY = 25   # augmented table: every 25th vec gets a near-dup
+
+
+def augmented_embeddings_path(sf_dir: str) -> str:
+    """The near-dup benchmark table: the sf embeddings plus a planted
+    near-duplicate (cosine ≈ 0.995) for every ND_PLANT_EVERY-th vector,
+    ids offset by 1e6.  Deterministic; written once; both the Ray
+    pipeline and the DuckDB oracle read THIS file — the fixture gives the
+    operator a non-empty, verifiable answer (random sf embeddings have no
+    pairs at near-dup thresholds)."""
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tbl = pq.read_table(src)
+    n = tbl.num_rows
+    out = f"/tmp/mwc_emb_aug-{os.path.basename(os.path.normpath(sf_dir))}-{n}.parquet"
+    if os.path.exists(out):
+        return out
+    ids = tbl.column("vec_id").to_numpy()
+    M = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in tbl.column("embedding").to_pylist()])
+    rng = np.random.default_rng(20260817)
+    sel = np.arange(0, n, ND_PLANT_EVERY)
+    # per-dim sigma 0.012 → ||noise|| ≈ 0.096 → cosine ≈ 0.9954 against
+    # the unit-norm source: comfortably above ND_THRESHOLD, comfortably
+    # below 1 (a genuine near-dup, not an exact copy)
+    noise = rng.standard_normal((sel.shape[0], M.shape[1])) * 0.012
+    dup = M[sel] + noise
+    dup = dup / np.linalg.norm(dup, axis=1, keepdims=True)
+    all_ids = np.concatenate([ids, ids[sel] + 1_000_000])
+    all_vecs = np.concatenate([M, dup]).astype(np.float32)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(all_ids, pa.int64()),
+        "embedding": pa.array(list(all_vecs), pa.list_(pa.float32())),
+    }), out + ".tmp")
+    os.replace(out + ".tmp", out)
+    return out
+
+
+def embedding_neardup(sf_dir: str, threshold: float = ND_THRESHOLD):
+    """(vec_id, dup_of): cosine ≥ threshold pairs over the augmented
+    embeddings table, via banded multi-table integer LSH (6 tables × 12
+    planes — P(candidate | cos 0.98) ≈ 0.97) with a bucket-size cap,
+    exact-cosine verification, dup_of = smallest verified partner.
+
+    The oracle replays the SAME buckets (integer-exact), so LSH misses —
+    possible by design — can never produce a mismatch; planted-pair
+    recall is asserted separately in tests.  Scale shape: bucket rows are
+    (tbl, bucket, vec_id) triples, pair-gen runs in map_groups over hot
+    buckets only, verification joins vectors back by id — nothing
+    corpus-sized on the driver."""
+    import pyarrow.compute as pc
     import ray.data
 
-    ds = _read_emb(sf_dir)
+    path = augmented_embeddings_path(sf_dir)
+    ds = ray.data.read_parquet(path)
+    planes = _int_planes(ND_SEED, ND_TABLES, ND_PLANES, 64)
 
-    # bucket stage (vectorized)
-    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
         M = _to_matrix(df["embedding"])
-        planes = _planes(M.shape[1], 8)  # coarser: 8 planes → 256 buckets
-        return pd.DataFrame(
-            {
-                "vec_id": df["vec_id"],
-                "bucket": _bucket_of(M, planes).astype("int64"),
-                "embedding": df["embedding"],
-            }
-        )
-
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        M = _normalize(_to_matrix(df["embedding"]))
+        bks = _int_buckets(_quantize(M), planes)  # (n, T)
         ids = df["vec_id"].to_numpy()
-        order = np.argsort(ids)
-        M, ids = M[order], ids[order]
-        sims = M @ M.T
-        a, b = [], []
-        n = ids.shape[0]
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sims[i, j] >= threshold:
-                    a.append(int(ids[i]))
-                    b.append(int(ids[j]))
-        return pd.DataFrame({"dup_of": a, "vec_id": b})
+        T = bks.shape[1]
+        return pd.DataFrame({
+            "vec_id": np.repeat(ids, T).astype(np.int64),
+            "tbl": np.tile(np.arange(T, dtype=np.int64), ids.shape[0]),
+            "bucket": bks.reshape(-1),
+        })
 
-    out = ds.map_batches(bucket, batch_format="pandas") \
-            .groupby("bucket").map_groups(pairs, batch_format="pandas")
-    if out.count() == 0:
-        import ray.data
+    rows = ds.map_batches(bucketize, batch_format="pandas").materialize()
+    counts = rows.groupby(["tbl", "bucket"]).count()
+    hot = counts.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater(t.column("count()"), 1),
+                    pc.less_equal(t.column("count()"), ND_BUCKET_CAP))),
+        batch_format="pyarrow",
+    ).take_all()
+    empty = ray.data.from_arrow(pa.table(
+        {"vec_id": pa.array([], pa.int64()),
+         "dup_of": pa.array([], pa.int64())}))
+    if not hot:
+        return empty
+    hotset = {(h["tbl"], h["bucket"]) for h in hot}
+    members = rows.map_batches(
+        lambda t, hs=hotset: t.filter(pa.array(
+            [(a, b) in hs for a, b in zip(t.column("tbl").to_pylist(),
+                                          t.column("bucket").to_pylist())])),
+        batch_format="pyarrow",
+    )
 
-        return ray.data.from_arrow(pa.table(
-            {"vec_id": pa.array([], pa.int64()),
-             "dup_of": pa.array([], pa.int64())}))
-    res = out.groupby("vec_id").min("dup_of")
+    def pairgen(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(df["vec_id"].to_numpy())
+        iu, ju = np.triu_indices(ids.shape[0], k=1)
+        return pd.DataFrame({"id_a": ids[iu].astype(np.int64),
+                             "id_b": ids[ju].astype(np.int64)})
+
+    pairs = members.groupby(["tbl", "bucket"]).map_groups(
+        pairgen, batch_format="pandas").materialize()
+    if pairs.count() == 0:
+        return empty
+    pairs = pairs.groupby(["id_a", "id_b"]).count() \
+        .drop_columns(["count()"]).materialize()
+
+    def packed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "vec_id": df["vec_id"],
+            "v": [np.asarray(e, dtype=np.float32).tobytes()
+                  for e in df["embedding"]],
+        })
+
+    vecs = ds.map_batches(packed, batch_format="pandas").materialize()
+    both = pairs.join(
+        _rename(vecs, {"vec_id": "id_a", "v": "v_a"}),
+        join_type="inner", num_partitions=8, on=("id_a",),
+    ).join(
+        _rename(vecs, {"vec_id": "id_b", "v": "v_b"}),
+        join_type="inner", num_partitions=8, on=("id_b",),
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        keep_a, keep_b = [], []
+        for a_id, b_id, va, vb in zip(df["id_a"], df["id_b"],
+                                      df["v_a"], df["v_b"]):
+            a = np.frombuffer(va, dtype=np.float32).astype(np.float64)
+            b = np.frombuffer(vb, dtype=np.float32).astype(np.float64)
+            cos = float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+            if cos >= threshold:
+                keep_a.append(int(a_id))
+                keep_b.append(int(b_id))
+        return pd.DataFrame({"dup_of": pd.Series(keep_a, dtype="int64"),
+                             "vec_id": pd.Series(keep_b, dtype="int64")})
+
+    verified = both.map_batches(verify, batch_format="pandas").materialize()
+    if verified.count() == 0:
+        return empty
+    res = verified.groupby("vec_id").min("dup_of")
     return _rename(res, {"min(dup_of)": "dup_of"})

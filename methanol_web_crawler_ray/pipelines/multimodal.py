@@ -50,9 +50,14 @@ def fake_decode(payload: bytes):
     return KINDS[kid], a, b, payload[16:]
 
 
-def gen_media_table(n: int = 64) -> pa.Table:
-    """Deterministic synthetic media table (index arithmetic, no RNG)."""
+def gen_media_table(n: int = 64):
+    """Deterministic synthetic media table (index arithmetic, no RNG).
+    Returns (media, golden_decode): the generator KNOWS each payload's
+    metadata, so the expected decode output is emitted by construction —
+    the decode stage is then a genuine end-to-end check, not a
+    self-comparison."""
     ids, kinds, payloads = [], [], []
+    g_a, g_b, g_len = [], [], []
     for i in range(n):
         kind = KINDS[i % 3]
         if kind == "image":
@@ -67,18 +72,31 @@ def gen_media_table(n: int = 64) -> pa.Table:
         ids.append(i)
         kinds.append(kind)
         payloads.append(fake_encode(kind, a, b, body))
-    return pa.table({"media_id": ids, "kind": kinds, "payload": payloads},
-                    schema=MEDIA_SCHEMA)
+        g_a.append(a)
+        g_b.append(b)
+        g_len.append(len(body))
+    media = pa.table({"media_id": ids, "kind": kinds, "payload": payloads},
+                     schema=MEDIA_SCHEMA)
+    golden = pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "kind": pa.array(kinds, pa.string()),
+        "dim_a": pa.array(g_a, pa.int64()),
+        "dim_b": pa.array(g_b, pa.int64()),
+        "body_len": pa.array(g_len, pa.int64()),
+    })
+    return media, golden
 
 
 def media_dir_for(base: str = "/tmp/mwc_media", n: int = 64) -> str:
     import pyarrow.parquet as pq
 
-    out = os.path.join(base, str(n))
+    out = os.path.join(base, f"{n}-v2")
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
         os.makedirs(out, exist_ok=True)
-        pq.write_table(gen_media_table(n), os.path.join(out, "media.parquet"))
+        media, golden = gen_media_table(n)
+        pq.write_table(media, os.path.join(out, "media.parquet"))
+        pq.write_table(golden, os.path.join(out, "golden_decode.parquet"))
         open(marker, "w").write("ok")
     return out
 

@@ -134,38 +134,43 @@ K_HASHES = 64
 N_BANDS = 16  # 16 bands × 4 rows: s-curve threshold (1/16)^(1/4)≈0.5,
 # recall at jaccard 0.8 is 1-(1-0.8^4)^16 ≈ 0.9998 — a dedup pass must not
 # miss true dups; precision is restored by exact verification
-_MERSENNE = (1 << 61) - 1
+THRESH_NUM, THRESH_DEN = 4, 5  # default jaccard threshold 4/5, compared
+# in INTEGERS (inter*DEN >= union*NUM) so Ray and DuckDB decide identically
+_SIG_EMPTY = np.iinfo(np.int64).max  # signature of a shingle-less doc
 
 
 def _hash_params(k: int = K_HASHES) -> Tuple[np.ndarray, np.ndarray]:
+    # 31-bit multipliers over 31-bit shingle keys: a*x+b < 2^63 is EXACT
+    # in uint64 numpy AND in DuckDB HUGEINT — the signatures are
+    # bit-identical across both implementations
     rng = np.random.default_rng(1234)  # fixed: signatures are deterministic
-    a = rng.integers(1, np.iinfo(np.uint64).max, size=k, dtype=np.uint64) | 1
-    b = rng.integers(0, np.iinfo(np.uint64).max, size=k, dtype=np.uint64)
+    a = rng.integers(1, 1 << 31, size=k, dtype=np.uint64)
+    b = rng.integers(0, 1 << 31, size=k, dtype=np.uint64)
     return a, b
 
 
 def shingle_hashes(text: str, w: int = 3) -> np.ndarray:
+    """DISTINCT word-w-gram keys: md5 lower-8-bytes (DuckDB
+    md5_number_lower) masked to 31 bits, sorted int64."""
     toks = _TOKEN_RE.findall(text.lower())
     if len(toks) < w:
         grams = [" ".join(toks)] if toks else []
     else:
         grams = [" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)]
-    out = np.unique(np.array(
-        [int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
-                        "little") & 0x7FFFFFFFFFFFFFFF for g in grams],
+    if not grams:
+        return np.array([], dtype=np.int64)
+    return np.unique(np.array(
+        [int.from_bytes(hashlib.md5(g.encode()).digest()[8:], "little")
+         & 0x7FFFFFFF for g in grams],
         dtype=np.int64,
-    )) if grams else np.array([], dtype=np.int64)
-    return out
+    ))
 
 
 def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     if sh.size == 0:
-        return np.full(a.shape[0], np.iinfo(np.int64).max, dtype=np.int64)
-    # universal-ish hashing in wrapping uint64 arithmetic (a odd) — one
-    # vectorized multiply-add per (hash fn × shingle), no bigint math
+        return np.full(a.shape[0], _SIG_EMPTY, dtype=np.int64)
     x = sh.astype(np.uint64)
-    with np.errstate(over="ignore"):
-        vals = x[None, :] * a[:, None] + b[:, None]
+    vals = x[None, :] * a[:, None] + b[:, None]  # < 2^63: exact, no wrap
     return vals.min(axis=1).view(np.int64)
 
 
@@ -201,106 +206,176 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 0.0
 
 
-def minhash_dedup(sf_dir: str, threshold: float = 0.8):
+def minhash_dedup(sf_dir: str, thresh_num: int = THRESH_NUM,
+                  thresh_den: int = THRESH_DEN, num_partitions: int = 8):
     """(doc_id, dup_of): docs whose verified shingle-Jaccard with an
-    earlier doc ≥ threshold.  shingle→minhash→band→bucket-groupby →
-    candidate pairs → exact verification."""
+    earlier doc ≥ thresh_num/thresh_den, dup_of = smallest such partner.
+
+    Every stage is distributed — nothing corpus-sized touches the driver:
+      shingle→minhash→band (map_batches, stateful)
+      → bucket collision detection (aggregate-then-probe: groupby count,
+        never a task per singleton bucket)
+      → pair generation inside map_groups over HOT buckets only
+      → pair dedup (groupby)
+      → semi-join candidate ids back to the docs table (hash join) and
+        compute shingle sets for CANDIDATE docs only
+      → pairs ⋈ shingles ⋈ shingles (hash joins) → vectorized integer
+        Jaccard verification → groupby min.
+    The decision inter*den ≥ union*num is integer-exact, so the DuckDB
+    oracle reproduces the result bit-for-bit."""
     import ray
     import ray.data
 
     docs = _read_docs(sf_dir, ["doc_id", "text"])
-    # Bucket membership is computed once and kept (16 small rows/doc).
-    # Collision detection uses groupby().count() — a sort-based AGGREGATE,
-    # never map_groups: LSH buckets are overwhelmingly singletons, and a
-    # per-group task for each of them is pathological (one Ray task per
-    # unique (band, hash)).  Only the rare >1 buckets are then collected.
     bands = docs.map_batches(MinHashBands, batch_format="pandas",
                              concurrency=2).materialize()
     counts = bands.groupby("bk").count()
     hot = counts.map_batches(
         lambda t: t.filter(pc.greater(t.column("count()"), 1)),
         batch_format="pyarrow",
-    ).take_all()
+    ).take_all()  # collision KEYS only — bounded by true collisions
+    empty = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "dup_of": pa.array([], pa.int64())}))
     if not hot:
-        return ray.data.from_arrow(pa.table(
-            {"doc_id": pa.array([], pa.int64()),
-             "dup_of": pa.array([], pa.int64())}))
+        return empty
     hot_arr = pa.array([h["bk"] for h in hot], pa.string())
-
     members = bands.map_batches(
         lambda t: t.filter(pc.is_in(t.column("bk"), value_set=hot_arr)),
         batch_format="pyarrow",
-    ).take_all()  # collision rows only — small by construction
-    buckets: Dict[Tuple, List[int]] = {}
-    for m in members:
-        buckets.setdefault(m["bk"], []).append(m["doc_id"])
-    pair_set = set()
-    for ids in buckets.values():
-        ids = sorted(ids)
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pair_set.add((ids[i], ids[j]))
-    if not pair_set:
-        return ray.data.from_arrow(pa.table(
-            {"doc_id": pa.array([], pa.int64()),
-             "dup_of": pa.array([], pa.int64())}))
-    pair_list = sorted(pair_set)
-    pairs = ray.data.from_arrow(pa.table(
-        {"id_a": pa.array([p[0] for p in pair_list], pa.int64()),
-         "id_b": pa.array([p[1] for p in pair_list], pa.int64())}))
-
-    # verification: broadcast the texts once (small side at test scale; a
-    # 100 TB corpus would semi-join candidates back to the docs table)
-    texts = {r["doc_id"]: r["text"] for r in docs.take_all()}
-    texts_ref = ray.put(texts)
-
-    class Verify:
-        def __init__(self, ref, thr):
-            self.texts = ray.get(ref)
-            self.thr = thr
-            self.cache: Dict[int, np.ndarray] = {}
-
-        def sh(self, i):
-            v = self.cache.get(i)
-            if v is None:
-                v = shingle_hashes(self.texts[i])
-                self.cache[i] = v
-            return v
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            keep_a, keep_b = [], []
-            for x, y in zip(df["id_a"], df["id_b"]):
-                if jaccard(self.sh(int(x)), self.sh(int(y))) >= self.thr:
-                    keep_a.append(int(x))
-                    keep_b.append(int(y))
-            return pd.DataFrame({"dup_of": keep_a, "doc_id": keep_b})
-
-    verified = pairs.map_batches(
-        Verify, fn_constructor_args=(texts_ref, threshold),
-        batch_format="pandas", concurrency=2,
     )
-    # doc marked dup of its SMALLEST verified partner
+
+    def pairgen(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(df["doc_id"].to_numpy())
+        iu, ju = np.triu_indices(ids.shape[0], k=1)
+        return pd.DataFrame({"id_a": ids[iu].astype(np.int64),
+                             "id_b": ids[ju].astype(np.int64)})
+
+    pairs = members.groupby("bk").map_groups(
+        pairgen, batch_format="pandas").materialize()
+    if pairs.count() == 0:
+        return empty
+    # a pair colliding in several bands appears once (dedup shuffle on the
+    # pair key — 16 bytes/row); materialized: consumed by cand_ids AND the
+    # verification join (lazy re-execution would redo the band shuffle)
+    pairs = pairs.groupby(["id_a", "id_b"]).count() \
+        .drop_columns(["count()"]).materialize()
+
+    # shingle sets for CANDIDATE docs only: ids ← pairs (distinct),
+    # semi-joined against the docs table — the join ships candidate TEXT
+    # rows only, never the corpus
+    cand_ids = pairs.select_columns(["id_a"]).union(
+        _rename(pairs.select_columns(["id_b"]), {"id_b": "id_a"})
+    ).groupby("id_a").count().drop_columns(["count()"])
+    cand_docs = docs.join(_rename(cand_ids, {"id_a": "doc_id"}),
+                          join_type="inner",
+                          num_partitions=num_partitions, on=("doc_id",))
+
+    def to_shingles(df: pd.DataFrame) -> pd.DataFrame:
+        # packed int64 bytes: Arrow hash joins reject list-typed payload
+        # columns, binary passes through
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "sh": [shingle_hashes(t).astype("<i8").tobytes()
+                   for t in df["text"]],
+        })
+
+    # materialized: probed by BOTH sides of the pair join
+    shingles = cand_docs.map_batches(to_shingles,
+                                     batch_format="pandas").materialize()
+
+    both = pairs.join(
+        _rename(shingles, {"doc_id": "id_a", "sh": "sh_a"}),
+        join_type="inner", num_partitions=num_partitions, on=("id_a",),
+    ).join(
+        _rename(shingles, {"doc_id": "id_b", "sh": "sh_b"}),
+        join_type="inner", num_partitions=num_partitions, on=("id_b",),
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        keep_a, keep_b = [], []
+        for a_id, b_id, sa, sb in zip(df["id_a"], df["id_b"],
+                                      df["sh_a"], df["sh_b"]):
+            sa = set(np.frombuffer(sa, dtype="<i8"))
+            sb = set(np.frombuffer(sb, dtype="<i8"))
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if inter * thresh_den >= union * thresh_num:
+                keep_a.append(int(a_id))
+                keep_b.append(int(b_id))
+        return pd.DataFrame({"dup_of": pd.Series(keep_a, dtype="int64"),
+                             "doc_id": pd.Series(keep_b, dtype="int64")})
+
+    verified = pairs_empty_guard(
+        both.map_batches(verify, batch_format="pandas").materialize())
+    if verified is None:
+        return empty
     out = verified.groupby("doc_id").min("dup_of")
     return _rename(out, {"min(dup_of)": "dup_of"})
+
+
+def pairs_empty_guard(ds):
+    """None when the dataset is empty (count is cheap on a mapped set)."""
+    return ds if ds.count() else None
+
+
+def write_minhash_params(path: str) -> str:
+    """Materialize the (i, a, b) minhash permutation constants as Parquet
+    for the DuckDB oracle (the same _hash_params the Ray stage uses)."""
+    import pyarrow.parquet as pq
+
+    a, b = _hash_params()
+    pq.write_table(
+        pa.table({
+            "i": pa.array(range(K_HASHES), pa.int32()),
+            "a": pa.array(a.astype(np.int64), pa.int64()),
+            "b": pa.array(b.astype(np.int64), pa.int64()),
+        }),
+        path,
+    )
+    return path
 
 
 # ---------------------------------------------------------------------------
 # SimHash near-dup (Charikar '02 / Manku et al. '07)
 
 
+def _tok_hash64_batch(toks: List[str]) -> np.ndarray:
+    """md5 lower-8-bytes little-endian per token — DuckDB's
+    ``md5_number_lower`` exactly."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(t.encode()).digest()[8:], "little")
+         for t in toks),
+        dtype=np.uint64, count=len(toks),
+    )
+
+
 def simhash64(text: str) -> int:
-    v = np.zeros(64, dtype=np.int64)
-    for tok in set(_TOKEN_RE.findall(text.lower())):
-        h = int.from_bytes(
-            hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
-        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-        v += bits * 2 - 1
-    return int("".join("1" if x > 0 else "0" for x in v[::-1]), 2)
+    """Charikar SimHash over DISTINCT whitespace tokens, md5-keyed.
+    Vectorized: one unpackbits over the token-hash matrix, one column
+    sum — no per-token Python bit loop."""
+    toks = sorted(set(_TOKEN_RE.findall(text.lower())))
+    if not toks:
+        return 0
+    hs = _tok_hash64_batch(toks)
+    bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1,
+                         bitorder="little")  # (n_tok, 64)
+    v = bits.astype(np.int32).sum(axis=0) * 2 - len(toks)
+    b = (v > 0).astype(np.uint64)
+    return int((b << np.arange(64, dtype=np.uint64)).sum())
 
 
 def simhash_pairs(sf_dir: str, max_hamming: int = 3):
-    """(doc_id, dup_of): pairs whose 64-bit SimHash differs in ≤
-    max_hamming bits, found via 4×16-bit sub-fingerprint buckets."""
+    """(doc_id, dup_of): for each doc with at least one EARLIER doc at
+    SimHash hamming distance ≤ max_hamming, the smallest such partner.
+
+    COMPLETE by construction for max_hamming ≤ 3: any pair differing in
+    ≤3 of 64 bits agrees on ≥1 of the 4 16-bit chunks (pigeonhole —
+    Manku-Jain-Sarma '07 block-permutation scheme), so chunk buckets are
+    a guaranteed candidate superset and the result equals the all-pairs
+    answer the DuckDB oracle computes.  Collision detection is
+    aggregate-then-probe (no task per singleton bucket); pair generation
+    runs DISTRIBUTED in map_groups over the hot buckets only."""
     import ray.data
 
     docs = _read_docs(sf_dir, ["doc_id", "text"])
@@ -316,10 +391,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
                 out["sim"].append(np.int64(s - (1 << 63)))  # store signed
         return pd.DataFrame(out)
 
-    import ray.data
-
-    # same aggregate-then-probe pattern as minhash_dedup: never a Ray
-    # task per (mostly singleton) bucket
+    # aggregate-then-probe: never a Ray task per (mostly singleton) bucket
     sigs = docs.map_batches(sig, batch_format="pandas").materialize()
     counts = sigs.groupby(["chunk", "chunk_val"]).count()
     hot = counts.map_batches(
@@ -337,31 +409,32 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
                                           t.column("chunk_val").to_pylist())]
         )),
         batch_format="pyarrow",
-    ).take_all()
-    buckets: Dict[Tuple, List[Tuple[int, int]]] = {}
-    for m in members:
-        buckets.setdefault((m["chunk"], m["chunk_val"]), []).append(
-            (int(m["doc_id"]), int(m["sim"]))
-        )
-    pair_set = set()
-    for rows in buckets.values():
-        rows = sorted(rows)
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                x = (rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)
-                if bin(x).count("1") <= max_hamming:
-                    pair_set.add((rows[i][0], rows[j][0]))
-    if not pair_set:
+    )
+
+    def pairgen(df: pd.DataFrame) -> pd.DataFrame:
+        """All qualifying pairs within ONE hot bucket (vectorized xor +
+        popcount over the bucket's fingerprint vector)."""
+        ids = df["doc_id"].to_numpy()
+        sims = df["sim"].to_numpy().astype(np.int64).view(np.uint64)
+        order = np.argsort(ids)
+        ids, sims = ids[order], sims[order]
+        n = ids.shape[0]
+        x = sims[None, :] ^ sims[:, None]
+        ham = np.unpackbits(x.view(np.uint8).reshape(n * n, 8),
+                            axis=1).sum(axis=1).reshape(n, n)
+        iu, ju = np.where(np.triu(ham <= max_hamming, k=1))
+        return pd.DataFrame({"dup_of": ids[iu].astype(np.int64),
+                             "doc_id": ids[ju].astype(np.int64)})
+
+    pairs = members.groupby(["chunk", "chunk_val"]).map_groups(
+        pairgen, batch_format="pandas"
+    ).materialize()
+    if pairs.count() == 0:
         return ray.data.from_arrow(pa.table(
             {"doc_id": pa.array([], pa.int64()),
              "dup_of": pa.array([], pa.int64())}))
-    best: Dict[int, int] = {}
-    for a, b in sorted(pair_set):
-        if b not in best or a < best[b]:
-            best[b] = a
-    return ray.data.from_arrow(pa.table(
-        {"doc_id": pa.array(sorted(best), pa.int64()),
-         "dup_of": pa.array([best[k] for k in sorted(best)], pa.int64())}))
+    out = pairs.groupby("doc_id").min("dup_of")
+    return _rename(out, {"min(dup_of)": "dup_of"})
 
 
 # ---------------------------------------------------------------------------

@@ -53,10 +53,26 @@ def test_ann_lsh_recall(ray_session, sf_dir, emb):
     assert sum(recalls) / len(recalls) >= 0.25
 
 
-def test_embedding_neardup_genuine(ray_session, sf_dir, emb):
-    ids, M = emb
+def test_embedding_neardup_planted(ray_session, sf_dir):
+    """Every reported pair is a genuine >= threshold pair of the
+    augmented table, and the planted near-dups (cosine ~0.995) are
+    recalled by the banded multi-table LSH."""
+    aug = pq.read_table(ann.augmented_embeddings_path(sf_dir)).to_pylist()
+    ids = np.array([r["vec_id"] for r in aug])
+    M = np.array([r["embedding"] for r in aug], dtype=np.float64)
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
     idx = {int(i): k for k, i in enumerate(ids)}
-    for r in ann.embedding_neardup(sf_dir, threshold=0.9).take_all():
+
+    got = ann.embedding_neardup(sf_dir).take_all()
+    assert got, "planted near-dups must produce a non-empty result"
+    found_pairs = set()
+    for r in got:
         a, b = idx[int(r["dup_of"])], idx[int(r["vec_id"])]
-        assert float(Mn[a] @ Mn[b]) >= 0.9
+        assert float(Mn[a] @ Mn[b]) >= ann.ND_THRESHOLD
+        found_pairs.add((int(r["dup_of"]), int(r["vec_id"])))
+    # recall of planted pairs (source id, source id + 1e6); banded LSH at
+    # 6x12 has ~0.97 per-pair candidate probability
+    planted = [(int(i), int(i) + 1_000_000) for i in ids
+               if int(i) < 1_000_000 and int(i) % ann.ND_PLANT_EVERY == 0]
+    hit = sum(1 for p in planted if p in found_pairs)
+    assert hit / len(planted) >= 0.8
