@@ -7,52 +7,70 @@ refresh / training-data harvesting over a frozen pages table — ordering
 inside a host is irrelevant and the whole crawl collapses into the
 classic Ray Data shape (SURVEY.md §3.5):
 
-  frontier_d ⋈ pages                  # J1 — the frontier is broadcast
-                                      #   (ray.put once per wave) and each
-                                      #   store block filters itself with a
-                                      #   vectorized Arrow is_in; the pages
-                                      #   side never moves
-  → parse/extract/classify            # M1-M11 + F1-F4, one fused pass
-  → seen anti-join (sharded actors)   # T1/J2, batched per block
-  → robots filter (broadcast rules)   # M13/J3
-  → frontier_{d+1}; pages stream to Parquet sinks          # S8-S10
+  frontier_w (PARQUET, distributed)      # never a driver list
+    → map_batches(BucketWave)            # NO shuffle: each batch probes
+                                         #   its rows' store buckets as
+                                         #   zero-copy shared-memory Arrow
+                                         #   tables (vectorized is_in)
+    → parse/extract/classify             # M1-M11 + F1-F4, one fused pass
+    → seen anti-join (sharded actors)    # T1/J2, batched per shard
+    → robots filter (broadcast rules)    # M13/J3
+    → wave parquet, hive-partitioned by kind (pages/targets/links)
+  frontier_{w+1} = wave=w/kind=link      # read back directly — the
+                                         #   directory is the filter
 
-Performance notes (measured against the first implementation):
-  * ONE fused map_batches per wave (filter+parse+classify+seen+robots)
-    instead of four chained stages — one execution, one materialize;
-  * plain TASK UDFs with process-level caches (ftindex, robots filters,
-    frontier set) instead of actor pools — Ray reuses worker processes, so
-    the cache is warm and there is no per-wave actor startup;
-  * the store is read from Parquet once and kept materialized in the
-    object store across waves (zero-copy blocks, spillable).
+Every wave checkpoints (frontier parquet + seen-shard snapshots +
+_COMPLETE marker), so a killed bulk crawl resumes from the last complete
+wave — the same per-partition lineage contract as the rounds engine.
+
+Scale notes:
+  * the driver holds only counters; frontier and outputs live in Parquet
+    (a 10^10-URL frontier is fine — it is partitioned by host bucket).
+  * each store bucket is loaded ONCE into the object store as an Arrow
+    table; wave tasks probe it zero-copy from shared memory (one
+    resident, spillable copy per node — no per-process page dicts).
+  * skew: there is no per-bucket task granularity at all — frontier
+    batches split by size, so a mega-host's rows fan out over many
+    batches that all probe the same shared bucket table.
 
 Differences from the ordered engine, by design: no politeness budgets or
-per-host sequencing (all hosts in parallel, one wave per depth); seen-set
-winners under concurrency are nondeterministic but the visited SET equals
-the ordered engine's set when crawled to the same depth with no budget
-truncation (tested); redirects and fetch-misses are skipped, not visited.
+per-host sequencing; seen-set winners under concurrency are
+nondeterministic but the PAGE SET equals the ordered engine's (tested,
+external=False and external=True with both clear_external_on_activate
+settings); redirects and fetch-misses are skipped, not visited.
+External semantics mirror the kernel faithfully: an external link enters
+the frontier at depth 0 flagged `ext`; with
+``clear_external_on_activate=False`` the activated page's extracted
+children inherit LM_URL_EXTERNAL (url.c:297) and are seen-added but
+never followed (the reference's one-level quirk); with the flag True
+they crawl normally with fresh depth accounting.
 """
 
 from __future__ import annotations
 
+import os
 import pickle
 import time
 from typing import Dict, List, Optional, Sequence
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
 
 from ..config import EngineConfig
 from ..functions.matchkit import DISCARD, FTIndex, POSSIBLE_MATCH
 from ..functions.parsechain import AttrList, parse_chain_spec, run_chain
 from ..functions.robots import parse_robots
 from ..functions.urlkit import URL, resolve, url_set
-from ..state.seen import shard_of
+from ..state.seen import shard_of, stable_hash64
 from .hostloop import url_hash
+from dataclasses import replace as dc_replace
 
 OUT_SCHEMA = pa.schema(
     [
-        ("kind", pa.string()),  # 'link' (frontier candidate) | 'page'
+        ("kind", pa.string()),  # 'link' (frontier candidate) | 'page' | 'target'
+        ("bucket", pa.int32()),  # the row's host's store bucket
         ("url", pa.string()),
         ("host", pa.string()),
         ("depth", pa.int32()),
@@ -62,6 +80,15 @@ OUT_SCHEMA = pa.schema(
         ("text", pa.large_binary()),
         ("title", pa.large_binary()),
         ("url_hash", pa.string()),
+    ]
+)
+
+FRONTIER_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("url", pa.string()),
+        ("depth", pa.int32()),
+        ("is_external", pa.bool_()),  # activated-external row (kernel flag)
     ]
 )
 
@@ -92,7 +119,7 @@ def _get_ref(ref):
     if v is None:
         v = ray.get(ref)
         _REF_CACHE[key] = v
-        if len(_REF_CACHE) > 8:
+        if len(_REF_CACHE) > 64:
             _REF_CACHE.pop(next(iter(_REF_CACHE)))
     return v
 
@@ -113,11 +140,34 @@ def _get_robots(robots_ref, user_agent: str):
     return v
 
 
-def make_wave_fn(cfg_blob: bytes, crawler: Optional[str], depth: int,
-                 frontier_ref, robots_ref, seen_actors, keep_external: bool,
-                 emit_text: bool = True):
-    """The fused per-wave UDF (plain task function; all state cached at
-    process level or broadcast via object refs)."""
+def load_bucket_refs(store_dir: str, num_buckets: int) -> Dict[int, object]:
+    """Load every store bucket ONCE into the object store as an Arrow
+    table (parallel tasks).  Wave tasks ray.get their bucket ZERO-COPY
+    from shared memory — no per-process page dicts, no reload thrash; one
+    resident (spillable) copy per node, exactly like a materialized
+    Dataset, but addressable by bucket."""
+    import ray
+
+    @ray.remote(num_cpus=0.5)
+    def _load(b: int) -> pa.Table:
+        d = pads.dataset(store_dir, partitioning="hive")
+        return d.to_table(
+            filter=pc.field("bucket") == b,
+            columns=["url", "status", "content_type", "body"],
+        )
+
+    return {b: _load.remote(b) for b in range(num_buckets)}
+
+
+def make_bucket_wave_fn(cfg_blob: bytes, crawler: Optional[str],
+                        bucket_refs, robots_ref, seen_actors,
+                        keep_external: bool, depth_limit: int,
+                        num_buckets: int,
+                        emit_text: bool = True):
+    """map_groups UDF over ONE frontier group (bucket·salt slice): probe
+    the bucket's shared-memory Arrow table for the group's frontier rows
+    (vectorized is_in filter, zero-copy), parse, extract, classify,
+    seen-anti-join — the fused per-wave kernel."""
 
     num_shards = len(seen_actors)
 
@@ -125,37 +175,44 @@ def make_wave_fn(cfg_blob: bytes, crawler: Optional[str], depth: int,
         import ray
 
         cfg, cr, idx = _get_ctx(cfg_blob, crawler)
-        frontier: set = _get_ref(frontier_ref)
         robots = _get_robots(robots_ref, cfg.user_agent)
+        # batches may mix buckets (no shuffle anywhere): probe each
+        # DISTINCT bucket's shared-memory table once, vectorized
+        pages = {}
+        for bucket in pc.unique(batch.column("bucket")).to_pylist():
+            tbl = _get_ref(bucket_refs[bucket])  # zero-copy plasma table
+            sub = tbl.filter(pc.is_in(tbl.column("url"),
+                                      value_set=batch.column("url")))
+            for u, st, c, b in zip(sub.column("url").to_pylist(),
+                                   sub.column("status").to_pylist(),
+                                   sub.column("content_type").to_pylist(),
+                                   sub.column("body").to_pylist()):
+                pages[u] = (st, c, b)
+        clear_ext = cfg.clear_external_on_activate
 
-        # --- J1: filter this store block down to frontier rows (vectorized)
-        mask = pc.is_in(batch.column("url"),
-                        value_set=pa.array(list(frontier), pa.string())) \
-            if len(frontier) < 100_000 else None
-        if mask is not None:
-            batch = batch.filter(mask)
-        else:  # very large frontier: python-set membership is faster to ship
-            sel = [u in frontier for u in batch.column("url").to_pylist()]
-            batch = batch.filter(pa.array(sel))
-        if batch.num_rows == 0:
-            return pa.table({f.name: [] for f in OUT_SCHEMA},
-                            schema=OUT_SCHEMA)
-
-        # --- parse + extract + classify
         out: Dict[str, list] = {f.name: [] for f in OUT_SCHEMA}
         link_hosts: List[str] = []
         link_keys: List[str] = []
-        link_idx: List[int] = []
+        link_idx: List[Optional[int]] = []  # None: seen-add only, no row
 
-        for url, body, ctype, status in zip(
+        for url, depth, ext in zip(
             batch.column("url").to_pylist(),
-            batch.column("body").to_pylist(),
-            batch.column("content_type").to_pylist(),
-            batch.column("status").to_pylist(),
+            batch.column("depth").to_pylist(),
+            batch.column("is_external").to_pylist(),
         ):
+            row = pages.get(url)
+            if row is None:
+                continue  # fetch miss (M_FAILED): no parse
+            status, ctype, body = row
             base = url_set(url)
             if base is None:
                 continue
+            # activated-external page: children combine from an EXTERNAL
+            # base (url.c:297 flag inheritance) unless the daemon-mode
+            # clear flag is on
+            inherited = bool(ext) and not clear_ext
+            if inherited:
+                base = dc_replace(base, is_external=True)
             ft = idx.match_by_url(base)
             if ft in (DISCARD, POSSIBLE_MATCH) or not ft.has_parser:
                 continue
@@ -184,6 +241,8 @@ def make_wave_fn(cfg_blob: bytes, crawler: Optional[str], depth: int,
                     # through the seen pool like every extracted URL
                     link_idx.append(len(out["url"]))
                     out["kind"].append("target")
+                    out["bucket"].append(
+                        stable_hash64(u.host_norm) % num_buckets)
                     out["url"].append(u.s)
                     out["host"].append(u.host_norm)
                     out["depth"].append(depth + 1)
@@ -197,16 +256,38 @@ def make_wave_fn(cfg_blob: bytes, crawler: Optional[str], depth: int,
                     link_keys.append(key)
                     continue
                 if u.is_external and not keep_external:
+                    continue  # no candidate machinery at all
+                if u.is_external and inherited:
+                    # one-level quirk: children of an activated-external
+                    # page re-park onto their own already-active host and
+                    # are lost — but the reference DOES seen-add them
+                    # (merge pass 1), so do the add without emitting a row
+                    link_hosts.append(u.host_norm)
+                    link_keys.append(key)
+                    link_idx.append(None)
                     continue
+                if u.is_external:
+                    next_depth = 0  # fresh host activates at depth 0
+                else:
+                    next_depth = depth + 1
+                    if next_depth >= depth_limit:
+                        # beyond the limit: seen-added at extraction time
+                        # (urlengine.c adds before the depth check) but
+                        # never crawled
+                        link_hosts.append(u.host_norm)
+                        link_keys.append(key)
+                        link_idx.append(None)
+                        continue
                 # robots (M13): evaluated before the URL enters the frontier
                 f = robots.get(u.host_norm)
                 if f is not None and not f.eval_url(u):
                     continue
                 link_idx.append(len(out["url"]))
                 out["kind"].append("link")
+                out["bucket"].append(stable_hash64(u.host_norm) % num_buckets)
                 out["url"].append(u.s)
                 out["host"].append(u.host_norm)
-                out["depth"].append(depth + 1)
+                out["depth"].append(next_depth)
                 out["seen_key"].append(key)
                 out["filetype"].append(cft.name)
                 out["is_external"].append(bool(u.is_external))
@@ -217,12 +298,13 @@ def make_wave_fn(cfg_blob: bytes, crawler: Optional[str], depth: int,
                 link_keys.append(key)
 
             out["kind"].append("page")
+            out["bucket"].append(stable_hash64(base.host_norm) % num_buckets)
             out["url"].append(url)
             out["host"].append(base.host_norm)
             out["depth"].append(depth)
             out["seen_key"].append(None)
             out["filetype"].append(ft.name)
-            out["is_external"].append(None)
+            out["is_external"].append(bool(ext))
             # emit_text=False: metadata-only output (url_hash certifies the
             # bytes) for IO-free throughput measurement
             out["text"].append(buf if emit_text else None)
@@ -242,7 +324,7 @@ def make_wave_fn(cfg_blob: bytes, crawler: Optional[str], depth: int,
             drop = set()
             for s, idxs in by_shard.items():
                 for i, ok in zip(idxs, ray.get(futs[s])):
-                    if not ok:
+                    if not ok and link_idx[i] is not None:
                         drop.add(link_idx[i])
             if drop:
                 keep = [i for i in range(len(out["url"])) if i not in drop]
@@ -250,13 +332,12 @@ def make_wave_fn(cfg_blob: bytes, crawler: Optional[str], depth: int,
 
         return pa.table(out, schema=OUT_SCHEMA)
 
+    wave.__name__ = "BucketWave"
     return wave
 
 
 def load_robots_map(store_dir: str) -> Dict[str, str]:
     """All /robots.txt rows → {host: body} (fetched once per host, S6)."""
-    import pyarrow.dataset as pads
-
     d = pads.dataset(store_dir, partitioning="hive")
     tbl = d.to_table(
         filter=pc.match_substring(pc.field("url"), "/robots.txt"),
@@ -267,6 +348,33 @@ def load_robots_map(store_dir: str) -> Dict[str, str]:
         if r["url"] == f"http://{r['host']}/robots.txt":
             out[r["host"]] = (r["body"] or b"").decode("utf-8", "surrogateescape")
     return out
+
+
+def waves_path(out_dir: str) -> str:
+    """The hive-partitioned pages/links/targets output (read this)."""
+    return os.path.join(out_dir, "waves")
+
+
+def _frontier_dir(out_dir: str, w: int) -> str:
+    return os.path.join(out_dir, "frontiers", f"frontier_{w:04d}")
+
+
+def _wave_dir(out_dir: str, w: int) -> str:
+    return os.path.join(waves_path(out_dir), f"wave={w}")
+
+
+def _ckpt_dir(out_dir: str, w: int) -> str:
+    return os.path.join(out_dir, "ckpt", f"wave_{w:04d}")
+
+
+def _count_rows(path: str, flt=None) -> int:
+    if not os.path.isdir(path):
+        return 0
+    try:
+        d = pads.dataset(path)
+    except Exception:
+        return 0
+    return d.count_rows(filter=flt) if flt is not None else d.count_rows()
 
 
 def crawl_bfs(
@@ -284,11 +392,12 @@ def crawl_bfs(
     batch_size: int = 512,
     use_robots: bool = True,
     emit_text: bool = True,
+    max_waves: int = 10000,
+    resume: bool = False,
 ) -> Dict[str, float]:
-    """Run the BFS bulk crawl; writes pages Parquet per depth under
-    out_dir and returns throughput stats."""
-    import os
-
+    """Run the BFS bulk crawl; writes wave Parquet + frontier Parquet +
+    seen snapshots per wave under out_dir (resumable) and returns
+    throughput stats."""
     import ray
     import ray.data
 
@@ -307,70 +416,128 @@ def crawl_bfs(
     if use_robots and cr.robotstxt:
         robots_ref = ray.put(load_robots_map(store_dir))
 
-    # the store stays resident (and spillable) across waves, split into
-    # enough blocks that every wave can use the whole CPU pool even when
-    # frontier rows cluster in few host buckets (the mega-host skew)
-    n_blocks = max(64, int(ray.cluster_resources().get("CPU", 8)) * 8)
-    store_ds = ray.data.read_parquet(
-        store_dir, columns=["url", "status", "content_type", "body"],
-        override_num_blocks=n_blocks,
-    ).materialize()
+    def frontier_table(rows) -> pa.Table:
+        # rows: (url, host, depth, ext)
+        bk, urls, depths, exts = [], [], [], []
+        for u, h, d, e in rows:
+            bk.append(stable_hash64(h) % num_buckets)
+            urls.append(u)
+            depths.append(d)
+            exts.append(e)
+        return pa.table({
+            "bucket": pa.array(bk, pa.int32()),
+            "url": pa.array(urls, pa.string()),
+            "depth": pa.array(depths, pa.int32()),
+            "is_external": pa.array(exts, pa.bool_()),
+        }, schema=FRONTIER_SCHEMA)
 
-    seed_urls = []
-    for h, urls in plan_seed_hosts(cfg, seeds, crawler).items():
-        for u in urls:
-            parsed = url_set(u if "://" in u else "http://" + u)
-            if parsed is not None:
-                seed_urls.append((parsed.s, parsed.host_norm, parsed.seen_key))
-    grouped: Dict[str, List[str]] = {}
-    for _s, h, k in seed_urls:
-        grouped.setdefault(h, []).append(k)
-    pool.try_add_grouped(grouped)
+    start_wave = 0
+    ckpt_root = os.path.join(out_dir, "ckpt")
+    if resume and os.path.isdir(ckpt_root):
+        done = sorted(
+            int(d.split("_")[1]) for d in os.listdir(ckpt_root)
+            if d.startswith("wave_")
+            and os.path.exists(os.path.join(ckpt_root, d, "_COMPLETE"))
+        )
+        if done:
+            last = done[-1]
+            blobs = []
+            for i in range(num_shards):
+                with open(os.path.join(_ckpt_dir(out_dir, last),
+                                       f"seen_{i}.bin"), "rb") as f:
+                    blobs.append(f.read())
+            pool.restore(blobs)
+            start_wave = last + 1
 
-    frontier: List[str] = [s for s, _h, _k in seed_urls]
-    stats = {"pages_parsed": 0, "links_extracted": 0,
-             "frontier_urls": len(frontier)}
-    stats["setup_sec"] = time.time() - t0  # store load/bucketing, pool, robots
+    if start_wave == 0:
+        os.makedirs(out_dir, exist_ok=True)
+        seed_rows = []
+        grouped: Dict[str, List[str]] = {}
+        for h, urls in plan_seed_hosts(cfg, seeds, crawler).items():
+            for u in urls:
+                parsed = url_set(u if "://" in u else "http://" + u)
+                if parsed is not None:
+                    seed_rows.append((parsed.s, parsed.host_norm, 0, False))
+                    grouped.setdefault(parsed.host_norm, []).append(
+                        parsed.seen_key)
+        pool.try_add_grouped(grouped)
+        fd0 = _frontier_dir(out_dir, 0)
+        os.makedirs(fd0, exist_ok=True)
+        pq.write_table(frontier_table(seed_rows),
+                       os.path.join(fd0, "part-0.parquet"))
+
+    stats = {"pages_parsed": 0, "links_extracted": 0, "frontier_urls": 0}
+    # fold stats from waves completed before a resume
+    for w in range(0, start_wave):
+        wd = _wave_dir(out_dir, w)
+        stats["pages_parsed"] += _count_rows(os.path.join(wd, "kind=page"))
+        stats["links_extracted"] += _count_rows(os.path.join(wd, "kind=link"))
+    stats["frontier_urls"] = stats["links_extracted"] + \
+        _count_rows(_frontier_dir(out_dir, 0))
+    stats["setup_sec"] = time.time() - t0
     t_loop = time.time()
 
-    import pyarrow.dataset as pads
+    bucket_refs = load_bucket_refs(store_dir, num_buckets)
+    wave_fn = make_bucket_wave_fn(cfg_blob, crawler, bucket_refs,
+                                  robots_ref, pool.actors, cr.external,
+                                  depth_limit, num_buckets, emit_text)
+
+    def _frontier_ds(w: int):
+        """Wave w's frontier: the seed parquet at w=0, else the PREVIOUS
+        wave's kind=link hive partition read straight from its parquet
+        (the wave fn already emitted bucket) — no separate frontier
+        write, no filter scan (the directory IS the filter)."""
+        if w == 0:
+            fdir = _frontier_dir(out_dir, 0)
+            if _count_rows(fdir) == 0:
+                return None
+            return ray.data.read_parquet(fdir)
+        prev = os.path.join(_wave_dir(out_dir, w - 1), "kind=link")
+        if _count_rows(prev) == 0:
+            return None
+        return ray.data.read_parquet(
+            prev, columns=["bucket", "url", "depth", "is_external"],
+        )
 
     wave_times = []
-    depth = 0
-    while frontier and depth < depth_limit:
+    w = start_wave
+    import shutil as _sh
+
+    while w < max_waves:
+        frontier = _frontier_ds(w)
+        if frontier is None:
+            break
         t_wave = time.time()
-        frontier_ref = ray.put(set(frontier))
-        wave = make_wave_fn(cfg_blob, crawler, depth, frontier_ref,
-                            robots_ref, pool.actors, cr.external, emit_text)
-        # ONE streamed execution per wave: map → write (pages, links and
-        # targets all land in the wave dir; no mid-pipeline materialize)
-        wave_dir = os.path.join(out_dir, f"wave={depth}")
-        store_ds.map_batches(
-            wave, batch_format="pyarrow", batch_size=batch_size,
-            num_cpus=1,
-        ).write_parquet(wave_dir)
+        wdir = _wave_dir(out_dir, w)
+        _sh.rmtree(wdir, ignore_errors=True)
+        # ONE map-only execution per wave (NO shuffle: batches may mix
+        # buckets, the wave fn probes each bucket table zero-copy; the
+        # hive write partitions outputs by kind).  max_retries=0: seen
+        # adds are not idempotent; a failed wave resumes from the last
+        # complete wave's snapshots.
+        frontier.map_batches(
+            wave_fn, batch_format="pyarrow", batch_size=batch_size,
+            num_cpus=1, max_retries=0,
+        ).write_parquet(wdir, partition_cols=["kind"])
+        n_links = _count_rows(os.path.join(wdir, "kind=link"))
 
-        # next frontier + counts come from a plain local Arrow read of the
-        # just-written wave (kind/url columns only).  A wave whose frontier
-        # was all misses writes nothing (no dir).
-        import os as _os
+        # checkpoint: seen snapshots + completion marker (resume lineage)
+        cdir = _ckpt_dir(out_dir, w)
+        _sh.rmtree(cdir, ignore_errors=True)
+        os.makedirs(cdir, exist_ok=True)
+        for i, blob in enumerate(pool.snapshots()):
+            with open(os.path.join(cdir, f"seen_{i}.bin"), "wb") as f:
+                f.write(blob)
+        with open(os.path.join(cdir, "_COMPLETE"), "w") as f:
+            f.write("ok")
 
-        if _os.path.isdir(wave_dir):
-            wd = pads.dataset(wave_dir)
-            link_tbl = wd.to_table(filter=pc.field("kind") == "link",
-                                   columns=["url"])
-            n_pages = wd.count_rows(filter=pc.field("kind") == "page")
-            frontier = link_tbl.column("url").to_pylist()
-        else:
-            n_pages = 0
-            frontier = []
-
+        n_pages = _count_rows(os.path.join(wdir, "kind=page"))
         stats["pages_parsed"] += n_pages
-        stats["links_extracted"] += len(frontier)
-        stats["frontier_urls"] += len(frontier)
-        wave_times.append(
-            (depth, round(time.time() - t_wave, 2), n_pages, len(frontier)))
-        depth += 1
+        stats["links_extracted"] += n_links
+        stats["frontier_urls"] += n_links
+        wave_times.append((w, round(time.time() - t_wave, 2),
+                           n_pages, n_links))
+        w += 1
 
     stats["crawl_sec"] = time.time() - t_loop  # the scaling-relevant part
     stats["elapsed_sec"] = time.time() - t0

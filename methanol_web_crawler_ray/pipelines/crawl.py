@@ -145,10 +145,27 @@ class HostTurnStep:
         self.crawler = crawler
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        host = df["host"].iloc[0]
+        # deferred fast path — NO unpickle, no fetcher: a state row whose
+        # due-round (column n, from the politeness clock) is beyond this
+        # round re-emits unchanged; its turn would be an exact no-op
+        # (run_turn returns before popping anything).  Routing deferred
+        # hosts through the same groupby replaces the old separate
+        # due/deferred filter executions per round.
+        if len(df) == 1 and df["kind"].iloc[0] == "state":
+            n_due = df["n"].iloc[0]
+            if n_due is not None and not pd.isna(n_due) \
+                    and int(n_due) > self.round_num:
+                row = {f: df[f].iloc[0] for f in RESULT_FIELDS}
+                for f in ("depth", "seq", "n", "src_seq"):
+                    row[f] = None if pd.isna(row[f]) else int(row[f])
+                for f in ("url", "src_host", "name"):
+                    if row[f] is not None and pd.isna(row[f]):
+                        row[f] = None
+                return _rows_table([row])
         self.cfg, self.fetch = _turn_ctx(self.cfg_blob, self.store_dir,
                                          self.num_buckets)
         self.pool = _PoolFacade(self.actors)
-        host = df["host"].iloc[0]
         state = None
         seeds: Optional[List[str]] = None
         arrivals: Optional[List[Tuple]] = None
@@ -318,47 +335,44 @@ def crawl_rounds(
         work = ray.data.from_arrow(_rows_table(rows))
 
     # The work flow is DATASET-NATIVE end to end: host states stream
-    # Parquet → (filter) → groupby(host) shuffle → Parquet.  The driver
-    # holds only row counts and round numbers — at 10^8-host scale the
-    # state table never materializes in driver memory.
+    # Parquet → groupby(host) shuffle → Parquet.  The driver holds only a
+    # handful of per-round scalars (active states, earliest due round,
+    # candidate count) folded from one cheap pass over the round's
+    # materialized result blocks — at 10^8-host scale the state table
+    # never materializes in driver memory.
+    #
+    # Per-round Ray executions (the old loop ran 4-6): ONE heavy
+    # groupby(host) turn pass (deferred hosts route through it on a
+    # no-unpickle fast path), one summary fold, and — only in rounds that
+    # produced external candidates — one shard-groupby merge.
     import pyarrow.compute as pc
 
-    def _due_expr(tbl: pa.Table, rnd: int):
-        is_state = pc.equal(tbl.column("kind"), "state")
-        return pc.fill_null(
-            pc.or_kleene(
-                pc.invert(is_state),
-                pc.less_equal(pc.fill_null(tbl.column("n"), 0), rnd),
-            ),
-            True,
-        )
+    def _summarize(t: pa.Table) -> pa.Table:
+        is_state = pc.equal(t.column("kind"), "state")
+        active = pc.and_kleene(
+            is_state, pc.invert(pc.equal(t.column("name"), "exhausted")))
+        act_n = t.filter(pc.fill_null(active, False)).column("n")
+        n_cand = pc.sum(
+            pc.cast(pc.equal(t.column("kind"), "cand"), pa.int64())
+        ).as_py() or 0
+        n_active = len(act_n)
+        min_due = pc.min(act_n).as_py() if n_active else None
+        return pa.table({
+            "n_active": pa.array([n_active], pa.int64()),
+            "min_due": pa.array([min_due], pa.int64()),
+            "n_cand": pa.array([n_cand], pa.int64()),
+        })
 
+    ext_on = cfg.crawlers[crawler or cfg.default_crawler].external
     r = start_round
+    first = True
     while r < max_rounds and work is not None:
-        work = work.materialize()
-        if work.count() == 0:
-            break
-
-        # politeness deferral: hosts whose clock is past this round's
-        # window would no-op — split them out; if NOTHING is due, fast-
-        # forward to the earliest due round (skipped rounds are empty in
-        # the sequential model too, so visit rounds/seqs are unaffected)
-        # due/deferred are cheap lazy filters over the materialized work
-        # blocks — no extra materialization pass
-        due = work.map_batches(
-            lambda t, rnd=r: t.filter(_due_expr(t, rnd)),
-            batch_format="pyarrow",
-        )
-        if due.count() == 0:
-            nxt = work.min("n")
-            if nxt is None or nxt >= max_rounds:
+        if first:
+            # entry/resume: one count to know whether there is work at all
+            work = work.materialize()
+            if work.count() == 0:
                 break
-            r = max(r, int(nxt))
-            continue
-        deferred = work.map_batches(
-            lambda t, rnd=r: t.filter(pc.invert(_due_expr(t, rnd))),
-            batch_format="pyarrow",
-        )
+            first = False
 
         round_dir = os.path.join(ckpt_dir, f"round_{r:04d}")
 
@@ -375,40 +389,49 @@ def crawl_rounds(
 
                 _sh.rmtree(round_dir, ignore_errors=True)
                 os.makedirs(round_dir, exist_ok=True)
-                # deferred states checkpoint WITH the round (resume lineage)
-                deferred.write_parquet(os.path.join(round_dir, "deferred"))
 
-                results = due.groupby("host").map_groups(
+                results = work.groupby("host").map_groups(
                     HostTurnStep(cfg_blob, store_dir, num_buckets,
                                  pool.actors, r, crawler),
                     batch_format="pandas",
                     num_cpus=1,
                     max_retries=0,
-                )
+                ).materialize()
                 _write_round(results, round_dir)
 
-                # round barrier: merge external candidates per shard
-                # (kind=cand rows carry shard id in `seq`); candidates
-                # stream Parquet → shard-groupby → Parquet, never through
-                # the driver
-                cand_ds = _read_kind_ds(round_dir, "cand")
-                if cand_ds is not None and cand_ds.count():
+                # one summary fold over the materialized result blocks —
+                # replaces the old count()/min() probe executions
+                summ = results.map_batches(
+                    _summarize, batch_format="pyarrow").take_all()
+                n_active = sum(s["n_active"] for s in summ)
+                n_cand = sum(s["n_cand"] for s in summ)
+                dues = [s["min_due"] for s in summ
+                        if s["min_due"] is not None]
+                min_due = min(dues) if dues else None
+
+                arrivals_scheduled = False
+                if n_cand:
+                    # round barrier: merge external candidates per shard
+                    # (kind=cand rows carry shard id in `seq`); candidates
+                    # stream result-blocks → shard-groupby → Parquet,
+                    # never through the driver
+                    cand_ds = _read_kind_ds(round_dir, "cand")
                     arrivals = cand_ds.groupby("seq").map_groups(
                         MergeStep(cfg_blob, pool.actors),
                         batch_format="pandas",
                         num_cpus=0.5,
                         max_retries=0,
                     )
-                    # Arrival rows only SCHEDULE when the active crawler has
-                    # external=True — simulate_rounds gates new_hosts the
-                    # same way, and the reference pops pending hosts only
-                    # under LM_CRFLAG_EXTERNAL (worker.c:255).  The merge
-                    # itself always runs: its ordered seen/registry adds are
-                    # part of the seen-set semantics in both modes.
-                    sub = ("arrivals" if
-                           cfg.crawlers[crawler or cfg.default_crawler].external
-                           else "arrivals_unscheduled")
+                    # Arrival rows only SCHEDULE when the active crawler
+                    # has external=True — simulate_rounds gates new_hosts
+                    # the same way, and the reference pops pending hosts
+                    # only under LM_CRFLAG_EXTERNAL (worker.c:255).  The
+                    # merge itself always runs: its ordered seen/registry
+                    # adds are part of the seen-set semantics.
+                    sub = "arrivals" if ext_on else "arrivals_unscheduled"
+                    arrivals = arrivals.materialize()
                     arrivals.write_parquet(os.path.join(round_dir, sub))
+                    arrivals_scheduled = ext_on and arrivals.count() > 0
                 break
             except Exception:
                 if attempt == 2:
@@ -436,8 +459,17 @@ def crawl_rounds(
                     if os.path.exists(sp):
                         os.remove(sp)
 
+        if n_active == 0 and not arrivals_scheduled:
+            break
         work = _work_ds(round_dir)
-        r += 1
+        # politeness fast-forward: with no freshly-scheduled arrivals
+        # (those are due immediately), the next round anything happens in
+        # is the earliest state due-round — skipped rounds are empty in
+        # the sequential model too, so visit rounds/seqs are unaffected
+        if arrivals_scheduled or min_due is None:
+            r += 1
+        else:
+            r = max(r + 1, int(min_due))
 
     pool.shutdown()
     return ckpt_dir

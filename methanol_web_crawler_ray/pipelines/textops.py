@@ -253,23 +253,9 @@ def minhash_dedup(sf_dir: str, thresh_num: int = THRESH_NUM,
 
     pairs = members.groupby("bk").map_groups(
         pairgen, batch_format="pandas").materialize()
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return empty
-    # a pair colliding in several bands appears once (dedup shuffle on the
-    # pair key — 16 bytes/row); materialized: consumed by cand_ids AND the
-    # verification join (lazy re-execution would redo the band shuffle)
-    pairs = pairs.groupby(["id_a", "id_b"]).count() \
-        .drop_columns(["count()"]).materialize()
-
-    # shingle sets for CANDIDATE docs only: ids ← pairs (distinct),
-    # semi-joined against the docs table — the join ships candidate TEXT
-    # rows only, never the corpus
-    cand_ids = pairs.select_columns(["id_a"]).union(
-        _rename(pairs.select_columns(["id_b"]), {"id_b": "id_a"})
-    ).groupby("id_a").count().drop_columns(["count()"])
-    cand_docs = docs.join(_rename(cand_ids, {"id_a": "doc_id"}),
-                          join_type="inner",
-                          num_partitions=num_partitions, on=("doc_id",))
 
     def to_shingles(df: pd.DataFrame) -> pd.DataFrame:
         # packed int64 bytes: Arrow hash joins reject list-typed payload
@@ -280,34 +266,85 @@ def minhash_dedup(sf_dir: str, thresh_num: int = THRESH_NUM,
                    for t in df["text"]],
         })
 
-    # materialized: probed by BOTH sides of the pair join
-    shingles = cand_docs.map_batches(to_shingles,
-                                     batch_format="pandas").materialize()
+    def jge(sa_b: bytes, sb_b: bytes) -> bool:
+        sa = set(np.frombuffer(sa_b, dtype="<i8"))
+        sb = set(np.frombuffer(sb_b, dtype="<i8"))
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        return inter * thresh_den >= union * thresh_num
 
-    both = pairs.join(
-        _rename(shingles, {"doc_id": "id_a", "sh": "sh_a"}),
-        join_type="inner", num_partitions=num_partitions, on=("id_a",),
-    ).join(
-        _rename(shingles, {"doc_id": "id_b", "sh": "sh_b"}),
-        join_type="inner", num_partitions=num_partitions, on=("id_b",),
-    )
+    if n_pairs <= 50_000:
+        # SMALL-CANDIDATE fast path: the pair set (hence the candidate id
+        # set) is driver-sized.  Broadcast the ids, compute packed
+        # shingles for candidate docs DISTRIBUTED (the corpus itself never
+        # leaves the cluster), broadcast those, verify in one map_batches
+        # — skips three hash-join actor-pool startups that dominate at
+        # bench scale.
+        plist = sorted({(int(r["id_a"]), int(r["id_b"]))
+                        for r in pairs.take_all()})
+        cand = {i for p in plist for i in p}
+        cand_ref = ray.put(cand)
+        sh_rows = docs.map_batches(
+            lambda df, ref=cand_ref: to_shingles(
+                df[df["doc_id"].isin(ray.get(ref))]),
+            batch_format="pandas",
+        ).take_all()  # candidate-bounded, not corpus-bounded
+        sh_ref = ray.put({int(r["doc_id"]): r["sh"] for r in sh_rows})
+        pair_ds = ray.data.from_arrow(pa.table({
+            "id_a": pa.array([p[0] for p in plist], pa.int64()),
+            "id_b": pa.array([p[1] for p in plist], pa.int64()),
+        }))
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        keep_a, keep_b = [], []
-        for a_id, b_id, sa, sb in zip(df["id_a"], df["id_b"],
-                                      df["sh_a"], df["sh_b"]):
-            sa = set(np.frombuffer(sa, dtype="<i8"))
-            sb = set(np.frombuffer(sb, dtype="<i8"))
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            if inter * thresh_den >= union * thresh_num:
-                keep_a.append(int(a_id))
-                keep_b.append(int(b_id))
-        return pd.DataFrame({"dup_of": pd.Series(keep_a, dtype="int64"),
-                             "doc_id": pd.Series(keep_b, dtype="int64")})
+        def verify_bc(df: pd.DataFrame, ref=sh_ref) -> pd.DataFrame:
+            sh = ray.get(ref)
+            keep_a, keep_b = [], []
+            for a_id, b_id in zip(df["id_a"], df["id_b"]):
+                if jge(sh[int(a_id)], sh[int(b_id)]):
+                    keep_a.append(int(a_id))
+                    keep_b.append(int(b_id))
+            return pd.DataFrame(
+                {"dup_of": pd.Series(keep_a, dtype="int64"),
+                 "doc_id": pd.Series(keep_b, dtype="int64")})
 
-    verified = pairs_empty_guard(
-        both.map_batches(verify, batch_format="pandas").materialize())
+        verified = pairs_empty_guard(
+            pair_ds.map_batches(verify_bc,
+                                batch_format="pandas").materialize())
+    else:
+        # LARGE path — everything stays sharded:
+        # pair dedup (16-byte/row shuffle) → candidate ids semi-join the
+        # docs table (ships candidate TEXT rows only) → pairs ⋈ shingles
+        # ⋈ shingles → vectorized verification.
+        pairs = pairs.groupby(["id_a", "id_b"]).count() \
+            .drop_columns(["count()"]).materialize()
+        cand_ids = pairs.select_columns(["id_a"]).union(
+            _rename(pairs.select_columns(["id_b"]), {"id_b": "id_a"})
+        ).groupby("id_a").count().drop_columns(["count()"])
+        cand_docs = docs.join(_rename(cand_ids, {"id_a": "doc_id"}),
+                              join_type="inner",
+                              num_partitions=num_partitions, on=("doc_id",))
+        shingles = cand_docs.map_batches(
+            to_shingles, batch_format="pandas").materialize()
+        both = pairs.join(
+            _rename(shingles, {"doc_id": "id_a", "sh": "sh_a"}),
+            join_type="inner", num_partitions=num_partitions, on=("id_a",),
+        ).join(
+            _rename(shingles, {"doc_id": "id_b", "sh": "sh_b"}),
+            join_type="inner", num_partitions=num_partitions, on=("id_b",),
+        )
+
+        def verify(df: pd.DataFrame) -> pd.DataFrame:
+            keep_a, keep_b = [], []
+            for a_id, b_id, sa, sb in zip(df["id_a"], df["id_b"],
+                                          df["sh_a"], df["sh_b"]):
+                if jge(sa, sb):
+                    keep_a.append(int(a_id))
+                    keep_b.append(int(b_id))
+            return pd.DataFrame(
+                {"dup_of": pd.Series(keep_a, dtype="int64"),
+                 "doc_id": pd.Series(keep_b, dtype="int64")})
+
+        verified = pairs_empty_guard(
+            both.map_batches(verify, batch_format="pandas").materialize())
     if verified is None:
         return empty
     out = verified.groupby("doc_id").min("dup_of")

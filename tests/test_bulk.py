@@ -1,6 +1,8 @@
 """Bulk BFS crawl vs the ordered engine: visited-set equivalence where
-the semantics promise it (no external machinery, no budget truncation)."""
+the semantics promise it, external one-level/clear-flag parity, and
+mid-crawl resume."""
 
+import os
 import shutil
 
 import pyarrow.compute as pc
@@ -13,6 +15,11 @@ from methanol_web_crawler_ray.pipelines.hostloop import DictFetcher
 from methanol_web_crawler_ray.sources import pagegen
 
 
+def _bulk_pages(out):
+    return pads.dataset(bulk.waves_path(out), partitioning="hive").to_table(
+        filter=pc.field("kind") == "page", columns=["url", "text"])
+
+
 def test_bulk_matches_ordered_visited_set(ray_session):
     d = pagegen.pages_dir_for("/root/testdata/sf0.001")
     cfg = default_config(depth_limit=6, external=False)
@@ -23,9 +30,7 @@ def test_bulk_matches_ordered_visited_set(ray_session):
     stats = bulk.crawl_bfs(cfg, d, seeds, out_dir=out, num_shards=4)
     assert stats["pages_parsed"] > 0
 
-    wd = pads.dataset(out)
-    pages = wd.to_table(filter=pc.field("kind") == "page",
-                        columns=["url", "text"])
+    pages = _bulk_pages(out)
     bulk_urls = set(pages.column("url").to_pylist())
 
     fetch = DictFetcher(pagegen.load_fetch_dict(d))
@@ -40,6 +45,31 @@ def test_bulk_matches_ordered_visited_set(ray_session):
         assert t == sim_texts[u]
 
 
+@pytest.mark.parametrize("clear_flag", [False, True])
+def test_bulk_external_matches_ordered(ray_session, clear_flag):
+    """keep_external=True: per-row depth resets to 0 on host activation
+    and children of activated-external pages follow the kernel's
+    LM_URL_EXTERNAL inheritance (lost when clear_external_on_activate is
+    False, crawled normally when True) — page set equals the ordered
+    engine's under both flag values."""
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+    cfg = default_config(depth_limit=6, external=True)
+    cfg.clear_external_on_activate = clear_flag
+    seeds = ["http://host-0001.example/"]
+
+    out = f"/tmp/mwc_test_bulk_ext_{int(clear_flag)}"
+    shutil.rmtree(out, ignore_errors=True)
+    bulk.crawl_bfs(cfg, d, seeds, out_dir=out, num_shards=4)
+    bulk_urls = set(_bulk_pages(out).column("url").to_pylist())
+
+    fetch = DictFetcher(pagegen.load_fetch_dict(d))
+    r = sim.simulate_rounds(cfg, fetch, seeds)
+    assert bulk_urls == set(r.texts)
+    # external crawl reaches beyond the seed host
+    assert any(not u.startswith("http://host-0001.example/")
+               for u in bulk_urls)
+
+
 def test_bulk_robots_respected(ray_session):
     d = pagegen.pages_dir_for("/root/testdata/sf0.001")
     cfg = default_config(depth_limit=6)
@@ -47,8 +77,31 @@ def test_bulk_robots_respected(ray_session):
     shutil.rmtree(out, ignore_errors=True)
     bulk.crawl_bfs(cfg, d, ["http://host-0001.example/"], out_dir=out,
                    num_shards=4)
-    urls = pads.dataset(out).to_table(
-        filter=pc.field("kind") == "page", columns=["url"]
-    ).column("url").to_pylist()
+    urls = _bulk_pages(out).column("url").to_pylist()
     assert not any("/private/s" in u for u in urls)
     assert any("/private/open/" in u for u in urls)
+
+
+def test_bulk_resume(ray_session):
+    """Kill after wave 1 → resume → same page set as an uninterrupted
+    run (per-wave frontier parquet + seen snapshots = the lineage)."""
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+    cfg = default_config(depth_limit=6, external=False)
+    seeds = ["http://host-0001.example/"]
+
+    full = "/tmp/mwc_test_bulk_full"
+    shutil.rmtree(full, ignore_errors=True)
+    bulk.crawl_bfs(cfg, d, seeds, out_dir=full, num_shards=4)
+    full_urls = set(_bulk_pages(full).column("url").to_pylist())
+
+    part = "/tmp/mwc_test_bulk_part"
+    shutil.rmtree(part, ignore_errors=True)
+    stats = bulk.crawl_bfs(cfg, d, seeds, out_dir=part, num_shards=4,
+                           max_waves=2)  # "crash" after wave 1
+    assert stats["pages_parsed"] > 0
+    # simulate losing everything after the last complete checkpoint
+    resumed = bulk.crawl_bfs(cfg, d, seeds, out_dir=part, num_shards=4,
+                             resume=True)
+    part_urls = set(_bulk_pages(part).column("url").to_pylist())
+    assert part_urls == full_urls
+    assert resumed["pages_parsed"] == len(full_urls)
