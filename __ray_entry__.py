@@ -211,6 +211,14 @@ def _q_media_decode(sf_dir: str):
     return multimodal.media_decode()
 
 
+def _q_ftp_entries(sf_dir: str):
+    """ftpparse (S3/M8) over all 9 LIST dialects — vs the generator's
+    by-construction golden entries."""
+    from methanol_web_crawler_ray.pipelines import ftp
+
+    return ftp.ftp_entries()
+
+
 def _q_page_xmlconv(sf_dir: str):
     """xmlconv (M9) over every html page — byte-compared against the
     generator's by-construction golden_xml table."""
@@ -270,6 +278,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_parts": relops.top_parts,
         "rel_events_by_type": relops.events_by_type,
         "rel_events_sessionize": relops.events_sessionize,
+        # FTP LIST parser over the multi-dialect listings table (S3/M8)
+        "ftp_entries": _q_ftp_entries,
         # multimodal plumbing (deterministic fake codec)
         "media_decode": _q_media_decode,
     }
@@ -288,9 +298,11 @@ def oracle_sql() -> dict[str, str]:
     ndp = ann.write_lsh_planes("/tmp/mwc_lsh_planes_nd.parquet",
                                ann.ND_SEED, ann.ND_TABLES, ann.ND_PLANES)
     emb_aug = ann.augmented_embeddings_path("/root/testdata/sf0.01")
+    from methanol_web_crawler_ray.pipelines import ftp as _ftp
     from methanol_web_crawler_ray.pipelines import multimodal as _mm
 
     media_dir = _mm.media_dir_for()
+    _ftp_dir = _ftp.ftp_dir_for()
     return {
         "crawl_visits": (
             f"SELECT url, host, depth, round_num, seq FROM "
@@ -567,6 +579,11 @@ def oracle_sql() -> dict[str, str]:
             "::BIGINT AS n_sessions FROM (SELECT user_id, "
             "epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) "
             "AS gap FROM events) GROUP BY user_id"
+        ),
+        # ftp listings vs the generator's by-construction entries
+        "ftp_entries": (
+            f"SELECT listing_id, seq, name, is_dir, size FROM "
+            f"read_parquet('{_ftp_dir}/golden_entries.parquet')"
         ),
         # media decode vs the generator's by-construction metadata
         "media_decode": (

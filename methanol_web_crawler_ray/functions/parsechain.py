@@ -115,12 +115,13 @@ def _p_title(ctx: ParseCtx) -> None:
 
 
 def _p_ftp(ctx: ParseCtx) -> None:
-    # S3/M8: FTP listings have no analogue in the pages table.  Stub kept
-    # for config compatibility (a crawl of ftp:// rows would need it).
-    raise NotImplementedError(
-        "ftp listing parser is out of scope for the web-table engine "
-        "(SURVEY.md §2 S3/M8)"
-    )
+    # S3/M8: FTP LIST parser (lm_parser_ftp, builtin.c:207-244): each
+    # parseable line's name becomes a ue_add ref, directories with a
+    # trailing '/'.  Dialect handling in functions/ftpparse.py.
+    from .ftpparse import listing_refs
+
+    for ref in listing_refs(ctx.buf):
+        ctx.add_url(ref)
 
 
 PARSERS: Dict[str, Callable[[ParseCtx], None]] = {

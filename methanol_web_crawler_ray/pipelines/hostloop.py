@@ -219,7 +219,8 @@ class CrawlKernel:
         # worker_t state
         self.redirects = 0
         self.jail_url: Optional[URL] = None
-        # epeek backup state (urlengine.h; single-worker/inline only)
+        # epeek backup state (urlengine.h) — both modes; rounds
+        # persists is_peeking/_bk in the host state blob
         self.is_peeking = False
         self._bk: Optional[tuple] = None
         self._peek_list_idx: Optional[int] = None
@@ -282,6 +283,10 @@ class CrawlKernel:
             "jail_url": self.jail_url,
             "ext_emitted": self.ext_emitted,
             "clock": self.clock,
+            # epeek can span turns: the backup restores when the peek
+            # list drains, possibly rounds later (urlengine.c:405-417)
+            "is_peeking": self.is_peeking,
+            "peek_bk": self._bk,
         }
 
     def load_state(self, d: dict) -> None:
@@ -298,6 +303,8 @@ class CrawlKernel:
         self.jail_url = d["jail_url"]
         self.ext_emitted = d["ext_emitted"]
         self.clock = d.get("clock", 0.0)
+        self.is_peeking = d.get("is_peeking", False)
+        self._bk = d.get("peek_bk")
 
     # -- ue_* transcriptions ----------------------------------------------
 
@@ -423,7 +430,7 @@ class CrawlKernel:
             if self.depth_counter:
                 self.depth_counter -= 1
             if not self.depth_counter and self.is_peeking:
-                # epeek restore (urlengine.c:405-417; inline mode only)
+                # epeek restore (urlengine.c:405-417)
                 (self.depth_counter, self.depth_limit, host_bk) = self._bk
                 self.is_peeking = False
                 self.host = host_bk
@@ -575,7 +582,11 @@ class CrawlKernel:
         lst = self.utable[-1]
         cr = self.crawler
         idx = self.ftindex()
-        epeek = cr.external_peek and not self.is_peeking and self.mode == "inline"
+        # peek_list is a per-sort local in the reference (worker.c:545);
+        # a NEW peek list may start in a later sort of the same turn once
+        # the previous peek restored
+        self._peek_list_idx = None
+        epeek = cr.external_peek and not self.is_peeking
         x = 0
         while x < len(lst):
             row = lst[x]
@@ -606,6 +617,18 @@ class CrawlKernel:
             row.bind = ft.ft_id
             if row.u.is_external and not ft.ignore_host:
                 if epeek:
+                    if self.mode == "rounds" and row.ext_cand >= 0:
+                        # peeked URLs crawl THIS turn → resolve the
+                        # cross-host seen verdict synchronously (same
+                        # reasoning as the ignore_host path below) and
+                        # turn the barrier candidate into a no-op
+                        cand = self.log.ext_candidates[row.ext_cand]
+                        cand.seen_check = False
+                        cand.park = False
+                        ok = self.seen.try_add_batch(row.u.host_norm,
+                                                     [row.u.seen_key])[0]
+                        if not ok:
+                            return 1
                     self._epeek_start(row)
                     return 1
                 if self.crawler.external:
@@ -651,8 +674,8 @@ class CrawlKernel:
         return 1
 
     def _epeek_start(self, row: UrlRow) -> None:
-        # worker.c:679-707: first epeek URL creates the peek list and backs
-        # up depth state (inline mode only)
+        # worker.c:679-707: first epeek URL of this sort creates the
+        # peek list and backs up depth state
         if not self.is_peeking and self._peek_list_idx is None:
             self.utable.append([])
             self.list_priv.append(None)

@@ -42,6 +42,59 @@ def test_external_peek():
     assert "http://b.x/p1.html" not in [v[0] for v in r2.visits]
 
 
+def test_external_peek_rounds_parity():
+    """epeek now works in ROUNDS mode too: the peeked URL takes a
+    synchronous cross-host seen verdict and the peek backup state
+    (is_peeking, depth bk) survives budget interruptions via the host
+    state blob.  Visit sequences match single-worker mode."""
+    f = _web({
+        "http://a.x/": dict(body=b'<a href="http://b.x/p1.html">b</a>'
+                                 b'<a href="in.html">i</a>'),
+        "http://a.x/in.html": dict(body=b''),
+        "http://b.x/p1.html": dict(body=b'<a href="p2.html">2</a>'),
+        "http://b.x/p2.html": dict(body=b''),
+    })
+    cfg = default_config(robotstxt=False, depth_limit=4,
+                         external=False, external_peek=True, peek_limit=2)
+    r1 = sim.simulate_single_worker(cfg, f, ["http://a.x/"])
+    r2 = sim.simulate_rounds(cfg, f, ["http://a.x/"])
+    assert [v[0] for v in r1.visits] == [v[0] for v in r2.visits]
+    assert "http://b.x/p1.html" in [v[0] for v in r2.visits]
+    assert r1.texts == r2.texts
+
+    # budget interruption mid-peek: 2 transfers/round → the peek state
+    # crosses a round boundary and restores correctly
+    cfg_b = default_config(robotstxt=False, depth_limit=4,
+                           external=False, external_peek=True, peek_limit=2)
+    cfg_b.mode = "friendly"
+    cfg_b.round_seconds = 20
+    r3 = sim.simulate_rounds(cfg_b, f, ["http://a.x/"])
+    assert sorted(v[0] for v in r3.visits) == sorted(v[0] for v in r2.visits)
+    assert r3.rounds > 1
+    assert r3.texts == r2.texts
+
+
+def test_external_peek_seen_dedup_rounds():
+    """A URL already crawled by another host is NOT re-peeked (the
+    synchronous verdict drops it) — rounds mode."""
+    f = _web({
+        # budgeted so a.x peeks b.x/p.html in round 0; c.x reaches its
+        # link in round 1 → deterministic winner
+        "http://a.x/": dict(body=b'<a href="http://b.x/p.html">b</a>'),
+        "http://c.x/": dict(body=b'<a href="c1.html">c</a>'),
+        "http://c.x/c1.html": dict(body=b'<a href="http://b.x/p.html">b</a>'),
+        "http://b.x/p.html": dict(body=b'x'),
+    })
+    cfg = default_config(robotstxt=False, depth_limit=4,
+                         external=False, external_peek=True, peek_limit=2)
+    cfg.mode = "friendly"
+    cfg.round_seconds = 20
+    r = sim.simulate_rounds(cfg, f, ["http://a.x/", "http://c.x/"])
+    b_visits = [v for v in r.visits if v[0] == "http://b.x/p.html"]
+    assert len(b_visits) == 1
+    assert b_visits[0][1] == "a.x"
+
+
 def test_switch_to_crawler():
     """filetype.switch_to (perform, worker.c:747-748): crawling a matching
     URL switches the active crawler (different depth_limit here)."""

@@ -173,6 +173,38 @@ def test_ignore_host_rounds_parity(ray_session):
     assert r_sim.texts == r_ray.texts
 
 
+def test_external_peek_ray_parity(ray_session):
+    """epeek in the distributed engine: peeked external URLs crawl
+    inline with a synchronous seen verdict; peek state survives the
+    per-round state blob.  Exact parity vs the sequential model."""
+    from _pagetools import html, write_pages
+
+    d = write_pages("/tmp/mwc_test_epeek_pages", [
+        {"url": "http://a.x/", "body": html(
+            '<a href="http://b.x/p1.html">b</a> <a href="/in.html">i</a>')},
+        {"url": "http://a.x/in.html", "body": html("leaf")},
+        {"url": "http://b.x/p1.html", "body": html('<a href="p2.html">2</a>')},
+        {"url": "http://b.x/p2.html", "body": html("deep")},
+    ])
+    cfg = default_config(robotstxt=False, depth_limit=4, external=False,
+                         external_peek=True, peek_limit=2)
+    cfg.mode = "friendly"   # 2 transfers/round: peek spans rounds
+    cfg.round_seconds = 20
+    fetch = DictFetcher(pagegen.load_fetch_dict(d))
+    r_sim = sim.simulate_rounds(cfg, fetch, ["http://a.x/"])
+    assert "http://b.x/p1.html" in [v[0] for v in r_sim.visits]
+    assert r_sim.rounds > 1
+
+    ck = "/tmp/mwc_test_epeek"
+    shutil.rmtree(ck, ignore_errors=True)
+    crawl.crawl_rounds(cfg, d, ["http://a.x/"], ckpt_dir=ck, concurrency=2,
+                       num_shards=2)
+    r_ray = crawl.collect_result(ck)
+    assert sorted((v[0], v[3], v[4]) for v in r_ray.visits) == \
+        sorted((v[0], v[3], v[4]) for v in r_sim.visits)
+    assert r_sim.texts == r_ray.texts
+
+
 def test_cuckoo_mode_smoke(ray_session):
     """Cuckoo seen-set mode: same crawl outcome at fixture scale (false
     positives are ~2^-14/URL; none expected on 200 URLs)."""
