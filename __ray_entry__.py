@@ -114,11 +114,13 @@ def _golden_dir(sf_dir: str) -> str:
     return gdir
 
 
-_crawl_memo: Dict[str, Any] = {}
+_crawl_memo: Dict[str, str] = {}
 
 
-def _run_crawl(sf_dir: str):
-    """Run the distributed crawl once per sf_dir; memoize the result."""
+def _run_crawl(sf_dir: str) -> str:
+    """Run the distributed crawl once per sf_dir; memoize the CHECKPOINT
+    DIR (queries read it back as lazy Datasets — nothing crawl-sized
+    folds through the driver)."""
     if sf_dir in _crawl_memo:
         return _crawl_memo[sf_dir]
     from methanol_web_crawler_ray.pipelines import crawl
@@ -128,19 +130,15 @@ def _run_crawl(sf_dir: str):
     shutil.rmtree(ck, ignore_errors=True)
     crawl.crawl_rounds(_crawl_cfg(), pdir, _CRAWL_SEEDS, ckpt_dir=ck,
                        concurrency=4)
-    res = crawl.collect_result(ck)
-    _crawl_memo[sf_dir] = res
-    return res
+    _crawl_memo[sf_dir] = ck
+    return ck
 
 
 def entry() -> Any:
     """Flagship: the distributed politeness-rounds crawl on sf0.001."""
-    import pandas as pd
+    from methanol_web_crawler_ray.pipelines import crawl
 
-    res = _run_crawl("/root/testdata/sf0.001")
-    return pd.DataFrame(
-        res.visits, columns=["url", "host", "depth", "round_num", "seq"]
-    )
+    return crawl.visits_ds(_run_crawl("/root/testdata/sf0.001"))
 
 
 # ---------------------------------------------------------------------------
@@ -148,45 +146,27 @@ def entry() -> Any:
 
 
 def _q_crawl_visits(sf_dir: str):
-    import pandas as pd
+    from methanol_web_crawler_ray.pipelines import crawl
 
-    res = _run_crawl(sf_dir)
-    return pd.DataFrame(res.visits,
-                        columns=["url", "host", "depth", "round_num", "seq"])
+    return crawl.visits_ds(_run_crawl(sf_dir))
 
 
 def _q_crawl_targets(sf_dir: str):
-    import pandas as pd
+    from methanol_web_crawler_ray.pipelines import crawl
 
-    res = _run_crawl(sf_dir)
-    return pd.DataFrame(
-        {
-            "url": [t["url"] for t in res.targets],
-            "url_hash": [t["url_hash"] for t in res.targets],
-            "filetype": [t["filetype"] for t in res.targets],
-        }
-    )
+    return crawl.targets_ds(_run_crawl(sf_dir))
 
 
 def _q_crawl_texts(sf_dir: str):
-    import pandas as pd
+    from methanol_web_crawler_ray.pipelines import crawl
 
-    res = _run_crawl(sf_dir)
-    return pd.DataFrame(
-        {
-            "url": list(res.texts),
-            "text": [v.decode("utf-8", "surrogateescape")
-                     for v in res.texts.values()],
-        }
-    )
+    return crawl.texts_ds(_run_crawl(sf_dir))
 
 
 def _q_crawl_counts(sf_dir: str):
-    import pandas as pd
+    from methanol_web_crawler_ray.pipelines import crawl
 
-    res = _run_crawl(sf_dir)
-    return pd.DataFrame({"filetype": list(res.ft_counts),
-                         "n": list(res.ft_counts.values())})
+    return crawl.ft_counts_ds(_run_crawl(sf_dir))
 
 
 def _q_page_text(sf_dir: str):

@@ -15,9 +15,12 @@ classic Ray Data shape (SURVEY.md §3.5):
     → parse/extract/classify             # M1-M11 + F1-F4, one fused pass
     → seen anti-join (sharded actors)    # T1/J2, batched per shard
     → robots filter (broadcast rules)    # M13/J3
-    → wave parquet, hive-partitioned by kind (pages/targets/links)
+    → wave parquet, hive-partitioned by (kind, bucket)
   frontier_{w+1} = wave=w/kind=link      # read back directly — the
-                                         #   directory is the filter
+                                         #   directory is the filter, and
+                                         #   bucket=N subdirs make next-wave
+                                         #   batches bucket-pure (each task
+                                         #   probes ONE bucket table)
 
 Every wave checkpoints (frontier parquet + seen-shard snapshots +
 _COMPLETE marker), so a killed bulk crawl resumes from the last complete
@@ -180,7 +183,8 @@ def make_bucket_wave_fn(cfg_blob: bytes, crawler: Optional[str],
         # DISTINCT bucket's shared-memory table once, vectorized
         pages = {}
         for bucket in pc.unique(batch.column("bucket")).to_pylist():
-            tbl = _get_ref(bucket_refs[bucket])  # zero-copy plasma table
+            # hive partition inference may hand the key back as a string
+            tbl = _get_ref(bucket_refs[int(bucket)])  # zero-copy plasma table
             sub = tbl.filter(pc.is_in(tbl.column("url"),
                                       value_set=batch.column("url")))
             for u, st, c, b in zip(sub.column("url").to_pylist(),
@@ -474,13 +478,25 @@ def crawl_bfs(
         stats["links_extracted"] += _count_rows(os.path.join(wd, "kind=link"))
     stats["frontier_urls"] = stats["links_extracted"] + \
         _count_rows(_frontier_dir(out_dir, 0))
+    # store ingest belongs to setup, not the crawl loop: on a cluster
+    # every node loads its buckets from distributed storage in parallel,
+    # while on this one box it is a fixed shared-disk cost that would
+    # corrupt the CPU-scaling signal (same policy as the store build)
+    bucket_refs = load_bucket_refs(store_dir, num_buckets)
+    import ray as _ray
+
+    _ray.get(list(bucket_refs.values()))
     stats["setup_sec"] = time.time() - t0
     t_loop = time.time()
 
-    bucket_refs = load_bucket_refs(store_dir, num_buckets)
     wave_fn = make_bucket_wave_fn(cfg_blob, crawler, bucket_refs,
                                   robots_ref, pool.actors, cr.external,
                                   depth_limit, num_buckets, emit_text)
+
+    # frontier blocks sized so every wave can use the whole CPU pool:
+    # Ray derives map-task granularity from BLOCKS, and its default
+    # coalescing would cap a heavy wave at a handful of tasks
+    n_blocks = max(64, int(ray.cluster_resources().get("CPU", 8)) * 4)
 
     def _frontier_ds(w: int):
         """Wave w's frontier: the seed parquet at w=0, else the PREVIOUS
@@ -491,12 +507,13 @@ def crawl_bfs(
             fdir = _frontier_dir(out_dir, 0)
             if _count_rows(fdir) == 0:
                 return None
-            return ray.data.read_parquet(fdir)
+            return ray.data.read_parquet(fdir, override_num_blocks=n_blocks)
         prev = os.path.join(_wave_dir(out_dir, w - 1), "kind=link")
         if _count_rows(prev) == 0:
             return None
         return ray.data.read_parquet(
             prev, columns=["bucket", "url", "depth", "is_external"],
+            override_num_blocks=n_blocks,
         )
 
     wave_times = []
@@ -518,7 +535,7 @@ def crawl_bfs(
         frontier.map_batches(
             wave_fn, batch_format="pyarrow", batch_size=batch_size,
             num_cpus=1, max_retries=0,
-        ).write_parquet(wdir, partition_cols=["kind"])
+        ).write_parquet(wdir, partition_cols=["kind", "bucket"])
         n_links = _count_rows(os.path.join(wdir, "kind=link"))
 
         # checkpoint: seen snapshots + completion marker (resume lineage)
