@@ -330,20 +330,15 @@ def embedding_neardup(sf_dir: str, threshold: float = ND_THRESHOLD):
             "bucket": bks.reshape(-1),
         })
 
+    from .textops import collect_df, hot_keys
+
     rows = ds.map_batches(bucketize, batch_format="pandas").materialize()
-    counts = rows.groupby(["tbl", "bucket"]).count()
-    hot = counts.map_batches(
-        lambda t: t.filter(
-            pc.and_(pc.greater(t.column("count()"), 1),
-                    pc.less_equal(t.column("count()"), ND_BUCKET_CAP))),
-        batch_format="pyarrow",
-    ).take_all()
+    hotset = hot_keys(rows, ["tbl", "bucket"], max_count=ND_BUCKET_CAP)
     empty = ray.data.from_arrow(pa.table(
         {"vec_id": pa.array([], pa.int64()),
          "dup_of": pa.array([], pa.int64())}))
-    if not hot:
+    if not hotset:
         return empty
-    hotset = {(h["tbl"], h["bucket"]) for h in hot}
     members = rows.map_batches(
         lambda t, hs=hotset: t.filter(pa.array(
             [(a, b) in hs for a, b in zip(t.column("tbl").to_pylist(),
@@ -357,19 +352,55 @@ def embedding_neardup(sf_dir: str, threshold: float = ND_THRESHOLD):
         return pd.DataFrame({"id_a": ids[iu].astype(np.int64),
                              "id_b": ids[ju].astype(np.int64)})
 
-    pairs = members.groupby(["tbl", "bucket"]).map_groups(
-        pairgen, batch_format="pandas").materialize()
-    if pairs.count() == 0:
-        return empty
-    pairs = pairs.groupby(["id_a", "id_b"]).count() \
-        .drop_columns(["count()"]).materialize()
-
     def packed(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "vec_id": df["vec_id"],
             "v": [np.asarray(e, dtype=np.float32).tobytes()
                   for e in df["embedding"]],
         })
+
+    def cos_ok(va: bytes, vb: bytes) -> bool:
+        a = np.frombuffer(va, dtype=np.float32).astype(np.float64)
+        b = np.frombuffer(vb, dtype=np.float32).astype(np.float64)
+        return float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b)) \
+            >= threshold
+
+    if members.count() <= 500_000:
+        # driver-small hot members: local pairgen; candidate vectors
+        # gathered via a distributed semi-join map then verified locally
+        # (the size-gated pattern shared with minhash/simhash; the large
+        # path below stays fully sharded)
+        import ray
+
+        mdf = collect_df(members)
+        frames = [pairgen(g) for _k, g in mdf.groupby(["tbl", "bucket"])]
+        pdf = (pd.concat(frames, ignore_index=True).drop_duplicates()
+               if frames else pd.DataFrame())
+        if pdf.empty:
+            return empty
+        cand = set(pdf["id_a"].astype(int)) | set(pdf["id_b"].astype(int))
+        cand_ref = ray.put(cand)
+        vdf = collect_df(ds.map_batches(
+            lambda df, ref=cand_ref: packed(
+                df[df["vec_id"].isin(ray.get(ref))]),
+            batch_format="pandas"))
+        vecs_map = {int(r.vec_id): r.v for r in vdf.itertuples(index=False)}
+        keep = [(int(a), int(b)) for a, b in
+                zip(pdf["id_a"], pdf["id_b"])
+                if cos_ok(vecs_map[int(a)], vecs_map[int(b)])]
+        if not keep:
+            return empty
+        out_pd = pd.DataFrame({"dup_of": [p[0] for p in keep],
+                               "vec_id": [p[1] for p in keep]})
+        out_pd = out_pd.groupby("vec_id", as_index=False)["dup_of"].min()
+        return ray.data.from_pandas(out_pd[["vec_id", "dup_of"]])
+
+    pairs = members.groupby(["tbl", "bucket"]).map_groups(
+        pairgen, batch_format="pandas").materialize()
+    if pairs.count() == 0:
+        return empty
+    pairs = pairs.groupby(["id_a", "id_b"]).count() \
+        .drop_columns(["count()"]).materialize()
 
     vecs = ds.map_batches(packed, batch_format="pandas").materialize()
     both = pairs.join(
@@ -384,10 +415,7 @@ def embedding_neardup(sf_dir: str, threshold: float = ND_THRESHOLD):
         keep_a, keep_b = [], []
         for a_id, b_id, va, vb in zip(df["id_a"], df["id_b"],
                                       df["v_a"], df["v_b"]):
-            a = np.frombuffer(va, dtype=np.float32).astype(np.float64)
-            b = np.frombuffer(vb, dtype=np.float32).astype(np.float64)
-            cos = float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
-            if cos >= threshold:
+            if cos_ok(va, vb):
                 keep_a.append(int(a_id))
                 keep_b.append(int(b_id))
         return pd.DataFrame({"dup_of": pd.Series(keep_a, dtype="int64"),

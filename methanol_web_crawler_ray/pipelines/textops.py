@@ -43,6 +43,46 @@ def _read_docs(sf_dir: str, columns=None):
                                  columns=columns)
 
 
+def collect_df(ds) -> pd.DataFrame:
+    """Small-result collection.  NEVER ``take_all()``/``iter_rows()`` on
+    a multi-thousand-row dataset: per-row conversion over pandas blocks
+    is pathological (measured 164 s vs 0.03 s for ``to_pandas`` on the
+    same 168k-row materialized dataset)."""
+    return ds.to_pandas()
+
+
+def hot_keys(ds, key_cols, min_count: int = 2, max_count=None,
+             driver_limit: int = 2_000_000):
+    """Bucket-collision detection: keys whose row count is in
+    [min_count, max_count].  Map-side PARTIAL counts folded on the
+    driver — no shuffle, no sort (Ray's sort-aggregate measured ~17 s on
+    80k string keys); beyond ``driver_limit`` input rows it falls back
+    to the distributed groupby aggregate."""
+    import pyarrow as _pa
+
+    cols = list(key_cols)
+    if ds.count() > driver_limit:
+        agg = ds.groupby(cols).count()
+        df = collect_df(agg)
+        sel = df["count()"] >= min_count
+        if max_count is not None:
+            sel &= df["count()"] <= max_count
+        df = df[sel]
+    else:
+        def partial(t: _pa.Table) -> _pa.Table:
+            return t.select(cols).group_by(cols).aggregate([([], "count_all")])
+
+        parts = collect_df(ds.map_batches(partial, batch_format="pyarrow"))
+        df = parts.groupby(cols, as_index=False)["count_all"].sum()
+        sel = df["count_all"] >= min_count
+        if max_count is not None:
+            sel &= df["count_all"] <= max_count
+        df = df[sel]
+    if len(cols) == 1:
+        return set(df[cols[0]])
+    return set(map(tuple, df[cols].itertuples(index=False, name=None)))
+
+
 # ---------------------------------------------------------------------------
 # token / quality stats (SQL-oracled)
 
@@ -174,28 +214,31 @@ def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
     return vals.min(axis=1).view(np.int64)
 
 
-class MinHashBands:
-    """map_batches stage: text → N_BANDS (band, band_hash, doc_id) rows.
-    Hash params built once per actor."""
+_MH_PARAMS: List = []
 
-    def __init__(self):
-        self.a, self.b = _hash_params()
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        rows_band, rows_hash, rows_doc = [], [], []
-        rpb = K_HASHES // N_BANDS
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            sig = minhash_signature(shingle_hashes(text), self.a, self.b)
-            for band in range(N_BANDS):
-                seg = sig[band * rpb:(band + 1) * rpb]
-                h = hashlib.blake2b(seg.tobytes(), digest_size=8).hexdigest()
-                rows_band.append(band)
-                rows_hash.append(h)
-                rows_doc.append(doc_id)
-        return pd.DataFrame({"band": rows_band, "band_hash": rows_hash,
-                             "bk": [f"{b}:{h}" for b, h in
-                                    zip(rows_band, rows_hash)],
-                             "doc_id": rows_doc})
+def minhash_bands(df: pd.DataFrame) -> pd.DataFrame:
+    """map_batches task UDF: text → N_BANDS (band, band_hash, bk, doc_id)
+    rows.  Plain task (full task-pool parallelism — an actor pool with
+    small concurrency starves this stage); hash params cached per worker
+    process."""
+    if not _MH_PARAMS:
+        _MH_PARAMS.append(_hash_params())
+    a, b = _MH_PARAMS[0]
+    rows_band, rows_hash, rows_doc = [], [], []
+    rpb = K_HASHES // N_BANDS
+    for doc_id, text in zip(df["doc_id"], df["text"]):
+        sig = minhash_signature(shingle_hashes(text), a, b)
+        for band in range(N_BANDS):
+            seg = sig[band * rpb:(band + 1) * rpb]
+            h = hashlib.blake2b(seg.tobytes(), digest_size=8).hexdigest()
+            rows_band.append(band)
+            rows_hash.append(h)
+            rows_doc.append(doc_id)
+    return pd.DataFrame({"band": rows_band, "band_hash": rows_hash,
+                         "bk": [f"{b_}:{h}" for b_, h in
+                                zip(rows_band, rows_hash)],
+                         "doc_id": rows_doc})
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -227,19 +270,15 @@ def minhash_dedup(sf_dir: str, thresh_num: int = THRESH_NUM,
     import ray.data
 
     docs = _read_docs(sf_dir, ["doc_id", "text"])
-    bands = docs.map_batches(MinHashBands, batch_format="pandas",
-                             concurrency=2).materialize()
-    counts = bands.groupby("bk").count()
-    hot = counts.map_batches(
-        lambda t: t.filter(pc.greater(t.column("count()"), 1)),
-        batch_format="pyarrow",
-    ).take_all()  # collision KEYS only — bounded by true collisions
+    bands = docs.map_batches(minhash_bands, batch_format="pandas",
+                             batch_size=256).materialize()
+    hot = hot_keys(bands, ["bk"])  # collision KEYS only
     empty = ray.data.from_arrow(pa.table(
         {"doc_id": pa.array([], pa.int64()),
          "dup_of": pa.array([], pa.int64())}))
     if not hot:
         return empty
-    hot_arr = pa.array([h["bk"] for h in hot], pa.string())
+    hot_arr = pa.array(sorted(hot), pa.string())
     members = bands.map_batches(
         lambda t: t.filter(pc.is_in(t.column("bk"), value_set=hot_arr)),
         batch_format="pyarrow",
@@ -251,8 +290,18 @@ def minhash_dedup(sf_dir: str, thresh_num: int = THRESH_NUM,
         return pd.DataFrame({"id_a": ids[iu].astype(np.int64),
                              "id_b": ids[ju].astype(np.int64)})
 
-    pairs = members.groupby("bk").map_groups(
-        pairgen, batch_format="pandas").materialize()
+    n_members = members.count()
+    if n_members <= 500_000:
+        # hot-member rows are driver-small: generate pairs locally (a Ray
+        # sort-groupby costs ~5 s of fixed machinery at this size)
+        mdf = collect_df(members.select_columns(["bk", "doc_id"]))
+        frames = [pairgen(g) for _k, g in mdf.groupby("bk")] or \
+            [pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                           "id_b": pd.Series([], dtype="int64")})]
+        pairs = ray.data.from_pandas(pd.concat(frames, ignore_index=True))
+    else:
+        pairs = members.groupby("bk").map_groups(
+            pairgen, batch_format="pandas").materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
         return empty
@@ -273,23 +322,24 @@ def minhash_dedup(sf_dir: str, thresh_num: int = THRESH_NUM,
         union = len(sa) + len(sb) - inter
         return inter * thresh_den >= union * thresh_num
 
-    if n_pairs <= 50_000:
+    if n_pairs <= 200_000:
         # SMALL-CANDIDATE fast path: the pair set (hence the candidate id
         # set) is driver-sized.  Broadcast the ids, compute packed
         # shingles for candidate docs DISTRIBUTED (the corpus itself never
         # leaves the cluster), broadcast those, verify in one map_batches
         # — skips three hash-join actor-pool startups that dominate at
         # bench scale.
-        plist = sorted({(int(r["id_a"]), int(r["id_b"]))
-                        for r in pairs.take_all()})
+        pdf = collect_df(pairs).drop_duplicates()
+        plist = sorted(zip(pdf["id_a"].astype(int), pdf["id_b"].astype(int)))
         cand = {i for p in plist for i in p}
         cand_ref = ray.put(cand)
-        sh_rows = docs.map_batches(
+        sh_df = collect_df(docs.map_batches(
             lambda df, ref=cand_ref: to_shingles(
                 df[df["doc_id"].isin(ray.get(ref))]),
             batch_format="pandas",
-        ).take_all()  # candidate-bounded, not corpus-bounded
-        sh_ref = ray.put({int(r["doc_id"]): r["sh"] for r in sh_rows})
+        ))  # candidate-bounded, not corpus-bounded
+        sh_ref = ray.put({int(r.doc_id): r.sh
+                          for r in sh_df.itertuples(index=False)})
         pair_ds = ray.data.from_arrow(pa.table({
             "id_a": pa.array([p[0] for p in plist], pa.int64()),
             "id_b": pa.array([p[1] for p in plist], pa.int64()),
@@ -306,9 +356,12 @@ def minhash_dedup(sf_dir: str, thresh_num: int = THRESH_NUM,
                 {"dup_of": pd.Series(keep_a, dtype="int64"),
                  "doc_id": pd.Series(keep_b, dtype="int64")})
 
-        verified = pairs_empty_guard(
-            pair_ds.map_batches(verify_bc,
-                                batch_format="pandas").materialize())
+        vdf = collect_df(pair_ds.map_batches(verify_bc,
+                                             batch_format="pandas"))
+        if vdf.empty:
+            return empty
+        out_pd = vdf.groupby("doc_id", as_index=False)["dup_of"].min()
+        return ray.data.from_pandas(out_pd[["doc_id", "dup_of"]])
     else:
         # LARGE path — everything stays sharded:
         # pair dedup (16-byte/row shuffle) → candidate ids semi-join the
@@ -430,16 +483,11 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
 
     # aggregate-then-probe: never a Ray task per (mostly singleton) bucket
     sigs = docs.map_batches(sig, batch_format="pandas").materialize()
-    counts = sigs.groupby(["chunk", "chunk_val"]).count()
-    hot = counts.map_batches(
-        lambda t: t.filter(pc.greater(t.column("count()"), 1)),
-        batch_format="pyarrow",
-    ).take_all()
-    if not hot:
+    hotset = hot_keys(sigs, ["chunk", "chunk_val"])
+    if not hotset:
         return ray.data.from_arrow(pa.table(
             {"doc_id": pa.array([], pa.int64()),
              "dup_of": pa.array([], pa.int64())}))
-    hotset = {(h["chunk"], h["chunk_val"]) for h in hot}
     members = sigs.map_batches(
         lambda t, hs=hotset: t.filter(pa.array(
             [(c, v) in hs for c, v in zip(t.column("chunk").to_pylist(),
@@ -463,6 +511,23 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
         return pd.DataFrame({"dup_of": ids[iu].astype(np.int64),
                              "doc_id": ids[ju].astype(np.int64)})
 
+    if members.count() <= 500_000:
+        # driver-small hot members: local per-bucket pairgen + final min
+        # (same size-gated pattern as minhash_dedup; each Ray
+        # sort-groupby is fixed seconds of machinery at this size)
+        mdf = collect_df(members)
+        frames = [pairgen(g) for _k, g in mdf.groupby(["chunk", "chunk_val"])]
+        if frames:
+            pdf = pd.concat(frames, ignore_index=True)
+        else:
+            pdf = pd.DataFrame({"dup_of": pd.Series([], dtype="int64"),
+                                "doc_id": pd.Series([], dtype="int64")})
+        if pdf.empty:
+            return ray.data.from_arrow(pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "dup_of": pa.array([], pa.int64())}))
+        out_pd = pdf.groupby("doc_id", as_index=False)["dup_of"].min()
+        return ray.data.from_pandas(out_pd[["doc_id", "dup_of"]])
     pairs = members.groupby(["chunk", "chunk_val"]).map_groups(
         pairgen, batch_format="pandas"
     ).materialize()
