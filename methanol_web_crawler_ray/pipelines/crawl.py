@@ -261,6 +261,62 @@ def _write_round(ds, round_dir: str) -> None:
     ds.write_parquet(os.path.join(round_dir, "result"))
 
 
+_TURN_TASK = None
+
+
+def _get_turn_task():
+    """Lazy ray.remote wrapper so importing this module never needs Ray."""
+    global _TURN_TASK
+    if _TURN_TASK is None:
+        import ray
+
+        @ray.remote(num_cpus=1)
+        def turn_task(step: HostTurnStep, df: pd.DataFrame):
+            return step(df)
+
+        _TURN_TASK = turn_task
+    return _TURN_TASK
+
+
+# Below this many work rows the round runs on the DIRECT-TASK path: the
+# driver reads the (local, small) state/arrival parquet, fans out one Ray
+# task per host, concatenates, and writes the identical checkpoint layout
+# — zero Dataset executions, saving the fixed per-execution sort/schedule
+# machinery (~1 s/round) that dominates small crawls.  Above it, the
+# Dataset-native path streams Parquet → groupby(host) → Parquet and the
+# driver holds only counters (the 10^8-host shape).  Same kernel, same
+# deterministic merge, same lineage either way.
+SMALL_WORK_ROWS = 20_000
+
+
+def _work_table_local(round_dir: str) -> pa.Table:
+    """The next round's work rows read LOCALLY (small-mode only)."""
+    import glob
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    parts = []
+    files = _result_files(round_dir)
+    if files:
+        t = pads.dataset(files).to_table(
+            filter=(pc.field("kind") == "state")
+            & (pc.field("name") != "exhausted"),
+            columns=RESULT_FIELDS)
+        if t.num_rows:
+            parts.append(t)
+    for sub in ("arrivals", "deferred"):
+        d = os.path.join(round_dir, sub)
+        fs = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        if fs:
+            t = pads.dataset(fs).to_table(columns=RESULT_FIELDS)
+            if t.num_rows:
+                parts.append(t)
+    if not parts:
+        return _rows_table([])
+    return pa.concat_tables([p.cast(RESULT_SCHEMA) for p in parts])
+
+
 def _read_kind(round_dir: str, kind: str, columns=None):
     import pyarrow.dataset as pads
 
@@ -332,7 +388,9 @@ def crawl_rounds(
                 row = {f: None for f in RESULT_FIELDS}
                 row.update(kind="seed", host=host, url=u, seq=i)
                 rows.append(row)
-        work = ray.data.from_arrow(_rows_table(rows))
+        work_local_tbl = _rows_table(rows)
+        n_seed_rows = len(rows)
+        work = ray.data.from_arrow(work_local_tbl)
 
     # The work flow is DATASET-NATIVE end to end: host states stream
     # Parquet → groupby(host) shuffle → Parquet.  The driver holds only a
@@ -363,16 +421,28 @@ def crawl_rounds(
             "n_cand": pa.array([n_cand], pa.int64()),
         })
 
+    import ray
+
     ext_on = cfg.crawlers[crawler or cfg.default_crawler].external
     r = start_round
     first = True
+    n_work: Optional[int] = None  # rows of work (from last round's summary)
+    prev_round_dir: Optional[str] = None
+    try:
+        n_work = n_seed_rows  # round 0: work rows were built on the driver
+    except NameError:
+        work_local_tbl = None  # resume: first round decides via count()
+
     while r < max_rounds and work is not None:
-        if first:
+        small = n_work is not None and n_work <= SMALL_WORK_ROWS
+        if first and not small:
             # entry/resume: one count to know whether there is work at all
             work = work.materialize()
-            if work.count() == 0:
+            n0 = work.count()
+            if n0 == 0:
                 break
-            first = False
+            small = n0 <= SMALL_WORK_ROWS
+        first = False
 
         round_dir = os.path.join(ckpt_dir, f"round_{r:04d}")
 
@@ -390,6 +460,74 @@ def crawl_rounds(
                 _sh.rmtree(round_dir, ignore_errors=True)
                 os.makedirs(round_dir, exist_ok=True)
 
+                if small:
+                    # ---- DIRECT-TASK round: local work table → one Ray
+                    # task per host → local concat/summary/merge; writes
+                    # the identical checkpoint layout
+                    if prev_round_dir is not None:
+                        wdf = _work_table_local(prev_round_dir).to_pandas()
+                    elif work_local_tbl is not None:
+                        wdf = work_local_tbl.to_pandas()
+                    else:
+                        # resume entry: work was just materialized/counted
+                        wdf = work.to_pandas()
+                    if wdf.empty:
+                        n_active, n_cand, min_due = 0, 0, None
+                        n_arr = 0
+                        arrivals_scheduled = False
+                        os.makedirs(os.path.join(round_dir, "result"),
+                                    exist_ok=True)
+                        pq.write_table(_rows_table([]), os.path.join(
+                            round_dir, "result", "part-0.parquet"))
+                        break
+                    step = HostTurnStep(cfg_blob, store_dir, num_buckets,
+                                        pool.actors, r, crawler)
+                    task = _get_turn_task()
+                    futs = [task.remote(step, g)
+                            for _h, g in wdf.groupby("host", sort=True)]
+                    tables = ray.get(futs)
+                    results_tbl = pa.concat_tables(tables)
+                    os.makedirs(os.path.join(round_dir, "result"),
+                                exist_ok=True)
+                    pq.write_table(results_tbl, os.path.join(
+                        round_dir, "result", "part-0.parquet"))
+
+                    s = _summarize(results_tbl).to_pylist()[0]
+                    n_active, n_cand = s["n_active"], s["n_cand"]
+                    min_due = s["min_due"]
+
+                    arrivals_scheduled = False
+                    n_arr = 0
+                    if n_cand:
+                        mask = pc.equal(results_tbl.column("kind"), "cand")
+                        ct = results_tbl.filter(mask)
+                        cands = [
+                            (h, int(q), pickle.loads(p)) for h, q, p in zip(
+                                ct.column("src_host").to_pylist(),
+                                ct.column("src_seq").to_pylist(),
+                                ct.column("payload").to_pylist())
+                        ]
+                        arr_map = merge_externals(_PoolFacade(pool.actors),
+                                                  cands, cfg)
+                        rows = []
+                        for host, items in sorted(arr_map.items()):
+                            for i, item in enumerate(items):
+                                row = {f: None for f in RESULT_FIELDS}
+                                row.update(kind="arrival", host=host,
+                                           src_host="", src_seq=i,
+                                           payload=pickle.dumps(item))
+                                rows.append(row)
+                        sub = ("arrivals" if ext_on
+                               else "arrivals_unscheduled")
+                        os.makedirs(os.path.join(round_dir, sub),
+                                    exist_ok=True)
+                        pq.write_table(_rows_table(rows), os.path.join(
+                            round_dir, sub, "part-0.parquet"))
+                        n_arr = len(rows)
+                        arrivals_scheduled = ext_on and n_arr > 0
+                    break
+
+                # ---- DATASET-NATIVE round (the 10^8-host shape)
                 results = work.groupby("host").map_groups(
                     HostTurnStep(cfg_blob, store_dir, num_buckets,
                                  pool.actors, r, crawler),
@@ -410,6 +548,7 @@ def crawl_rounds(
                 min_due = min(dues) if dues else None
 
                 arrivals_scheduled = False
+                n_arr = 0
                 if n_cand:
                     # round barrier: merge external candidates per shard
                     # (kind=cand rows carry shard id in `seq`); candidates
@@ -431,7 +570,8 @@ def crawl_rounds(
                     sub = "arrivals" if ext_on else "arrivals_unscheduled"
                     arrivals = arrivals.materialize()
                     arrivals.write_parquet(os.path.join(round_dir, sub))
-                    arrivals_scheduled = ext_on and arrivals.count() > 0
+                    n_arr = arrivals.count()
+                    arrivals_scheduled = ext_on and n_arr > 0
                 break
             except Exception:
                 if attempt == 2:
@@ -461,6 +601,8 @@ def crawl_rounds(
 
         if n_active == 0 and not arrivals_scheduled:
             break
+        prev_round_dir = round_dir
+        n_work = n_active + (n_arr if arrivals_scheduled else 0)
         work = _work_ds(round_dir)
         # politeness fast-forward: with no freshly-scheduled arrivals
         # (those are due immediately), the next round anything happens in
