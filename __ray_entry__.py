@@ -251,12 +251,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": ann.ann_topk,
         "ann_topk_lsh": ann.ann_topk_lsh,
+        "ann_topk_ivf": ann.ann_topk_ivf,
         "embedding_neardup": ann.embedding_neardup,
         # relational wide ops (SQL-oracled)
         "rel_lineitem_agg": relops.lineitem_agg,
         "rel_segment_revenue": relops.segment_revenue,
         "rel_top_parts": relops.top_parts,
         "rel_events_by_type": relops.events_by_type,
+        "rel_events_window": relops.events_window,
         "rel_events_sessionize": relops.events_sessionize,
         # FTP LIST parser over the multi-dialect listings table (S3/M8)
         "ftp_entries": _q_ftp_entries,
@@ -278,6 +280,8 @@ def oracle_sql() -> dict[str, str]:
     ndp = ann.write_lsh_planes("/tmp/mwc_lsh_planes_nd.parquet",
                                ann.ND_SEED, ann.ND_TABLES, ann.ND_PLANES)
     emb_aug = ann.augmented_embeddings_path("/root/testdata/sf0.01")
+    ivfc = ann.write_ivf_centroids("/tmp/mwc_ivf_centroids.parquet",
+                                   "/root/testdata/sf0.01")
     from methanol_web_crawler_ray.pipelines import ftp as _ftp
     from methanol_web_crawler_ray.pipelines import multimodal as _mm
 
@@ -500,6 +504,34 @@ def oracle_sql() -> dict[str, str]:
             "FROM s) SELECT query_id, neighbor_id, rank FROM r "
             "WHERE rank <= 10"
         ),
+        # IVF top-k: list assignment = exact integer distance argmin
+        # against the shared quantized centroids (ties -> lowest cid);
+        # probes = each query's n_probe nearest lists, same ordering
+        "ann_topk_ivf": (
+            "WITH qv AS (SELECT vec_id, CAST(i AS INT) AS dim, "
+            f"CAST(round(embedding[CAST(i AS INT) + 1] * {ann.QSCALE}) "
+            "AS BIGINT) AS q FROM embeddings, UNNEST(range(64)) AS d(i)), "
+            f"cent AS (SELECT * FROM read_parquet('{ivfc}')), "
+            "dist AS (SELECT qv.vec_id, c.cid, "
+            "SUM((qv.q - c.c) * (qv.q - c.c)) AS d2 "
+            "FROM qv JOIN cent c ON c.dim = qv.dim "
+            "GROUP BY qv.vec_id, c.cid), "
+            "rk AS (SELECT vec_id, cid, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dist), "
+            "lab AS (SELECT vec_id, cid FROM rk WHERE rn = 1), "
+            "qprobe AS (SELECT vec_id AS qid, cid FROM rk "
+            f"WHERE vec_id < 5 AND rn <= {ann.IVF_PROBE}), "
+            "cand AS (SELECT DISTINCT qp.qid, l.vec_id FROM qprobe qp "
+            "JOIN lab l ON l.cid = qp.cid WHERE l.vec_id != qp.qid), "
+            "s AS (SELECT c.qid AS query_id, c.vec_id AS neighbor_id, "
+            "list_cosine_similarity(e.embedding, q.embedding) AS sim "
+            "FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id "
+            "JOIN embeddings q ON q.vec_id = c.qid), "
+            "r AS (SELECT query_id, neighbor_id, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank "
+            "FROM s) SELECT query_id, neighbor_id, rank FROM r "
+            "WHERE rank <= 10"
+        ),
         # near-dup: same integer bucket replay over the augmented table
         # (planted pairs at cosine ~0.995 vs threshold 0.98 — wide-margin
         # float verification), bucket-size cap replicated
@@ -552,6 +584,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, "
             "sum(CAST(floor(value*100+0.5) AS BIGINT))::BIGINT AS value_cents, "
             "count(*)::BIGINT AS n FROM events GROUP BY event_type"
+        ),
+        "rel_events_window": (
+            "SELECT event_type, "
+            "(CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 "
+            "AS window_start, "
+            "sum(CAST(floor(value*100+0.5) AS BIGINT))::BIGINT "
+            "AS value_cents, count(*)::BIGINT AS n "
+            "FROM events GROUP BY event_type, window_start"
         ),
         "rel_events_sessionize": (
             "SELECT user_id, count(*)::BIGINT AS n_events, "

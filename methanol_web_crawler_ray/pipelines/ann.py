@@ -255,6 +255,141 @@ def ann_topk_lsh(sf_dir: str, k: int = 10, n_queries: int = 5):
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means scale path
+
+IVF_SEED = 31337
+IVF_LISTS = 16
+IVF_PROBE = 4
+IVF_ITERS = 10
+
+
+def ivf_centroids(sf_dir: str, n_lists: int = IVF_LISTS,
+                  iters: int = IVF_ITERS) -> np.ndarray:
+    """Deterministic coarse quantizer: seeded k-means (kmeans++-style
+    seeded init, fixed Lloyd iterations) over a corpus sample on the
+    driver — at 100 TB this trains on a bounded sample exactly the same
+    way.  Returns QUANTIZED int64 centroids (×QSCALE): list assignment
+    is then an exact integer argmin on both the Ray and DuckDB sides."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["embedding"])
+    M = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in tbl.column("embedding").to_pylist()])
+    n = M.shape[0]
+    rng = np.random.default_rng(IVF_SEED)
+    sample = M[rng.choice(n, size=min(n, 4096), replace=False)]
+    # seeded kmeans++ init
+    cents = [sample[int(rng.integers(sample.shape[0]))]]
+    for _ in range(n_lists - 1):
+        d2 = np.min(
+            ((sample[:, None, :] - np.asarray(cents)[None, :, :]) ** 2
+             ).sum(-1), axis=1)
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        cents.append(sample[int(rng.choice(sample.shape[0], p=p))])
+    C = np.asarray(cents)
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        lab = d2.argmin(axis=1)
+        for j in range(n_lists):
+            m = sample[lab == j]
+            if m.shape[0]:
+                C[j] = m.mean(axis=0)
+    return np.round(C * QSCALE).astype(np.int64)
+
+
+def write_ivf_centroids(path: str, sf_dir: str) -> str:
+    """(cid, dim, c) parquet for the DuckDB oracle."""
+    import pyarrow.parquet as pq
+
+    C = ivf_centroids(sf_dir)
+    cid, dim, val = [], [], []
+    for i in range(C.shape[0]):
+        for d in range(C.shape[1]):
+            cid.append(i)
+            dim.append(d)
+            val.append(int(C[i, d]))
+    pq.write_table(pa.table({
+        "cid": pa.array(cid, pa.int32()),
+        "dim": pa.array(dim, pa.int32()),
+        "c": pa.array(val, pa.int64()),
+    }), path)
+    return path
+
+
+def _ivf_assign(Q: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Exact integer argmin of squared distance; ties → lowest cid."""
+    d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    return d2.argmin(axis=1)
+
+
+def ann_topk_ivf(sf_dir: str, k: int = 10, n_queries: int = 5,
+                 n_probe: int = IVF_PROBE):
+    """IVF approximate top-k (the k-means counterpart to ann_topk_lsh):
+    assign every vector to its nearest of IVF_LISTS centroids (exact
+    integer distances — bit-identical in the oracle), probe each query's
+    n_probe nearest lists, rank candidates by exact cosine.  The
+    assignment stage is one vectorized map_batches; probed lists are
+    filtered the same way."""
+    import ray
+    import ray.data
+
+    C = ivf_centroids(sf_dir)
+    queries = load_queries(sf_dir, n_queries)
+    probe: Dict[int, set] = {}
+    for qid, v in queries.items():
+        d2 = ((_quantize(v[None, :])[0][None, :] - C) ** 2).sum(-1)
+        order = np.argsort(d2, kind="stable")  # ties → lowest cid
+        probe[qid] = set(int(x) for x in order[:n_probe])
+    ref = ray.put((queries, C, probe))
+
+    class Probe:
+        def __init__(self, ref, k):
+            self.queries, self.C, self.probe = ray.get(ref)
+            self.qids = sorted(self.queries)
+            self.Q = _normalize(np.stack([self.queries[i]
+                                          for i in self.qids]))
+            self.k = k
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            M = _to_matrix(df["embedding"])
+            lab = _ivf_assign(_quantize(M), self.C)
+            ids = df["vec_id"].to_numpy()
+            out = {"query_id": [], "vec_id": [], "sim": []}
+            sims = None
+            for qi, qid in enumerate(self.qids):
+                mask = np.isin(lab, list(self.probe[qid])) & (ids != qid)
+                if not mask.any():
+                    continue
+                if sims is None:
+                    sims = _normalize(M) @ self.Q.T
+                for i in np.where(mask)[0]:
+                    out["query_id"].append(qid)
+                    out["vec_id"].append(int(ids[i]))
+                    out["sim"].append(float(sims[i, qi]))
+            return pd.DataFrame(out)
+
+    partial = _read_emb(sf_dir).map_batches(
+        Probe, fn_constructor_args=(ref, k), batch_format="pandas",
+        concurrency=2,
+    )
+    df = partial.to_pandas()
+    if df.empty:
+        return ray.data.from_arrow(pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64())}))
+    df = df.sort_values(["query_id", "sim", "vec_id"],
+                        ascending=[True, False, True])
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k]
+    return ray.data.from_pandas(
+        df[["query_id", "vec_id", "rank"]]
+        .rename(columns={"vec_id": "neighbor_id"}).reset_index(drop=True)
+    )
+
+
 # embedding_neardup configuration (shared with the oracle)
 ND_SEED = 777
 ND_TABLES = 6

@@ -132,6 +132,42 @@ def events_by_type(sf_dir: str):
                                "sum(n)": "n"})
 
 
+def events_window(sf_dir: str, window_minutes: int = 60):
+    """Tumbling-window aggregate (the streaming-window op the Dataset API
+    lacks natively, via the (a) pattern: window key derived per row in
+    map_batches, then a grouped aggregate with in-batch combiners):
+    (event_type, window_start, n, value_cents) per
+    ``window_minutes``-tumbling window.  window_start is epoch seconds —
+    integer, hash-stable."""
+    w = window_minutes * 60
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        # unit-safe epoch seconds (the column is timestamp[us]; a raw
+        # int64 view would be microseconds)
+        epoch = pd.Series(
+            df["ts"].values.astype("datetime64[s]").astype("int64"),
+            index=df.index)
+        out = pd.DataFrame({
+            "event_type": df["event_type"],
+            "window_start": (epoch // w * w).astype("int64"),
+            "cents": np.floor(df["value"] * 100 + 0.5).astype("int64"),
+            "one": 1,
+        })
+        return out.groupby(["event_type", "window_start"],
+                           as_index=False).agg(
+            value_cents=("cents", "sum"), n=("one", "sum"))
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+        pre, batch_format="pandas"
+    )
+    import ray.data
+
+    agg = ds.groupby(["event_type", "window_start"]).aggregate(
+        ray.data.aggregate.Sum("value_cents"), ray.data.aggregate.Sum("n")
+    )
+    return _rename(agg, {"sum(value_cents)": "value_cents", "sum(n)": "n"})
+
+
 def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Per-user sessionization (windowed stateful op the Dataset API lacks
     natively): groupby(user) → map_groups ordered scan — the (b) pattern

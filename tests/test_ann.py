@@ -53,6 +53,36 @@ def test_ann_lsh_recall(ray_session, sf_dir, emb):
     assert sum(recalls) / len(recalls) >= 0.25
 
 
+def test_ann_ivf_recall_and_determinism(ray_session, sf_dir, emb):
+    ids, M = emb
+    exact = {}
+    for r in ann.ann_topk(sf_dir).take_all():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    a = sorted((r["query_id"], r["neighbor_id"], r["rank"])
+               for r in ann.ann_topk_ivf(sf_dir).take_all())
+    b = sorted((r["query_id"], r["neighbor_id"], r["rank"])
+               for r in ann.ann_topk_ivf(sf_dir).take_all())
+    assert a == b and a  # deterministic (seeded kmeans + integer assign)
+    approx = {}
+    for q, n, _rk in a:
+        approx.setdefault(q, set()).add(n)
+    recalls = [len(approx.get(q, set()) & ex) / max(len(ex), 1)
+               for q, ex in exact.items()]
+    assert sum(recalls) / len(recalls) >= 0.2  # probing 4/16 lists
+    # every reported neighbor lives in a probed list of its query
+    C = ann.ivf_centroids(sf_dir)
+    lab = ann._ivf_assign(ann._quantize(M), C)
+    labmap = {int(i): int(l) for i, l in zip(ids, lab)}
+    for q, n, _rk in a:
+        qv = M[list(ids).index(q)]
+        d2 = ((ann._quantize(qv[None, :])[0][None, :] - C) ** 2).sum(-1)
+        import numpy as _np
+
+        probed = set(int(x) for x in
+                     _np.argsort(d2, kind="stable")[:ann.IVF_PROBE])
+        assert labmap[n] in probed
+
+
 def test_embedding_neardup_planted(ray_session, sf_dir):
     """Every reported pair is a genuine >= threshold pair of the
     augmented table, and the planted near-dups (cosine ~0.995) are
