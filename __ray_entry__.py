@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_parts": relops.top_parts,
         "rel_events_by_type": relops.events_by_type,
         "rel_events_window": relops.events_window,
+        "rel_events_asof": relops.events_asof,
         "rel_events_sessionize": relops.events_sessionize,
         # FTP LIST parser over the multi-dialect listings table (S3/M8)
         "ftp_entries": _q_ftp_entries,
@@ -592,6 +593,20 @@ def oracle_sql() -> dict[str, str]:
             "sum(CAST(floor(value*100+0.5) AS BIGINT))::BIGINT "
             "AS value_cents, count(*)::BIGINT AS n "
             "FROM events GROUP BY event_type, window_start"
+        ),
+        # as-of join: running last view per user, equal-ts views sort
+        # before clicks (allow-exact-match), ties by event_id — identical
+        # ordered scan on both sides; -1 = no prior view
+        "rel_events_asof": (
+            "WITH ev AS (SELECT event_id, ts, user_id, event_type "
+            "FROM events WHERE event_type IN ('click', 'view')), "
+            "scan AS (SELECT *, last_value(CASE WHEN event_type = 'view' "
+            "THEN event_id END IGNORE NULLS) OVER (PARTITION BY user_id "
+            "ORDER BY ts, (event_type = 'click'), event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv "
+            "FROM ev) "
+            "SELECT event_id, COALESCE(lv, -1)::BIGINT AS prev_view_id "
+            "FROM scan WHERE event_type = 'click'"
         ),
         "rel_events_sessionize": (
             "SELECT user_id, count(*)::BIGINT AS n_events, "

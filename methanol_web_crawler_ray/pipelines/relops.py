@@ -168,6 +168,42 @@ def events_window(sf_dir: str, window_minutes: int = 60):
     return _rename(agg, {"sum(value_cents)": "value_cents", "sum(n)": "n"})
 
 
+def events_asof(sf_dir: str):
+    """As-of join (the prompt's custom-operator example, via the (a)
+    pattern: co-partition by key, ordered scan per group): for every
+    'click' event, the user's latest 'view' event at ts ≤ click.ts.
+    Ordering is fully deterministic — rows scan in (ts, is_view-first,
+    event_id) order, so a view sharing the click's exact timestamp
+    qualifies and equal-ts views resolve to the highest event_id.
+    Clicks with no prior view report -1 (a sentinel keeps the gate's
+    value-hash free of nullable-int NA quirks).
+    Returns (event_id, prev_view_id)."""
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(is_click=(df["event_type"] == "click"))
+        # views before clicks at equal ts (allow_exact_matches)
+        df = df.sort_values(["ts", "is_click", "event_id"])
+        out_id, out_prev = [], []
+        last_view = -1
+        for eid, etype in zip(df["event_id"], df["event_type"]):
+            if etype == "view":
+                last_view = int(eid)
+            elif etype == "click":
+                out_id.append(int(eid))
+                out_prev.append(last_view)
+        return pd.DataFrame({
+            "event_id": pd.Series(out_id, dtype="int64"),
+            "prev_view_id": pd.Series(out_prev, dtype="int64"),
+        })
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["event_type"].isin(["click", "view"])]
+
+    return ds.map_batches(pre, batch_format="pandas") \
+        .groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
 def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Per-user sessionization (windowed stateful op the Dataset API lacks
     natively): groupby(user) → map_groups ordered scan — the (b) pattern
