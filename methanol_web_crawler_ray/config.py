@@ -40,7 +40,10 @@ class EngineConfig:
     # flag), which clears it; True reproduces that daemon-mode behavior.
     clear_external_on_activate: bool = False
 
+    # GET/robots vs HEAD (multipeek) timers — metha.c:70-78 timer_vals:
+    # friendly = 10 s GET / 2 s HEAD, coward = 30 s / 5 s
     MODE_DELAYS = {"aggressive": 0.0, "friendly": 10.0, "coward": 30.0}
+    MODE_HEAD_DELAYS = {"aggressive": 0.0, "friendly": 2.0, "coward": 5.0}
 
     def extend_filetype(self, name: str, **kw) -> None:
         """config 'extend: filetype[name] { ... }' (conf.c extend keyword)."""
@@ -58,6 +61,10 @@ class EngineConfig:
     @property
     def base_delay(self) -> float:
         return self.MODE_DELAYS.get(self.mode, 0.0)
+
+    @property
+    def head_delay(self) -> float:
+        return self.MODE_HEAD_DELAYS.get(self.mode, 0.0)
 
 
 def default_config(**crawler_overrides) -> EngineConfig:

@@ -456,15 +456,21 @@ class CrawlKernel:
         self.depth_counter -= 1
         return self.ue_add(canon)
 
-    def _transfer(self) -> None:
-        """Account one network transfer (GET / HEAD / robots): the
-        politeness timer sleeps between transfers (io.c:566-578); here the
-        virtual clock advances by the effective per-host delay."""
+    def _transfer(self, head: bool = False) -> None:
+        """Account one network transfer: the politeness timer sleeps
+        between transfers (lm_iothr_wait, io.c:566-578); here the virtual
+        clock advances by the effective per-host delay.  HEAD lookups use
+        the multipeek timer (timer_wait_mp, metha.c:70-78 — 2 s friendly
+        / 5 s coward, robots Crawl-delay not applied); GET and robots
+        fetches use the main timer extended by robots Crawl-delay."""
         self.log.transfers += 1
-        delay = max(
-            (self.robots.crawl_delay if self.robots else None) or 0.0,
-            self.cfg.base_delay,
-        )
+        if head:
+            delay = self.cfg.head_delay
+        else:
+            delay = max(
+                (self.robots.crawl_delay if self.robots else None) or 0.0,
+                self.cfg.base_delay,
+            )
         start = self.window[0] if self.window else 0.0
         self.clock = max(self.clock, start) + delay
 
@@ -593,7 +599,7 @@ class CrawlKernel:
             match = False
             ft = idx.match_by_url(row.u)
             if ft is POSSIBLE_MATCH:
-                self._transfer()  # HEAD (S2)
+                self._transfer(head=True)  # HEAD (S2, multipeek timer)
                 mime = self.fetch.head(row.u.s)
                 if mime:
                     mime = mime.split(";", 1)[0]

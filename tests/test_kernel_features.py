@@ -95,6 +95,51 @@ def test_external_peek_seen_dedup_rounds():
     assert b_visits[0][1] == "a.x"
 
 
+def test_head_uses_multipeek_timer():
+    """friendly mode: HEAD lookups advance the politeness clock by the
+    multipeek timer (2 s), GETs by the main timer (10 s) — metha.c:70-78
+    timer_vals + lm_iothr_wait(mp)."""
+    filetypes = {
+        "html": Filetype(name="html", extensions=("html",),
+                         mimetypes=("text/html",), parser="html"),
+    }
+    crawlers = {
+        "default": Crawler(name="default", filetypes=("html",),
+                           depth_limit=3, robotstxt=False, external=False,
+                           dir_url="@html", extless_url=None,  # → lookup
+                           dynamic_url="@html", unknown_url="discard"),
+    }
+    cfg = EngineConfig(crawlers=crawlers, filetypes=filetypes)
+    cfg.mode = "friendly"
+    cfg.round_seconds = 1000
+    f = _web({
+        # two extensionless links → two HEAD lookups, both text/html
+        "http://a.x/": dict(body=b'<a href="alpha">1</a><a href="beta">2</a>'),
+        "http://a.x/alpha": dict(body=b''),
+        "http://a.x/beta": dict(body=b''),
+    })
+    r = sim.simulate_rounds(cfg, f, ["http://a.x/"])
+    assert sorted(v[0] for v in r.visits) == \
+        ["http://a.x/", "http://a.x/alpha", "http://a.x/beta"]
+    # clock: 3 GETs × 10 s + 2 HEADs × 2 s = 34 s — all inside round 0;
+    # with the old uniform 10 s timer the total would be 50 s (still one
+    # round), so pin the ACCOUNTING via a tight window instead:
+    cfg2 = EngineConfig(crawlers=crawlers, filetypes=filetypes)
+    cfg2.mode = "friendly"
+    # clock trace: root GET → 10, two HEADs → 14, first child GET starts
+    # at 14 (< 20) → 24, second child deferred to round 1.  With the old
+    # uniform 10 s HEAD cost the clock would be 30 after sorting and
+    # round 0 would hold only the root visit.
+    cfg2.round_seconds = 20
+    r2 = sim.simulate_rounds(cfg2, f, ["http://a.x/"])
+    per_round = {}
+    for _u, _h, _d, rnd, _s in r2.visits:
+        per_round.setdefault(rnd, []).append(_u)
+    assert len(per_round.get(0, [])) == 2
+    assert sorted(v[0] for v in r2.visits) == \
+        sorted(v[0] for v in r.visits)
+
+
 def test_switch_to_crawler():
     """filetype.switch_to (perform, worker.c:747-748): crawling a matching
     URL switches the active crawler (different depth_limit here)."""
