@@ -338,12 +338,14 @@ def crawl_rounds(
     num_shards: int = 8,
     seen_mode: str = "exact",
     num_buckets: int = 32,
-    concurrency: int = 8,
+    concurrency: int = 8,  # accepted for API compat; turns are task-based
     max_rounds: int = 1000,
     prune_snapshots: bool = False,
 ) -> str:
-    """Run the crawl; returns ckpt_dir (read results via collect_result).
-    Ray must already be initialized by the caller (driver contract)."""
+    """Run the crawl; returns ckpt_dir (read the outputs as Datasets via
+    visits_ds/targets_ds/texts_ds/ft_counts_ds, or fold with
+    collect_result at test scale).  Ray must already be initialized by
+    the caller (driver contract)."""
     import ray.data
 
     from ..sources.pagestore import build_store

@@ -430,14 +430,25 @@ def write_minhash_params(path: str) -> str:
 # SimHash near-dup (Charikar '02 / Manku et al. '07)
 
 
+_TOK_HASH_CACHE: Dict[str, int] = {}
+
+
 def _tok_hash64_batch(toks: List[str]) -> np.ndarray:
     """md5 lower-8-bytes little-endian per token — DuckDB's
-    ``md5_number_lower`` exactly."""
-    return np.fromiter(
-        (int.from_bytes(hashlib.md5(t.encode()).digest()[8:], "little")
-         for t in toks),
-        dtype=np.uint64, count=len(toks),
-    )
+    ``md5_number_lower`` exactly.  Token hashes are memoized per worker
+    process (natural-language vocab is Zipfian: the cache absorbs most
+    of the md5 cost across documents)."""
+    c = _TOK_HASH_CACHE
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = c.get(t)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[8:],
+                               "little")
+            if len(c) < 2_000_000:
+                c[t] = h
+        out[i] = h
+    return out
 
 
 def simhash64(text: str) -> int:
