@@ -114,6 +114,47 @@ def _p_title(ctx: ParseCtx) -> None:
     ctx.attrs.set("title", ctx.buf[j + 1 : k])
 
 
+_META_TAG_RE = None
+
+
+def _p_meta(ctx: ParseCtx) -> None:
+    # scripts/misc.js meta(): print each <meta> tag's name/content pair
+    # (and keep crawling the hrefs — in a chain, the 'html' parser owns
+    # link emission).  The printed lines become the 'meta' attribute:
+    # b"<name>: <content>\n" in document order.
+    global _META_TAG_RE
+    import re as _re
+
+    if _META_TAG_RE is None:
+        _META_TAG_RE = (
+            _re.compile(rb"<meta\s+[^>]*>", _re.I),
+            _re.compile(rb"""name\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
+                        _re.I),
+            _re.compile(rb"""content\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
+                        _re.I),
+        )
+    tag_re, name_re, content_re = _META_TAG_RE
+
+    def val(m):
+        return next(g for g in m.groups()[1:] if g is not None)
+
+    out = bytearray()
+    for tag in tag_re.finditer(ctx.buf):
+        nm = name_re.search(tag.group(0))
+        ct = content_re.search(tag.group(0))
+        if nm is not None:
+            out += val(nm) + b": " + (val(ct) if ct is not None else b"") \
+                + b"\n"
+    if out:
+        ctx.attrs.set("meta", bytes(out))
+
+
+def _p_source(ctx: ParseCtx) -> None:
+    # scripts/misc.js source(): emit the transfer body as-is (the JS
+    # prints to the console; the sink model stores it as an attribute)
+    ctx.attrs.set("source", ctx.buf)
+
+
 def _p_ftp(ctx: ParseCtx) -> None:
     # S3/M8: FTP LIST parser (lm_parser_ftp, builtin.c:207-244): each
     # parseable line's name becomes a ue_add ref, directories with a
@@ -132,6 +173,8 @@ PARSERS: Dict[str, Callable[[ParseCtx], None]] = {
     "utf8conv": _p_utf8conv,
     "entityconv": _p_entityconv,
     "title": _p_title,
+    "meta": _p_meta,
+    "source": _p_source,
     "ftp": _p_ftp,
 }
 

@@ -110,3 +110,29 @@ def test_malformed_unclosed_tag_tolerated():
     # fault tolerance: '<' inside a tag restarts the tag (html.c:140-141)
     h = '<a <b href="x.html">'
     assert links(h) == ["x.html"]
+
+
+def test_meta_and_source_parsers():
+    """scripts/misc.js analogs: meta() name/content pairs in document
+    order; source() passes the body through as an attribute."""
+    from methanol_web_crawler_ray.functions.parsechain import (
+        AttrList, parse_chain_spec, run_chain)
+    from methanol_web_crawler_ray.functions.urlkit import url_set
+
+    body = (b'<html><head>'
+            b'<meta name="description" content="a test page">'
+            b"<META NAME='keywords' content=one,two>"
+            b'<meta charset="utf-8">'
+            b'</head><body><a href="x.html">x</a></body></html>')
+    attrs = AttrList(("meta", "html"))
+    refs = []
+    run_chain(parse_chain_spec("html, meta"), body,
+              url_set("http://m.x/"), "text/html", 200, attrs, refs.append)
+    assert refs == [b"x.html"]  # link emission stays with the html parser
+    assert attrs.values["meta"] == (b"description: a test page\n"
+                                    b"keywords: one,two\n")
+
+    attrs2 = AttrList(("source",))
+    run_chain(parse_chain_spec("source"), body, url_set("http://m.x/"),
+              "text/html", 200, attrs2, lambda r: None)
+    assert attrs2.values["source"] == body
