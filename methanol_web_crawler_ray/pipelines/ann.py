@@ -411,7 +411,11 @@ def augmented_embeddings_path(sf_dir: str) -> str:
     src = f"{sf_dir}/embeddings.parquet"
     tbl = pq.read_table(src)
     n = tbl.num_rows
-    out = f"/tmp/mwc_emb_aug-{os.path.basename(os.path.normpath(sf_dir))}-{n}.parquet"
+    # cache key includes the planting parameters so constant changes in a
+    # later engine version can never reuse a stale fixture
+    tag = f"{ND_PLANT_EVERY}-s20260817-n012"
+    out = (f"/tmp/mwc_emb_aug-{os.path.basename(os.path.normpath(sf_dir))}"
+           f"-{n}-{tag}.parquet")
     if os.path.exists(out):
         return out
     ids = tbl.column("vec_id").to_numpy()
