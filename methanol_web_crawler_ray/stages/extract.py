@@ -94,9 +94,14 @@ def page_xmlconv(pages_dir: str, batch_size: int = 256):
         ):
             if status == 200 and (ctype or "").startswith("text/html"):
                 urls.append(url)
-                outs.append(xmlconv(body or b""))
+                # hex string, not binary: DuckDB hands BLOBs back as
+                # bytearray and the driver gate's pandas sort crashes on
+                # them; and unlike page_text (post-utf8conv) the xmlconv
+                # output passes raw page bytes through, so it is not
+                # valid UTF-8 and can't be an Arrow string directly
+                outs.append(xmlconv(body or b"").hex())
         return pa.table({"url": pa.array(urls, pa.string()),
-                         "xhtml": pa.array(outs, pa.large_binary())})
+                         "xhtml": pa.array(outs, pa.string())})
 
     return _store_ds(
         pages_dir, ["url", "content_type", "status", "body"]

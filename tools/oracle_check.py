@@ -28,7 +28,13 @@ def to_df(res):
 
 def canon(v):
     if isinstance(v, (bytes, bytearray)):
-        return "b:" + bytes(v).hex()
+        # The DRIVER's gate sorts raw columns with pandas sort_values and
+        # crashes on bytearray (unhashable) — round-2's page_xmlconv red
+        # row.  Fail loudly here so a binary column never reaches the
+        # driver again: queries() must emit strings (surrogateescape).
+        raise TypeError(
+            "binary value in gated query output — driver gate would "
+            "crash; emit a string (decode utf-8/surrogateescape)")
     if isinstance(v, float):
         return f"f:{v:.10g}"
     if v is None or v != v:
