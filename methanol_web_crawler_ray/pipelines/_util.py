@@ -4,6 +4,40 @@ from __future__ import annotations
 
 from typing import Dict
 
+# process-level stage-instance cache: Ray reuses worker processes across
+# tasks, so a stateful-but-cheap stage (state = a ray.put ref + a few
+# scalars) can run as a plain TASK UDF — scheduled on every free CPU —
+# instead of a pinned-concurrency actor pool that starves at 32 cpus
+# (round-2 VERDICT item 2: ann_topk 1.56 s → 3.65 s on 2 actors).
+_UDF_CACHE: Dict = {}
+
+
+def task_udf(cls, *args):
+    """Wrap a callable stage class as a per-process-memoized plain
+    function for map_batches.  `cls(*args)` runs once per worker process
+    (first task that lands there), then every subsequent task reuses the
+    instance — the `bulk.py` _CTX_CACHE pattern generalized.  Use for
+    stages whose state is an ObjectRef (zero-copy from plasma) or cheap
+    to build; keep real actor pools for expensive per-actor state."""
+
+    def _key_part(a):
+        return a.hex() if hasattr(a, "hex") and not isinstance(a, bytes) \
+            else a
+
+    key = (cls.__module__, cls.__qualname__,
+           tuple(_key_part(a) for a in args))
+
+    def fn(batch):
+        inst = _UDF_CACHE.get(key)
+        if inst is None:
+            inst = cls(*args)
+            _UDF_CACHE[key] = inst
+            if len(_UDF_CACHE) > 32:
+                _UDF_CACHE.pop(next(iter(_UDF_CACHE)))
+        return inst(batch)
+
+    return fn
+
 
 def rename(ds, mapping: Dict[str, str]):
     """Dataset.rename_columns chokes on pandas-formatted blocks coming out

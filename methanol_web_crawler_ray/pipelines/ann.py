@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 
-from ._util import rename as _rename
+from ._util import rename as _rename, task_udf
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -91,9 +91,11 @@ def ann_topk(sf_dir: str, k: int = 10, n_queries: int = 5):
     import ray
 
     queries_ref = ray.put(load_queries(sf_dir, n_queries))
+    # plain task UDF + per-process instance cache (not an actor pool):
+    # state is one plasma ref, and a pinned pool starved the scan at 32
+    # cpus (round-2 bench: ann_topk 1.56 s -> 3.65 s on concurrency=2)
     partial = _read_emb(sf_dir).map_batches(
-        BruteForceScore, fn_constructor_args=(queries_ref, k),
-        batch_format="pandas", concurrency=2,
+        task_udf(BruteForceScore, queries_ref, k), batch_format="pandas",
     )
     # final merge: the partial top-k set is tiny → driver-side rank
     df = partial.to_pandas()
@@ -236,8 +238,7 @@ def ann_topk_lsh(sf_dir: str, k: int = 10, n_queries: int = 5):
             return pd.DataFrame(out)
 
     partial = _read_emb(sf_dir).map_batches(
-        Probe, fn_constructor_args=(queries_ref, k),
-        batch_format="pandas", concurrency=2,
+        task_udf(Probe, queries_ref, k), batch_format="pandas",
     )
     df = partial.to_pandas()
     if df.empty:
@@ -371,8 +372,7 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, n_queries: int = 5,
             return pd.DataFrame(out)
 
     partial = _read_emb(sf_dir).map_batches(
-        Probe, fn_constructor_args=(ref, k), batch_format="pandas",
-        concurrency=2,
+        task_udf(Probe, ref, k), batch_format="pandas",
     )
     df = partial.to_pandas()
     if df.empty:

@@ -173,7 +173,9 @@ def media_decode(media_dir: Optional[str] = None, codec: str = "fake"):
     ds = ray.data.read_parquet(os.path.join(media_dir, "media.parquet"))
     return ds.map_batches(
         DecodeMeta, fn_constructor_args=(codec,), batch_format="pyarrow",
-        batch_size=16, concurrency=2, num_cpus=1,
+        # autoscaling pool (min, max): codec state is genuinely per-actor
+        # (a real PIL/ffmpeg handle), but a pinned size starves at 32 cpus
+        batch_size=16, concurrency=(2, 16), num_cpus=1,
     )
 
 
@@ -211,7 +213,7 @@ def media_resize(out_dir: str, media_dir: Optional[str] = None,
     ds = ray.data.read_parquet(os.path.join(media_dir, "media.parquet"))
     out = ds.map_batches(
         ResizeImages, fn_constructor_args=(w, h), batch_format="pyarrow",
-        batch_size=16, concurrency=2,
+        batch_size=16, concurrency=(2, 16),
     )
     out.write_parquet(out_dir)
     return out_dir

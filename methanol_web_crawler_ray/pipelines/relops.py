@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ._util import rename as _rename
+from ._util import rename as _rename, task_udf
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -79,8 +79,8 @@ def segment_revenue(sf_dir: str):
                 revenue_cents=("cents", "sum"), n_orders=("one", "sum"))
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    partial = ds.map_batches(Join, fn_constructor_args=(seg_map_ref,),
-                             batch_format="pandas", concurrency=2)
+    partial = ds.map_batches(task_udf(Join, seg_map_ref),
+                             batch_format="pandas")
     import ray.data
 
     agg = partial.groupby("c_mktsegment").aggregate(

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import hashlib
 import re
-from ._util import rename as _rename
+from ._util import rename as _rename, task_udf
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -619,7 +619,7 @@ class LangId:
 
 def langid(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pandas", concurrency=2
+        task_udf(LangId), batch_format="pandas"
     )
 
 
