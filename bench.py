@@ -72,8 +72,11 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     out["queries"]["crawl_bulk"] = round(el, 3)
     out["pages_parsed"] = stats["pages_parsed"]
     out["links_extracted"] = stats["links_extracted"]
-    out["pages_per_sec"] = round(stats["pages_parsed"] / el, 1)
-    out["frontier_urls_per_sec"] = round(stats["frontier_urls"] / el, 1)
+    # throughput off the crawl loop (stats); setup reported separately
+    out["crawl_bulk_setup_sec"] = round(stats["setup_sec"], 3)
+    out["crawl_bulk_crawl_sec"] = round(stats["crawl_sec"], 3)
+    out["pages_per_sec"] = round(stats["pages_per_sec"], 1)
+    out["frontier_urls_per_sec"] = round(stats["frontier_urls_per_sec"], 1)
 
     # --- crawl_rounds: ordered engine, first two hosts
     ck = "/tmp/mwc_bench_rounds"
