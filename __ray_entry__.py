@@ -395,8 +395,10 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY idb"
         ),
         # simhash: md5-keyed Charikar fingerprints; the banded pipeline is
-        # COMPLETE for hamming<=3 (pigeonhole over 4x16-bit chunks), so the
-        # oracle is the straight all-pairs bit_count(xor)<=3 answer
+        # COMPLETE for hamming<=3 (pigeonhole over 4x16-bit chunks) EXCEPT
+        # buckets over SH_BUCKET_CAP (degenerate-value guard) — the oracle
+        # replays the same banded+capped candidate generation, then the
+        # exact bit_count(xor)<=3 verify
         "doc_simhash_pairs": (
             "WITH toks AS (SELECT doc_id, unnest(list_distinct("
             "regexp_extract_all(lower(text), '\\S+'))) AS tok "
@@ -410,9 +412,18 @@ def oracle_sql() -> dict[str, str]:
             " AS f FROM bits GROUP BY doc_id), "
             "allfp AS (SELECT d.doc_id, COALESCE(fp.f, 0)::UBIGINT AS f "
             "FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id), "
-            "pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb "
-            "FROM allfp a JOIN allfp b ON a.doc_id < b.doc_id "
-            "WHERE bit_count(xor(a.f, b.f)) <= 3) "
+            "chunks AS (SELECT doc_id, f, c AS chunk, "
+            "(f >> CAST(16 * c AS INT)) & 65535 AS val "
+            "FROM allfp, UNNEST(range(4)) AS r(c)), "
+            "hot AS (SELECT chunk, val FROM chunks GROUP BY chunk, val "
+            f"HAVING count(*) >= 2 AND count(*) <= {textops.SH_BUCKET_CAP}), "
+            "cand AS (SELECT DISTINCT a.doc_id AS ida, a.f AS fa, "
+            "b.doc_id AS idb, b.f AS fb "
+            "FROM chunks a JOIN hot h ON a.chunk = h.chunk AND a.val = h.val "
+            "JOIN chunks b ON b.chunk = a.chunk AND b.val = a.val "
+            "AND a.doc_id < b.doc_id), "
+            "pairs AS (SELECT ida, idb FROM cand "
+            "WHERE bit_count(xor(fa, fb)) <= 3) "
             "SELECT idb AS doc_id, min(ida)::BIGINT AS dup_of "
             "FROM pairs GROUP BY idb"
         ),

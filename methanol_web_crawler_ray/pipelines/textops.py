@@ -466,15 +466,23 @@ def simhash64(text: str) -> int:
     return int((b << np.arange(64, dtype=np.uint64)).sum())
 
 
+SH_BUCKET_CAP = 2000  # skip degenerate buckets (replicated in the oracle)
+
+
 def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     """(doc_id, dup_of): for each doc with at least one EARLIER doc at
     SimHash hamming distance ≤ max_hamming, the smallest such partner.
 
-    COMPLETE by construction for max_hamming ≤ 3: any pair differing in
+    COMPLETE by construction for max_hamming ≤ 3 — any pair differing in
     ≤3 of 64 bits agrees on ≥1 of the 4 16-bit chunks (pigeonhole —
     Manku-Jain-Sarma '07 block-permutation scheme), so chunk buckets are
-    a guaranteed candidate superset and the result equals the all-pairs
-    answer the DuckDB oracle computes.  Collision detection is
+    a guaranteed candidate superset — EXCEPT buckets larger than
+    SH_BUCKET_CAP, which are dropped on both sides: pairgen allocates an
+    n×n xor matrix per bucket, and at corpus scale a degenerate value
+    (e.g. every empty doc fingerprints to 0) would otherwise go
+    quadratic.  The DuckDB oracle replays the same banded+capped scheme
+    bit-for-bit (HAVING count(*) <= cap), so the completeness caveat is
+    shared, documented and gated.  Collision detection is
     aggregate-then-probe (no task per singleton bucket); pair generation
     runs DISTRIBUTED in map_groups over the hot buckets only."""
     import ray.data
@@ -494,7 +502,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
 
     # aggregate-then-probe: never a Ray task per (mostly singleton) bucket
     sigs = docs.map_batches(sig, batch_format="pandas").materialize()
-    hotset = hot_keys(sigs, ["chunk", "chunk_val"])
+    hotset = hot_keys(sigs, ["chunk", "chunk_val"], max_count=SH_BUCKET_CAP)
     if not hotset:
         return ray.data.from_arrow(pa.table(
             {"doc_id": pa.array([], pa.int64()),

@@ -67,6 +67,37 @@ def test_simhash_pairs_genuine(ray_session, sf_dir, docs):
         assert bin(a ^ b).count("1") <= 3
 
 
+def test_simhash_degenerate_bucket_capped(ray_session, tmp_path,
+                                          monkeypatch):
+    """A degenerate corpus (1 000 empty docs → all fingerprint 0, plus
+    identical-text clones) must not trigger an n² pairgen blow-up: the
+    oversized bucket is dropped by SH_BUCKET_CAP on both the pipeline
+    and oracle sides, while normal near-dup pairs still come through."""
+    import pyarrow as pa
+
+    monkeypatch.setattr(textops, "SH_BUCKET_CAP", 50)
+    n_empty, n_clone = 1000, 200
+    texts = [""] * n_empty                       # fingerprint 0 bucket
+    texts += ["identical clone text " * 5] * n_clone  # one hot fp bucket
+    texts += [f"unique document number {i} with distinct words alpha"
+              f" beta{i} gamma{i}" for i in range(20)]
+    # md5-deterministic near-dup: these two differ by hamming 3
+    texts += ["the quick brown fox jumps over the lazy dog one",
+              "the quick brown fox jumps over the lazy dog one zz"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    pairs = textops.simhash_pairs(str(tmp_path)).take_all()
+    got = {(int(r["dup_of"]), int(r["doc_id"])) for r in pairs}
+    # capped buckets (empty docs, clones) contribute nothing…
+    assert not any(a < n_empty + n_clone for a, _ in got)
+    # …but small-bucket near-dups are still found
+    na = n_empty + n_clone + 20
+    assert (na, na + 1) in got
+
+
 def test_langid_runs_deterministic(ray_session, sf_dir):
     a = sorted((r["doc_id"], r["lang_pred"])
                for r in textops.langid(sf_dir).take_all())
