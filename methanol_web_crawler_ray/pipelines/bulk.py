@@ -267,7 +267,33 @@ def make_bucket_wave_fn(cfg_blob: bytes, crawler: Optional[str],
             if inherited:
                 base = dc_replace(base, is_external=True)
             ft = idx.match_by_url(base)
-            if ft in (DISCARD, POSSIBLE_MATCH) or not ft.has_parser:
+            # NB: == not `is` — the wave closure's captured POSSIBLE_MATCH
+            # constant is re-created by value when cloudpickle ships it
+            if ft == POSSIBLE_MATCH:
+                # S2/J4 analog (ftindex.c:141-238 "lookup" class +
+                # lm_ftindex_match_by_mime ftindex.c:240-247): the HEAD
+                # MIME peek is a content_type lookup on the page row —
+                # extension-less / dynamic URLs bind here, not at
+                # extraction
+                ft = idx.match_by_mime((ctype or "").split(";")[0])
+                if ft is not None and not ft.has_parser:
+                    # MIME-bound target-only filetype (worker.c:712-713):
+                    # reported as a target, never parsed; already
+                    # seen-added when it entered the frontier
+                    out["kind"].append("target")
+                    out["bucket"].append(
+                        stable_hash64(base.host_norm) % num_buckets)
+                    out["url"].append(url)
+                    out["host"].append(base.host_norm)
+                    out["depth"].append(depth)
+                    out["seen_key"].append(None)
+                    out["filetype"].append(ft.name)
+                    out["is_external"].append(bool(ext))
+                    out["text"].append(None)
+                    out["title"].append(None)
+                    out["url_hash"].append(url_hash(url))
+                    continue
+            if ft is DISCARD or not ft.has_parser:
                 continue
             if status is not None and 300 <= status < 400:
                 continue  # redirects handled by the ordered engine
@@ -282,13 +308,17 @@ def make_bucket_wave_fn(cfg_blob: bytes, crawler: Optional[str],
                 if u is None:
                     continue
                 cft = idx.match_by_url(u)
-                if cft in (DISCARD, POSSIBLE_MATCH):
+                if cft is DISCARD:
                     continue
+                # POSSIBLE_MATCH ("lookup" class) children ENTER the
+                # frontier; the next wave binds them via the store's
+                # content_type (the HEAD analog above) instead of
+                # dropping extension-less/dynamic URLs outright
                 key = u.seen_key
                 if key in local:
                     continue  # in-page dedup (ue_add first-wins)
                 local.add(key)
-                if not cft.has_parser:
+                if cft != POSSIBLE_MATCH and not cft.has_parser:
                     # target-only filetype (bind_url worker.c:712-713):
                     # reported immediately, never fetched; still deduped
                     # through the seen pool like every extracted URL
@@ -342,7 +372,8 @@ def make_bucket_wave_fn(cfg_blob: bytes, crawler: Optional[str],
                 out["host"].append(u.host_norm)
                 out["depth"].append(next_depth)
                 out["seen_key"].append(key)
-                out["filetype"].append(cft.name)
+                out["filetype"].append(
+                    POSSIBLE_MATCH if cft == POSSIBLE_MATCH else cft.name)
                 out["is_external"].append(bool(u.is_external))
                 out["text"].append(None)
                 out["title"].append(None)

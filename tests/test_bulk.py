@@ -45,6 +45,38 @@ def test_bulk_matches_ordered_visited_set(ray_session):
         assert t == sim_texts[u]
 
 
+def test_bulk_lookup_mime_binding_matches_ordered(ray_session):
+    """S2/J4 in the BULK engine: with dir/extless/dynamic URLs bound via
+    "lookup" (POSSIBLE_MATCH → MIME), extension-less URLs must enter the
+    frontier and bind through the page row's content_type — the HEAD
+    analog — exactly as the ordered kernel's sort-time HEAD peek does
+    (ftindex.c:141-238 lookup class, match_by_mime ftindex.c:240-247).
+    Round 2 dropped these URLs entirely in the bulk path."""
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+    cfg = default_config(depth_limit=6, external=False,
+                         dir_url="lookup", extless_url="lookup",
+                         dynamic_url="lookup")
+    seeds = ["http://host-0001.example/"]
+
+    out = "/tmp/mwc_test_bulk_lookup"
+    shutil.rmtree(out, ignore_errors=True)
+    stats = bulk.crawl_bfs(cfg, d, seeds, out_dir=out, num_shards=4)
+    assert stats["pages_parsed"] > 0
+
+    pages = _bulk_pages(out)
+    bulk_urls = set(pages.column("url").to_pylist())
+    # the lookup class actually fired: some parsed page is extension-less
+    assert any(u.rstrip("/").rsplit("/", 1)[-1].count(".") == 0
+               or u.endswith("/") for u in bulk_urls)
+
+    fetch = DictFetcher(pagegen.load_fetch_dict(d))
+    r = sim.simulate_rounds(cfg, fetch, seeds)
+    assert bulk_urls == set(r.texts)
+    for u, t in zip(pages.column("url").to_pylist(),
+                    pages.column("text").to_pylist()):
+        assert t == r.texts[u]
+
+
 @pytest.mark.parametrize("clear_flag", [False, True])
 def test_bulk_external_matches_ordered(ray_session, clear_flag):
     """keep_external=True: per-row depth resets to 0 on host activation
