@@ -92,6 +92,20 @@ class _PoolFacade:
         a = self.actors[shard_of(host_norm, self.num_shards)]
         return ray.get(a.try_add_batch.remote(list(keys)))
 
+    def try_add_runs(self, runs):
+        """[(host_norm, keys), ...] → [verdicts, ...]: submit every run's
+        shard RPC first (per-actor submission order = add order, so the
+        ordered-adds invariant holds), then block ONCE for all — a page
+        touching k keyspaces costs one round-trip instead of k."""
+        import ray
+
+        futs = [
+            self.actors[shard_of(h, self.num_shards)]
+            .try_add_batch.remote(list(keys))
+            for h, keys in runs
+        ]
+        return ray.get(futs)
+
     def try_add_seq(self, pairs):
         import ray
 

@@ -310,12 +310,16 @@ class CrawlKernel:
 
     def _resolve_pending(self) -> None:
         """Resolve buffered seen-checks in add order (batched per page).
-        Consecutive same-keyspace runs collapse into one pool call, so the
-        common all-internal page costs exactly one RPC."""
+        Consecutive same-keyspace runs collapse into one pool call, and a
+        pool exposing ``try_add_runs`` (the Ray facade) fires ALL runs'
+        shard RPCs before blocking once — per-actor submission order
+        preserves the ordered-adds invariant, so a page whose links hit k
+        keyspaces costs one round-trip, not k."""
         if not self._pending:
             return
         pend = self._pending
         self._pending = []
+        runs: List[List[UrlRow]] = []
         i = 0
         n = len(pend)
         while i < n:
@@ -323,8 +327,19 @@ class CrawlKernel:
             j = i
             while j < n and pend[j].pend[1] == host:
                 j += 1
-            run = pend[i:j]
-            verdicts = self.seen.try_add_batch(host, [r.pend[2] for r in run])
+            runs.append(pend[i:j])
+            i = j
+        batched = getattr(self.seen, "try_add_runs", None)
+        if batched is not None:
+            all_verdicts = batched(
+                [(run[0].pend[1], [r.pend[2] for r in run]) for run in runs])
+        else:
+            all_verdicts = [
+                self.seen.try_add_batch(run[0].pend[1],
+                                        [r.pend[2] for r in run])
+                for run in runs
+            ]
+        for run, verdicts in zip(runs, all_verdicts):
             for row, ok in zip(run, verdicts):
                 lst = row.pend[0]
                 row.pend = None
@@ -334,7 +349,6 @@ class CrawlKernel:
                         lst.remove(row)
                     except ValueError:
                         pass
-            i = j
 
     def _pend(self, row: UrlRow, lst: List[UrlRow], host: str, key: str) -> None:
         row.pend = (lst, host, key)
