@@ -391,7 +391,8 @@ def oracle_sql() -> dict[str, str]:
             "AS un FROM cand c JOIN sh sa ON sa.doc_id = c.ida "
             "JOIN sh sb ON sb.doc_id = c.idb) "
             f"SELECT idb AS doc_id, min(ida)::BIGINT AS dup_of FROM j "
-            f"WHERE inter * {textops.THRESH_DEN} >= un * {textops.THRESH_NUM} "
+            f"WHERE un > 0 "
+            f"AND inter * {textops.THRESH_DEN} >= un * {textops.THRESH_NUM} "
             "GROUP BY idb"
         ),
         # simhash: md5-keyed Charikar fingerprints; the banded pipeline is

@@ -151,8 +151,11 @@ def ftpparse(line: str) -> Optional[FtpEntry]:
             k = e.name.find(" -> ")
             if k >= 0:
                 e.name = e.name[:k]
-        # NetWare's extra spaces before the name
-        if len(buf) > 1 and buf[1] in " [" and e.name.startswith("   "):
+        # NetWare's extra spaces before the name; the C strips only when
+        # namelen > 3 (ftpparse.c), so a name of exactly three spaces is
+        # emitted as-is
+        if len(buf) > 1 and buf[1] in " [" and len(e.name) > 3 \
+                and e.name.startswith("   "):
             e.name = e.name[3:]
         return e
 
@@ -287,11 +290,14 @@ def ftpparse(line: str) -> Optional[FtpEntry]:
 
 
 def parse_listing(body: bytes) -> List[FtpEntry]:
-    """All parseable entries of a LIST response, in order (the reference
-    parser walks '\\n'-separated lines, builtin.c:207-244)."""
+    """All parseable entries of a LIST response, in order.  Matches the
+    reference exactly (builtin.c:207-244): only '\\n'-TERMINATED lines
+    are parsed — a trailing unterminated fragment is dropped — and '\\r'
+    is NOT stripped, so CRLF listings keep the '\\r' in names just as
+    the C does."""
     out = []
-    for raw in body.decode("utf-8", "surrogateescape").split("\n"):
-        raw = raw.rstrip("\r")
+    lines = body.decode("utf-8", "surrogateescape").split("\n")[:-1]
+    for raw in lines:
         if not raw:
             continue
         e = ftpparse(raw)

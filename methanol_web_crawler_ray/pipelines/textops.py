@@ -320,7 +320,12 @@ def minhash_dedup(sf_dir: str, thresh_num: int = THRESH_NUM,
         sb = set(np.frombuffer(sb_b, dtype="<i8"))
         inter = len(sa & sb)
         union = len(sa) + len(sb) - inter
-        return inter * thresh_den >= union * thresh_num
+        # union==0 (two shingle-less docs — empty/whitespace-only text,
+        # which always collide via the all-_SIG_EMPTY signature) is NOT a
+        # near-dup: Jaccard is undefined there, and marking every empty
+        # doc a dup of the first would be wrong.  Mirrored in the oracle
+        # SQL (AND un > 0).
+        return union > 0 and inter * thresh_den >= union * thresh_num
 
     if n_pairs <= 200_000:
         # SMALL-CANDIDATE fast path: the pair set (hence the candidate id

@@ -59,6 +59,31 @@ def test_dialect_table():
         assert ftpparse(junk) is None or not ftpparse(junk).name
 
 
+def test_listing_line_termination_parity():
+    """builtin.c:217-244 parity: only '\\n'-terminated lines parse (a
+    trailing unterminated fragment is dropped) and '\\r' stays in names
+    on CRLF listings — the C never strips it."""
+    line = "-rw-r--r--   1 root     other        531 Jan 29 03:26 README"
+    # unterminated tail dropped
+    assert [e.name for e in parse_listing(f"{line}\n{line}".encode())] == \
+        ["README"]
+    assert [e.name for e in parse_listing(f"{line}\n".encode())] == ["README"]
+    # CRLF keeps the '\r'
+    assert [e.name for e in parse_listing(f"{line}\r\n".encode())] == \
+        ["README\r"]
+
+
+def test_netware_three_space_name_kept():
+    """ftpparse.c NetWare quirk: the three-leading-space strip only
+    applies when namelen > 3, so a name of exactly '   ' survives."""
+    e = ftpparse("d [R----F--] supervisor            512       Jan 16"
+                 " 18:53       ")
+    assert e is not None and e.name == "   "
+    e = ftpparse("d [R----F--] supervisor            512       Jan 16"
+                 " 18:53    login")
+    assert e is not None and e.name == "login"
+
+
 def test_mtime_fields():
     e = ftpparse("-rw-r--r--   1 root     other        531 Jan 29 03:26 README")
     assert e.mtime == ("remote-minute", None, 0, 29, 3, 26)
