@@ -182,17 +182,18 @@ def events_asof(sf_dir: str):
         df = df.assign(is_click=(df["event_type"] == "click"))
         # views before clicks at equal ts (allow_exact_matches)
         df = df.sort_values(["ts", "is_click", "event_id"])
-        out_id, out_prev = [], []
-        last_view = -1
-        for eid, etype in zip(df["event_id"], df["event_type"]):
-            if etype == "view":
-                last_view = int(eid)
-            elif etype == "click":
-                out_id.append(int(eid))
-                out_prev.append(last_view)
+        eids = df["event_id"].to_numpy(dtype="int64")
+        is_view = (df["event_type"] == "view").to_numpy()
+        is_click = df["is_click"].to_numpy()
+        # vectorized last-view-before-each-row: running max of view
+        # positions, then gather (no per-row Python scan)
+        pos = np.arange(eids.shape[0])
+        last_view_pos = np.maximum.accumulate(np.where(is_view, pos, -1))
+        prev = np.where(last_view_pos >= 0,
+                        eids[np.maximum(last_view_pos, 0)], -1)
         return pd.DataFrame({
-            "event_id": pd.Series(out_id, dtype="int64"),
-            "prev_view_id": pd.Series(out_prev, dtype="int64"),
+            "event_id": pd.Series(eids[is_click], dtype="int64"),
+            "prev_view_id": pd.Series(prev[is_click], dtype="int64"),
         })
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])

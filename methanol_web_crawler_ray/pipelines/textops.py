@@ -57,7 +57,9 @@ def hot_keys(ds, key_cols, min_count: int = 2, max_count=None,
     [min_count, max_count].  Map-side PARTIAL counts folded on the
     driver — no shuffle, no sort (Ray's sort-aggregate measured ~17 s on
     80k string keys); beyond ``driver_limit`` input rows it falls back
-    to the distributed groupby aggregate."""
+    to the distributed groupby aggregate.  Pass a MATERIALIZED dataset:
+    the branch-picking ``ds.count()`` is then a metadata lookup, not an
+    execution (every current caller does)."""
     import pyarrow as _pa
 
     cols = list(key_cols)
@@ -106,12 +108,15 @@ def token_stats(sf_dir: str):
 def quality(sf_dir: str):
     """(doc_id, n_chars, n_stop, quality_ok) — length bounds + stopword
     presence, the classic web-corpus quality gate."""
+    # one vectorized count: a stopword token is a whole \S+ run equal to
+    # a stopword (the lookarounds pin both edges; alternation backtracks,
+    # so 'a' never shadows 'and')
+    stop_pat = (r"(?<!\S)(?:"
+                + "|".join(re.escape(w) for w in STOPWORDS) + r")(?!\S)")
+
     def q(df: pd.DataFrame) -> pd.DataFrame:
         n_chars = df["text"].str.len().astype("int64")
-        n_stop = df["text"].map(
-            lambda t: sum(1 for tok in _TOKEN_RE.findall(t)
-                          if tok in STOPWORDS)
-        ).astype("int64")
+        n_stop = df["text"].str.count(stop_pat).astype("int64")
         ok = ((n_chars >= 50) & (n_chars <= 5000) & (n_stop >= 1)).astype("int64")
         return pd.DataFrame({"doc_id": df["doc_id"], "n_chars": n_chars,
                              "n_stop": n_stop, "quality_ok": ok})
