@@ -64,7 +64,9 @@ _CR_OPTS = {
     "unknown_url": ("unknown_url", "s"),
     "ftp_dir_url": ("ftp_dir_url", "s"),
     "default_handler": ("default_handler", "s"),
-    "init": (None, "s"),  # JS init function: accepted, ignored (no JS rt)
+    # JS init function name: stored; resolved against the Python analog
+    # registry (functions/siteparsers.py) by seeds_from_init
+    "init": ("init", "s"),
 }
 
 

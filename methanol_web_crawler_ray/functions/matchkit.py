@@ -90,6 +90,9 @@ class Crawler:
     unknown_url: Optional[str] = None
     ftp_dir_url: Optional[str] = None
     default_handler: Optional[str] = None
+    # seed-generator script name ("file.js/function", metha.c init
+    # option); resolved by functions.siteparsers.seeds_from_init
+    init: Optional[str] = None
 
 
 def _ext_hash(ext: str) -> int:
