@@ -186,6 +186,12 @@ class BucketDirectory:
             self.refs[b] = r
         return r
 
+    def get_refs(self, bs: List[int]):
+        """Batched form: one RPC resolves (and starts loading) every
+        bucket a wave batch touches, so the loads run in PARALLEL while
+        the caller blocks once."""
+        return [self.get_ref(b) for b in bs]
+
 
 def make_bucket_directory(store_dir: str):
     import ray
@@ -196,19 +202,41 @@ def make_bucket_directory(store_dir: str):
 _BUCKET_REF_CACHE: Dict = {}
 
 
-def _get_bucket_table(bucket_dir, b: int) -> pa.Table:
-    """Per-process bucket table resolution: one actor RPC per (process,
-    bucket), then the zero-copy plasma table via the _REF_CACHE."""
+def _get_bucket_tables(bucket_dir, bs: Sequence[int]) -> Dict[int, pa.Table]:
+    """Batched per-process bucket resolution: ONE directory RPC for all
+    uncached buckets (their load tasks then run in parallel) and ONE
+    ray.get over every not-yet-local table — a wave-0 batch touching 30
+    buckets pays one parallel wait, not 30 sequential load round-trips.
+    Tables come back zero-copy from plasma via the _REF_CACHE."""
     import ray
 
-    key = (bucket_dir._actor_id.hex(), b)
-    ref = _BUCKET_REF_CACHE.get(key)
-    if ref is None:
-        ref = ray.get(bucket_dir.get_ref.remote(b))
-        _BUCKET_REF_CACHE[key] = ref
-        if len(_BUCKET_REF_CACHE) > 4096:
-            _BUCKET_REF_CACHE.pop(next(iter(_BUCKET_REF_CACHE)))
-    return _get_ref(ref)
+    aid = bucket_dir._actor_id.hex()
+    missing = [b for b in bs if (aid, b) not in _BUCKET_REF_CACHE]
+    if missing:
+        refs = ray.get(bucket_dir.get_refs.remote(missing))
+        for b, r in zip(missing, refs):
+            _BUCKET_REF_CACHE[(aid, b)] = r
+            if len(_BUCKET_REF_CACHE) > 4096:
+                _BUCKET_REF_CACHE.pop(next(iter(_BUCKET_REF_CACHE)))
+    out: Dict[int, pa.Table] = {}
+    fetch_b, fetch_r = [], []
+    for b in bs:
+        ref = _BUCKET_REF_CACHE[(aid, b)]
+        key = ref.hex()
+        tbl = _REF_CACHE.get(key)
+        if tbl is None:
+            fetch_b.append(b)
+            fetch_r.append(ref)
+        else:
+            out[b] = tbl
+    if fetch_r:
+        for b, ref, tbl in zip(fetch_b, fetch_r, ray.get(fetch_r)):
+            key = ref.hex()
+            _REF_CACHE[key] = tbl
+            if len(_REF_CACHE) > 64:
+                _REF_CACHE.pop(next(iter(_REF_CACHE)))
+            out[b] = tbl
+    return out
 
 
 def make_bucket_wave_fn(cfg_blob: bytes, crawler: Optional[str],
@@ -228,12 +256,16 @@ def make_bucket_wave_fn(cfg_blob: bytes, crawler: Optional[str],
 
         cfg, cr, idx = _get_ctx(cfg_blob, crawler)
         robots = _get_robots(robots_ref, cfg.user_agent)
-        # batches may mix buckets (no shuffle anywhere): probe each
-        # DISTINCT bucket's shared-memory table once, vectorized
+        # batches may mix buckets (no shuffle anywhere): resolve every
+        # DISTINCT bucket in ONE batched call (loads run in parallel),
+        # then probe each shared-memory table once, vectorized
         pages = {}
-        for bucket in pc.unique(batch.column("bucket")).to_pylist():
-            # hive partition inference may hand the key back as a string
-            tbl = _get_bucket_table(bucket_dir, int(bucket))  # zero-copy
+        # hive partition inference may hand the key back as a string
+        distinct = [int(b) for b in
+                    pc.unique(batch.column("bucket")).to_pylist()]
+        tables = _get_bucket_tables(bucket_dir, distinct)
+        for bucket in distinct:
+            tbl = tables[bucket]  # zero-copy plasma table
             sub = tbl.filter(pc.is_in(tbl.column("url"),
                                       value_set=batch.column("url")))
             for u, st, c, b in zip(sub.column("url").to_pylist(),
