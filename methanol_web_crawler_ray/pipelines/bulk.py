@@ -510,10 +510,13 @@ def crawl_bfs(
     emit_text: bool = True,
     max_waves: int = 10000,
     resume: bool = False,
+    direct_wave_gate: int = 200_000,
 ) -> Dict[str, float]:
     """Run the BFS bulk crawl; writes wave Parquet + frontier Parquet +
     seen snapshots per wave under out_dir (resumable) and returns
-    throughput stats."""
+    throughput stats.  Waves with ≤ ``direct_wave_gate`` frontier rows
+    run as plain Ray tasks over the frontier fragments (identical
+    output layout); larger waves use the streaming Dataset path."""
     import ray
     import ray.data
 
@@ -606,44 +609,111 @@ def crawl_bfs(
     # coalescing would cap a heavy wave at a handful of tasks
     n_blocks = max(64, int(ray.cluster_resources().get("CPU", 8)) * 4)
 
-    def _frontier_ds(w: int):
-        """Wave w's frontier: the seed parquet at w=0, else the PREVIOUS
-        wave's kind=link hive partition read straight from its parquet
-        (the wave fn already emitted bucket) — no separate frontier
-        write, no filter scan (the directory IS the filter)."""
+    def _frontier_src(w: int):
+        """Wave w's frontier source dir: the seed parquet at w=0, else
+        the PREVIOUS wave's kind=link hive partition read straight from
+        its parquet (the wave fn already emitted bucket) — no separate
+        frontier write, no filter scan (the directory IS the filter)."""
         if w == 0:
-            fdir = _frontier_dir(out_dir, 0)
-            if _count_rows(fdir) == 0:
-                return None
-            return ray.data.read_parquet(fdir, override_num_blocks=n_blocks)
-        prev = os.path.join(_wave_dir(out_dir, w - 1), "kind=link")
-        if _count_rows(prev) == 0:
-            return None
-        return ray.data.read_parquet(
-            prev, columns=["bucket", "url", "depth", "is_external"],
-            override_num_blocks=n_blocks,
-        )
+            return _frontier_dir(out_dir, 0)
+        return os.path.join(_wave_dir(out_dir, w - 1), "kind=link")
+
+    def _frontier_files(w: int):
+        """(path, bucket-or-None) parquet fragments of wave w's frontier
+        (bucket=None at w=0: the seed file carries a real column)."""
+        src = _frontier_src(w)
+        if w == 0:
+            return [(os.path.join(src, f), None)
+                    for f in sorted(os.listdir(src))
+                    if f.endswith(".parquet")]
+        files = []
+        for sub in sorted(os.listdir(src)):
+            if not sub.startswith("bucket="):
+                continue
+            b = int(sub.split("=", 1)[1])
+            d = os.path.join(src, sub)
+            files.extend((os.path.join(d, f), b) for f in sorted(
+                os.listdir(d)) if f.endswith(".parquet"))
+        return files
+
+    # direct-task wave kernel (size-gated, same precedent as
+    # crawl_rounds): below the gate a wave is a handful of plain Ray
+    # tasks over the frontier fragments — skipping Ray Data's fixed
+    # per-execution planning/scheduling floor (~0.5 s/wave, which
+    # dominates a 12-wave crawl at sandbox scale).  Output layout is
+    # IDENTICAL to the Dataset path's hive write (tested), so resume and
+    # downstream readers cannot tell which path ran.  Above the gate the
+    # streaming Dataset path takes over — the 10^10-frontier shape.
+    @ray.remote(num_cpus=1, max_retries=0)
+    def _direct_wave(files, wdir, task_idx, wfn, bsz):
+        outs = []
+        for path, b in files:
+            if b is None:
+                t = pq.read_table(path)
+            else:
+                t = pq.read_table(
+                    path, columns=["url", "depth", "is_external"])
+                t = t.append_column(
+                    "bucket", pa.array([b] * t.num_rows, pa.int32()))
+            for off in range(0, t.num_rows, bsz):
+                outs.append(wfn(t.slice(off, bsz)))
+        outs = [o for o in outs if o.num_rows]
+        if not outs:
+            return 0
+        res = pa.concat_tables(outs)
+        pads.write_dataset(
+            res, wdir, format="parquet",
+            partitioning=pads.partitioning(
+                pa.schema([("kind", pa.string()), ("bucket", pa.int32())]),
+                flavor="hive"),
+            basename_template=f"part-{task_idx}-{{i}}.parquet",
+            existing_data_behavior="overwrite_or_ignore")
+        return res.num_rows
+
+    wave_fn_ref = ray.put(wave_fn)
+
+    def _run_wave_direct(w: int, wdir: str) -> None:
+        files = [f for f in _frontier_files(w)]
+        n_tasks = max(1, min(len(files), n_blocks))
+        groups = [[] for _ in range(n_tasks)]
+        sizes = [0] * n_tasks
+        # greedy size-balanced grouping, largest fragments first
+        for path, b in sorted(files,
+                              key=lambda x: -os.path.getsize(x[0])):
+            i = sizes.index(min(sizes))
+            groups[i].append((path, b))
+            sizes[i] += os.path.getsize(path)
+        ray.get([_direct_wave.remote(g, wdir, i, wave_fn_ref, batch_size)
+                 for i, g in enumerate(groups) if g])
 
     wave_times = []
     w = start_wave
     import shutil as _sh
 
     while w < max_waves:
-        frontier = _frontier_ds(w)
-        if frontier is None:
+        n_front = _count_rows(_frontier_src(w))
+        if n_front == 0:
             break
         t_wave = time.time()
         wdir = _wave_dir(out_dir, w)
         _sh.rmtree(wdir, ignore_errors=True)
-        # ONE map-only execution per wave (NO shuffle: batches may mix
-        # buckets, the wave fn probes each bucket table zero-copy; the
-        # hive write partitions outputs by kind).  max_retries=0: seen
-        # adds are not idempotent; a failed wave resumes from the last
-        # complete wave's snapshots.
-        frontier.map_batches(
-            wave_fn, batch_format="pyarrow", batch_size=batch_size,
-            num_cpus=1, max_retries=0,
-        ).write_parquet(wdir, partition_cols=["kind", "bucket"])
+        if n_front <= direct_wave_gate:
+            _run_wave_direct(w, wdir)
+        else:
+            # ONE map-only execution per wave (NO shuffle: batches may
+            # mix buckets, the wave fn probes each bucket table
+            # zero-copy; the hive write partitions outputs by kind).
+            # max_retries=0: seen adds are not idempotent; a failed wave
+            # resumes from the last complete wave's snapshots.
+            src = _frontier_src(w)
+            frontier = ray.data.read_parquet(
+                src, override_num_blocks=n_blocks,
+                **({} if w == 0 else
+                   {"columns": ["bucket", "url", "depth", "is_external"]}))
+            frontier.map_batches(
+                wave_fn, batch_format="pyarrow", batch_size=batch_size,
+                num_cpus=1, max_retries=0,
+            ).write_parquet(wdir, partition_cols=["kind", "bucket"])
         n_links = _count_rows(os.path.join(wdir, "kind=link"))
 
         # checkpoint: seen snapshots + completion marker (resume lineage)

@@ -45,6 +45,28 @@ def test_bulk_matches_ordered_visited_set(ray_session):
         assert t == sim_texts[u]
 
 
+def test_bulk_direct_and_dataset_wave_paths_agree(ray_session):
+    """The size-gated direct-task wave kernel and the streaming Dataset
+    path must produce identical outputs (same hive layout, same page
+    set, byte-identical text) — downstream readers and resume cannot
+    tell which ran."""
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+    cfg = default_config(depth_limit=6, external=False)
+    seeds = ["http://host-0001.example/"]
+
+    outs = {}
+    for name, gate in (("direct", 200_000), ("dataset", 0)):
+        out = f"/tmp/mwc_test_bulk_path_{name}"
+        shutil.rmtree(out, ignore_errors=True)
+        bulk.crawl_bfs(cfg, d, seeds, out_dir=out, num_shards=4,
+                       direct_wave_gate=gate)
+        pages = _bulk_pages(out)
+        outs[name] = dict(zip(pages.column("url").to_pylist(),
+                              pages.column("text").to_pylist()))
+    assert outs["direct"] == outs["dataset"]
+    assert len(outs["direct"]) > 0
+
+
 def test_bulk_lookup_mime_binding_matches_ordered(ray_session):
     """S2/J4 in the BULK engine: with dir/extless/dynamic URLs bound via
     "lookup" (POSSIBLE_MATCH → MIME), extension-less URLs must enter the
