@@ -151,7 +151,12 @@ def _load_bucket_remote():
     if _LOAD_BUCKET_REMOTE is None:
         import ray
 
-        @ray.remote(num_cpus=0.5)
+        # num_cpus=0: the load is an IO-bound parquet scan, and a wave's
+        # map tasks occupy every CPU slot — a CPU-requesting load task
+        # would starve behind them while they block on ray.get of the
+        # very bucket it is loading (measured: 232 s vs 35 s on the
+        # heavy corpus)
+        @ray.remote(num_cpus=0)
         def _load(store_dir: str, b: int) -> pa.Table:
             d = pads.dataset(store_dir, partitioning="hive")
             return d.to_table(
@@ -645,18 +650,26 @@ def crawl_bfs(
     # downstream readers cannot tell which path ran.  Above the gate the
     # streaming Dataset path takes over — the 10^10-frontier shape.
     @ray.remote(num_cpus=1, max_retries=0)
-    def _direct_wave(files, wdir, task_idx, wfn, bsz):
+    def _direct_wave(pieces, wdir, task_idx, wfn, bsz):
+        # pieces: (path, bucket-or-None, row_offset, row_count) — row
+        # slicing lets one big fragment (e.g. the single wave-0 seed
+        # file) fan out over the whole CPU pool; frontier fragments are
+        # URL lists, so re-reading a shared file per slice is cheap
         outs = []
-        for path, b in files:
-            if b is None:
-                t = pq.read_table(path)
-            else:
+        tbl_cache: Dict[str, pa.Table] = {}
+        for path, b, off, cnt in pieces:
+            t = tbl_cache.get(path)
+            if t is None:
                 t = pq.read_table(
-                    path, columns=["url", "depth", "is_external"])
-                t = t.append_column(
-                    "bucket", pa.array([b] * t.num_rows, pa.int32()))
-            for off in range(0, t.num_rows, bsz):
-                outs.append(wfn(t.slice(off, bsz)))
+                    path, columns=None if b is None else
+                    ["url", "depth", "is_external"])
+                if b is not None:
+                    t = t.append_column(
+                        "bucket", pa.array([b] * t.num_rows, pa.int32()))
+                tbl_cache[path] = t
+            t = t.slice(off, cnt)
+            for o in range(0, t.num_rows, bsz):
+                outs.append(wfn(t.slice(o, bsz)))
         outs = [o for o in outs if o.num_rows]
         if not outs:
             return 0
@@ -672,19 +685,29 @@ def crawl_bfs(
 
     wave_fn_ref = ray.put(wave_fn)
 
-    def _run_wave_direct(w: int, wdir: str) -> None:
-        files = [f for f in _frontier_files(w)]
-        n_tasks = max(1, min(len(files), n_blocks))
-        groups = [[] for _ in range(n_tasks)]
-        sizes = [0] * n_tasks
-        # greedy size-balanced grouping, largest fragments first
-        for path, b in sorted(files,
-                              key=lambda x: -os.path.getsize(x[0])):
-            i = sizes.index(min(sizes))
-            groups[i].append((path, b))
-            sizes[i] += os.path.getsize(path)
+    def _run_wave_direct(w: int, wdir: str, n_front: int) -> None:
+        import math
+
+        # ~n_blocks row-balanced task groups regardless of fragment
+        # layout: a single big file splits into row slices, thousands of
+        # tiny hive fragments pack together
+        target = max(batch_size, math.ceil(n_front / n_blocks))
+        groups, cur, cur_rows = [], [], 0
+        for path, b in _frontier_files(w):
+            n = pq.read_metadata(path).num_rows
+            pos = 0
+            while pos < n:
+                take = min(target - cur_rows, n - pos)
+                cur.append((path, b, pos, take))
+                cur_rows += take
+                pos += take
+                if cur_rows >= target:
+                    groups.append(cur)
+                    cur, cur_rows = [], 0
+        if cur:
+            groups.append(cur)
         ray.get([_direct_wave.remote(g, wdir, i, wave_fn_ref, batch_size)
-                 for i, g in enumerate(groups) if g])
+                 for i, g in enumerate(groups)])
 
     wave_times = []
     w = start_wave
@@ -698,7 +721,7 @@ def crawl_bfs(
         wdir = _wave_dir(out_dir, w)
         _sh.rmtree(wdir, ignore_errors=True)
         if n_front <= direct_wave_gate:
-            _run_wave_direct(w, wdir)
+            _run_wave_direct(w, wdir, n_front)
         else:
             # ONE map-only execution per wave (NO shuffle: batches may
             # mix buckets, the wave fn probes each bucket table
