@@ -516,6 +516,7 @@ def crawl_bfs(
     max_waves: int = 10000,
     resume: bool = False,
     direct_wave_gate: int = 200_000,
+    prewarm_buckets: bool = False,
 ) -> Dict[str, float]:
     """Run the BFS bulk crawl; writes wave Parquet + frontier Parquet +
     seen snapshots per wave under out_dir (resumable) and returns
@@ -600,8 +601,19 @@ def crawl_bfs(
         _count_rows(_frontier_dir(out_dir, 0))
     # store ingest is LAZY: a bucket enters plasma the first time a
     # wave's frontier references it (BucketDirectory), overlapped with
-    # wave compute — never a whole-corpus ingest before wave 0
+    # wave compute — never a whole-corpus ingest before wave 0.
+    # prewarm_buckets is a BENCHMARK opt-in (scaling runs): it moves the
+    # whole-store ingest into setup_sec, because on a real cluster every
+    # node loads its buckets from distributed storage in parallel while
+    # on one box it is a fixed memcpy/disk cost that corrupts the
+    # CPU-scaling signal.  Never the default — at 100 TB the lazy path
+    # is the only sane one.
     bucket_dir = make_bucket_directory(store_dir)
+    if prewarm_buckets:
+        import ray as _ray
+
+        _ray.get(_ray.get(
+            bucket_dir.get_refs.remote(list(range(num_buckets)))))
     stats["setup_sec"] = time.time() - t0
     t_loop = time.time()
 
@@ -672,29 +684,48 @@ def crawl_bfs(
                 outs.append(wfn(t.slice(o, bsz)))
         outs = [o for o in outs if o.num_rows]
         if not outs:
-            return 0
+            return {"links": 0, "pages": 0, "files": []}
         res = pa.concat_tables(outs)
+        # manifest of written link fragments (path, bucket, rows): the
+        # next wave plans its task groups from this instead of
+        # listdir + per-file read_metadata over thousands of fragments
+        written = []
+
+        def visitor(f):
+            parts = f.path.split(os.sep)
+            kind = next((p[5:] for p in parts if p.startswith("kind=")), "")
+            if kind == "link":
+                b = next(int(p[7:]) for p in parts
+                         if p.startswith("bucket="))
+                written.append((f.path, b, f.metadata.num_rows))
+
         pads.write_dataset(
             res, wdir, format="parquet",
             partitioning=pads.partitioning(
                 pa.schema([("kind", pa.string()), ("bucket", pa.int32())]),
                 flavor="hive"),
             basename_template=f"part-{task_idx}-{{i}}.parquet",
-            existing_data_behavior="overwrite_or_ignore")
-        return res.num_rows
+            existing_data_behavior="overwrite_or_ignore",
+            file_visitor=visitor)
+        kinds = res.column("kind")
+        n_links = pc.sum(pc.equal(kinds, "link")).as_py() or 0
+        n_pages = pc.sum(pc.equal(kinds, "page")).as_py() or 0
+        return {"links": n_links, "pages": n_pages, "files": written}
 
     wave_fn_ref = ray.put(wave_fn)
 
-    def _run_wave_direct(w: int, wdir: str, n_front: int) -> None:
+    def _plan_pieces(frags, n_front: int):
+        """~n_blocks row-balanced task groups regardless of fragment
+        layout: a single big file splits into row slices, thousands of
+        tiny hive fragments pack together.  frags: (path, bucket, rows)
+        with rows=None meaning 'read the footer'."""
         import math
 
-        # ~n_blocks row-balanced task groups regardless of fragment
-        # layout: a single big file splits into row slices, thousands of
-        # tiny hive fragments pack together
         target = max(batch_size, math.ceil(n_front / n_blocks))
         groups, cur, cur_rows = [], [], 0
-        for path, b in _frontier_files(w):
-            n = pq.read_metadata(path).num_rows
+        for path, b, n in frags:
+            if n is None:
+                n = pq.read_metadata(path).num_rows
             pos = 0
             while pos < n:
                 take = min(target - cur_rows, n - pos)
@@ -706,22 +737,41 @@ def crawl_bfs(
                     cur, cur_rows = [], 0
         if cur:
             groups.append(cur)
-        ray.get([_direct_wave.remote(g, wdir, i, wave_fn_ref, batch_size)
-                 for i, g in enumerate(groups)])
+        return groups
+
+    def _run_wave_direct(w: int, wdir: str, n_front: int, manifest):
+        frags = (manifest if manifest is not None else
+                 [(p, b, None) for p, b in _frontier_files(w)])
+        groups = _plan_pieces(frags, n_front)
+        results = ray.get([
+            _direct_wave.remote(g, wdir, i, wave_fn_ref, batch_size)
+            for i, g in enumerate(groups)])
+        return {
+            "links": sum(r["links"] for r in results),
+            "pages": sum(r["pages"] for r in results),
+            "files": [f for r in results for f in r["files"]],
+        }
 
     wave_times = []
     w = start_wave
     import shutil as _sh
 
+    # (manifest, n_front) carried wave-to-wave: the direct path's write
+    # manifest (per-fragment row counts) replaces listdir +
+    # read_metadata scans over thousands of link fragments
+    manifest = None
+    n_front = _count_rows(_frontier_src(start_wave))
+
     while w < max_waves:
-        n_front = _count_rows(_frontier_src(w))
         if n_front == 0:
             break
         t_wave = time.time()
         wdir = _wave_dir(out_dir, w)
         _sh.rmtree(wdir, ignore_errors=True)
         if n_front <= direct_wave_gate:
-            _run_wave_direct(w, wdir, n_front)
+            res = _run_wave_direct(w, wdir, n_front, manifest)
+            n_links, n_pages = res["links"], res["pages"]
+            manifest = res["files"]
         else:
             # ONE map-only execution per wave (NO shuffle: batches may
             # mix buckets, the wave fn probes each bucket table
@@ -737,7 +787,9 @@ def crawl_bfs(
                 wave_fn, batch_format="pyarrow", batch_size=batch_size,
                 num_cpus=1, max_retries=0,
             ).write_parquet(wdir, partition_cols=["kind", "bucket"])
-        n_links = _count_rows(os.path.join(wdir, "kind=link"))
+            n_links = _count_rows(os.path.join(wdir, "kind=link"))
+            n_pages = _count_rows(os.path.join(wdir, "kind=page"))
+            manifest = None  # next direct wave falls back to listing
 
         # checkpoint: seen snapshots + completion marker (resume lineage)
         cdir = _ckpt_dir(out_dir, w)
@@ -749,7 +801,7 @@ def crawl_bfs(
         with open(os.path.join(cdir, "_COMPLETE"), "w") as f:
             f.write("ok")
 
-        n_pages = _count_rows(os.path.join(wdir, "kind=page"))
+        n_front = n_links
         stats["pages_parsed"] += n_pages
         stats["links_extracted"] += n_links
         stats["frontier_urls"] += n_links
