@@ -566,12 +566,8 @@ def crawl_bfs(
         )
         if done:
             last = done[-1]
-            blobs = []
-            for i in range(num_shards):
-                with open(os.path.join(_ckpt_dir(out_dir, last),
-                                       f"seen_{i}.bin"), "rb") as f:
-                    blobs.append(f.read())
-            pool.restore(blobs)
+            # shards read their own snapshot files in parallel
+            pool.restore_from_dir(_ckpt_dir(out_dir, last))
             start_wave = last + 1
 
     if start_wave == 0:
@@ -795,9 +791,11 @@ def crawl_bfs(
         cdir = _ckpt_dir(out_dir, w)
         _sh.rmtree(cdir, ignore_errors=True)
         os.makedirs(cdir, exist_ok=True)
-        for i, blob in enumerate(pool.snapshots()):
-            with open(os.path.join(cdir, f"seen_{i}.bin"), "wb") as f:
-                f.write(blob)
+        # each shard pickles + writes its own file, all in parallel —
+        # the blobs never ship through the driver (a serial floor that
+        # grows with the seen set and penalizes exactly the weak-scaling
+        # numerator; on a cluster cdir is shared storage)
+        pool.snapshot_to_dir(cdir)
         with open(os.path.join(cdir, "_COMPLETE"), "w") as f:
             f.write("ok")
 

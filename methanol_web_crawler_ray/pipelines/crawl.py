@@ -388,11 +388,7 @@ def crawl_rounds(
         if done_rounds:
             last = os.path.join(ckpt_dir, done_rounds[-1])
             start_round = int(done_rounds[-1].split("_")[1]) + 1
-            blobs = []
-            for i in range(num_shards):
-                with open(os.path.join(last, f"seen_{i}.bin"), "rb") as f:
-                    blobs.append(f.read())
-            pool.restore(blobs)
+            pool.restore_from_dir(last)
             work = _work_ds(last)
 
     if work is None and start_round == 0:
@@ -595,10 +591,8 @@ def crawl_rounds(
                     raise
                 pool.restore(pre_round_seen)
 
-        # snapshot seen shards (resume lineage)
-        for i, blob in enumerate(pool.snapshots()):
-            with open(os.path.join(round_dir, f"seen_{i}.bin"), "wb") as f:
-                f.write(blob)
+        # snapshot seen shards (resume lineage) — shard-parallel writes
+        pool.snapshot_to_dir(round_dir)
         with open(os.path.join(round_dir, "_COMPLETE"), "w") as f:
             f.write("ok")
         if prune_snapshots:

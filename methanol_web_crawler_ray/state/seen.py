@@ -27,6 +27,7 @@ via ``make_seen_pool`` so the module stays importable without Ray.
 from __future__ import annotations
 
 import hashlib
+import os
 import pickle
 from typing import Dict, Iterable, List, Sequence, Tuple
 
@@ -174,6 +175,20 @@ class SeenShardState:
             return pickle.dumps(("cuckoo", self.cuckoo.to_bytes()))
         return pickle.dumps(("exact", self.exact))
 
+    def snapshot_to(self, path: str) -> None:
+        """Write this shard's snapshot to ``path`` atomically (tmp +
+        rename).  File bytes are identical to :meth:`snapshot` — the
+        two forms read each other's checkpoints."""
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(self.snapshot())
+        os.replace(tmp, path)
+
+    @classmethod
+    def restore_from(cls, path: str) -> "SeenShardState":
+        with open(path, "rb") as f:
+            return cls.restore(f.read())
+
     @classmethod
     def restore(cls, blob: bytes) -> "SeenShardState":
         mode, payload = pickle.loads(blob)
@@ -218,6 +233,16 @@ class LocalSeenPool:
     def restore(self, blobs: Iterable[bytes]) -> None:
         self.shards = [SeenShardState.restore(b) for b in blobs]
 
+    def snapshot_to_dir(self, cdir: str) -> None:
+        for i, s in enumerate(self.shards):
+            s.snapshot_to(os.path.join(cdir, f"seen_{i}.bin"))
+
+    def restore_from_dir(self, cdir: str) -> None:
+        self.shards = [
+            SeenShardState.restore_from(os.path.join(cdir, f"seen_{i}.bin"))
+            for i in range(self.num_shards)
+        ]
+
 
 def make_seen_pool(num_shards: int = 8, mode: str = "exact",
                    cuckoo_buckets: int = 1 << 16, num_cpus: float = 0.05):
@@ -255,6 +280,12 @@ def make_seen_pool(num_shards: int = 8, mode: str = "exact",
 
         def restore(self, blob: bytes) -> None:
             self.state = SeenShardState.restore(blob)
+
+        def snapshot_to(self, path: str) -> None:
+            self.state.snapshot_to(path)
+
+        def restore_from(self, path: str) -> None:
+            self.state = SeenShardState.restore_from(path)
 
     class RaySeenPool:
         def __init__(self):
@@ -309,6 +340,28 @@ def make_seen_pool(num_shards: int = 8, mode: str = "exact",
 
         def restore(self, blobs: List[bytes]) -> None:
             ray.get([a.restore.remote(b) for a, b in zip(self.actors, blobs)])
+
+        def snapshot_to_dir(self, cdir: str) -> None:
+            """Each shard pickles AND writes its own snapshot file, all
+            shards in parallel — the 100 TB shape (on a cluster, cdir is
+            shared storage, the same contract as the wave Parquet dirs;
+            blobs never ship through or serialize on the driver).  File
+            names/bytes match the driver-side writer, so either side
+            reads the other's checkpoints."""
+            import os as _os
+
+            ray.get([
+                a.snapshot_to.remote(_os.path.join(cdir, f"seen_{i}.bin"))
+                for i, a in enumerate(self.actors)
+            ])
+
+        def restore_from_dir(self, cdir: str) -> None:
+            import os as _os
+
+            ray.get([
+                a.restore_from.remote(_os.path.join(cdir, f"seen_{i}.bin"))
+                for i, a in enumerate(self.actors)
+            ])
 
         def shutdown(self) -> None:
             for a in self.actors:
