@@ -246,6 +246,21 @@ def minhash_bands(df: pd.DataFrame) -> pd.DataFrame:
                          "doc_id": rows_doc})
 
 
+def _jaccard_ge(sa_b: bytes, sb_b: bytes, num: int, den: int) -> bool:
+    """Integer-exact ``jaccard(sa, sb) >= num/den`` over packed int64
+    shingle sets.  union==0 (two shingle-less docs — empty/whitespace-only
+    text, which always collide via the all-_SIG_EMPTY signature) is NOT a
+    near-dup: Jaccard is undefined there, and marking every empty doc a
+    dup of the first would be wrong.  Mirrored in the oracle SQL
+    (``AND un > 0``).  Shared by the Dataset and direct-task paths so the
+    decision is bit-identical."""
+    sa = set(np.frombuffer(sa_b, dtype="<i8"))
+    sb = set(np.frombuffer(sb_b, dtype="<i8"))
+    inter = len(sa & sb)
+    union = len(sa) + len(sb) - inter
+    return union > 0 and inter * den >= union * num
+
+
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     if a.size == 0 and b.size == 0:
         return 1.0
@@ -254,8 +269,88 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 0.0
 
 
+# below this many documents the whole LSH pipeline runs as two rounds of
+# plain Ray tasks (the crawl_rounds / bulk-wave precedent): at sandbox
+# scale the Dataset path's ~6 executions cost ~0.5-1 s of fixed
+# planning/scheduling floor EACH, dominating the actual minhash compute.
+# Above the gate the fully-sharded Dataset path engages unchanged.
+MH_DIRECT_GATE = 100_000
+
+
+def _minhash_dedup_direct(sf_dir: str, thresh_num: int, thresh_den: int):
+    """Direct-task minhash-LSH for driver-small corpora: round A computes
+    band keys (tasks over row slices), the driver finds hot buckets and
+    generates candidate pairs (band rows are 16/doc — driver-small under
+    the gate), round B packs shingle sets for CANDIDATE docs only, and
+    verification is integer-exact `_jaccard_ge` — the same functions,
+    bucket rule and decision as the Dataset path, tested equal."""
+    import math
+
+    import ray
+    import ray.data
+    import pyarrow.parquet as _pq
+
+    path = f"{sf_dir}/documents.parquet"
+    n = _pq.read_metadata(path).num_rows
+    empty = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "dup_of": pa.array([], pa.int64())}))
+    if n == 0:
+        return empty
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_tasks = max(1, min(cpus * 2, math.ceil(n / 64)))
+    step = math.ceil(n / n_tasks)
+    ranges = [(off, min(step, n - off)) for off in range(0, n, step)]
+
+    @ray.remote(num_cpus=1)
+    def bands_task(off: int, cnt: int) -> pd.DataFrame:
+        t = _pq.read_table(path, columns=["doc_id", "text"]).slice(off, cnt)
+        return minhash_bands(t.to_pandas())[["bk", "doc_id"]]
+
+    bands = pd.concat(
+        ray.get([bands_task.remote(o, c) for o, c in ranges]),
+        ignore_index=True)
+    hot = bands[bands.groupby("bk")["doc_id"].transform("size") >= 2]
+    if hot.empty:
+        return empty
+    pair_set = set()
+    for _bk, g in hot.groupby("bk"):
+        ids = np.sort(g["doc_id"].to_numpy())
+        iu, ju = np.triu_indices(ids.shape[0], k=1)
+        pair_set.update(zip(ids[iu].tolist(), ids[ju].tolist()))
+    if not pair_set:
+        return empty
+    plist = sorted(pair_set)
+    cand_ref = ray.put({i for p in plist for i in p})
+
+    @ray.remote(num_cpus=1)
+    def shingle_task(off: int, cnt: int, cand) -> Dict[int, bytes]:
+        t = _pq.read_table(path, columns=["doc_id", "text"]).slice(off, cnt)
+        df = t.to_pandas()
+        df = df[df["doc_id"].isin(cand)]
+        return {int(i): shingle_hashes(tx).astype("<i8").tobytes()
+                for i, tx in zip(df["doc_id"], df["text"])}
+
+    sh: Dict[int, bytes] = {}
+    for d in ray.get([shingle_task.remote(o, c, cand_ref)
+                      for o, c in ranges]):
+        sh.update(d)
+    best: Dict[int, int] = {}
+    for a, b in plist:
+        if _jaccard_ge(sh[a], sh[b], thresh_num, thresh_den):
+            if b not in best or a < best[b]:
+                best[b] = a
+    if not best:
+        return empty
+    out = sorted(best.items())
+    return ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([k for k, _ in out], pa.int64()),
+         "dup_of": pa.array([v for _, v in out], pa.int64())}))
+
+
 def minhash_dedup(sf_dir: str, thresh_num: int = THRESH_NUM,
-                  thresh_den: int = THRESH_DEN, num_partitions: int = 8):
+                  thresh_den: int = THRESH_DEN, num_partitions: int = 8,
+                  direct_gate: int = MH_DIRECT_GATE):
     """(doc_id, dup_of): docs whose verified shingle-Jaccard with an
     earlier doc ≥ thresh_num/thresh_den, dup_of = smallest such partner.
 
@@ -273,6 +368,15 @@ def minhash_dedup(sf_dir: str, thresh_num: int = THRESH_NUM,
     oracle reproduces the result bit-for-bit."""
     import ray
     import ray.data
+
+    try:
+        import pyarrow.parquet as _pq
+
+        n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    except Exception:
+        n_docs = None
+    if n_docs is not None and n_docs <= direct_gate:
+        return _minhash_dedup_direct(sf_dir, thresh_num, thresh_den)
 
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     bands = docs.map_batches(minhash_bands, batch_format="pandas",
@@ -321,16 +425,7 @@ def minhash_dedup(sf_dir: str, thresh_num: int = THRESH_NUM,
         })
 
     def jge(sa_b: bytes, sb_b: bytes) -> bool:
-        sa = set(np.frombuffer(sa_b, dtype="<i8"))
-        sb = set(np.frombuffer(sb_b, dtype="<i8"))
-        inter = len(sa & sb)
-        union = len(sa) + len(sb) - inter
-        # union==0 (two shingle-less docs — empty/whitespace-only text,
-        # which always collide via the all-_SIG_EMPTY signature) is NOT a
-        # near-dup: Jaccard is undefined there, and marking every empty
-        # doc a dup of the first would be wrong.  Mirrored in the oracle
-        # SQL (AND un > 0).
-        return union > 0 and inter * thresh_den >= union * thresh_num
+        return _jaccard_ge(sa_b, sb_b, thresh_num, thresh_den)
 
     if n_pairs <= 200_000:
         # SMALL-CANDIDATE fast path: the pair set (hence the candidate id

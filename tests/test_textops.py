@@ -58,6 +58,17 @@ def test_minhash_dedup_vs_bruteforce(ray_session, sf_dir, docs):
     assert not missed, f"LSH missed high-sim pairs: {missed}"
 
 
+def test_minhash_direct_vs_dataset_parity(ray_session, sf_dir):
+    """The size-gated direct-task path and the sharded Dataset path make
+    bit-identical decisions (same bands, bucket rule, integer Jaccard)."""
+    direct = sorted((int(r["doc_id"]), int(r["dup_of"]))
+                    for r in textops.minhash_dedup(sf_dir).take_all())
+    dataset = sorted(
+        (int(r["doc_id"]), int(r["dup_of"]))
+        for r in textops.minhash_dedup(sf_dir, direct_gate=-1).take_all())
+    assert direct == dataset
+
+
 def test_simhash_pairs_genuine(ray_session, sf_dir, docs):
     pairs = textops.simhash_pairs(sf_dir).take_all()
     texts = {d["doc_id"]: d["text"] for d in docs}
