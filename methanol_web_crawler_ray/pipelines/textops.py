@@ -152,10 +152,65 @@ def source_stats(sf_dir: str):
 # exact dedup (SQL-oracled)
 
 
-def exact_dedup(sf_dir: str):
+def _docs_direct_ranges(sf_dir: str, gate: int):
+    """(path, [(offset, count), ...]) row slices of the documents table
+    for a direct-task fan-out, or None when the table exceeds ``gate``
+    rows (callers then use their sharded Dataset path).  The row count
+    comes from Parquet footer metadata — no Ray execution."""
+    import math
+
+    import ray
+    import pyarrow.parquet as _pq
+
+    path = f"{sf_dir}/documents.parquet"
+    try:
+        n = _pq.read_metadata(path).num_rows
+    except Exception:
+        return None
+    if n > gate:
+        return None
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_tasks = max(1, min(cpus * 2, math.ceil(n / 64)))
+    step = math.ceil(n / max(n_tasks, 1)) if n else 1
+    return path, [(off, min(step, n - off)) for off in range(0, n, step)]
+
+
+def exact_dedup(sf_dir: str, direct_gate: int = 1_000_000):
     """Exact content dedup: keep min(doc_id) per distinct text
     (hash-partition + per-group first — SURVEY §2.8 D2 pattern).  The
-    shuffle key is md5(text), not the text itself."""
+    shuffle key is md5(text), not the text itself.  Below ``direct_gate``
+    rows the groupby collapses to task-side partial dicts {md5: min_id}
+    folded on the driver (16-byte keys — driver-small far beyond the
+    gate); above it the Dataset groupby shuffle engages."""
+    import ray
+    import ray.data
+
+    direct = _docs_direct_ranges(sf_dir, direct_gate)
+    if direct is not None:
+        path, ranges = direct
+
+        @ray.remote(num_cpus=1)
+        def partial_min(off: int, cnt: int) -> Dict[bytes, int]:
+            import pyarrow.parquet as _pq
+
+            t = _pq.read_table(path, columns=["doc_id", "text"]) \
+                .slice(off, cnt)
+            out: Dict[bytes, int] = {}
+            for i, tx in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+                k = hashlib.md5(tx.encode()).digest()
+                if k not in out or i < out[k]:
+                    out[k] = i
+            return out
+
+        merged: Dict[bytes, int] = {}
+        for d in ray.get([partial_min.remote(o, c) for o, c in ranges]):
+            for k, i in d.items():
+                if k not in merged or i < merged[k]:
+                    merged[k] = i
+        return ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array(sorted(merged.values()), pa.int64())}))
+
     def keyed(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {

@@ -32,6 +32,15 @@ def test_exact_dedup(ray_session, sf_dir, docs):
     assert keep == expected
 
 
+def test_exact_dedup_direct_vs_dataset_parity(ray_session, sf_dir):
+    direct = sorted(r["doc_id"]
+                    for r in textops.exact_dedup(sf_dir).take_all())
+    dataset = sorted(
+        r["doc_id"]
+        for r in textops.exact_dedup(sf_dir, direct_gate=-1).take_all())
+    assert direct == dataset
+
+
 def test_minhash_dedup_vs_bruteforce(ray_session, sf_dir, docs):
     """LSH-found verified dups must agree with brute-force Jaccard ≥ 0.8
     pairs on recall of genuinely-high-similarity pairs."""
