@@ -58,11 +58,56 @@ def lineitem_agg(sf_dir: str):
     )
 
 
-def segment_revenue(sf_dir: str):
-    """orders ⋈ customer (broadcast small side) → revenue per market
-    segment.  customer is the small side: ray.put once, dict-lookup in
-    every batch — no shuffle join."""
+# broadcast-join small-side ceiling: a {custkey: segment} dict at 5M
+# rows is ~0.5 GB in plasma — comfortably one ray.put on a 128 GB node,
+# clearly NOT at 10× that.  Above the gate the hash join engages.
+BROADCAST_ROW_GATE = 5_000_000
+
+
+def segment_revenue(sf_dir: str, broadcast_gate: int = BROADCAST_ROW_GATE):
+    """orders ⋈ customer → revenue per market segment.  When customer is
+    genuinely small (footer row count ≤ ``broadcast_gate``) it is
+    broadcast: ray.put once, dict-lookup in every batch — no shuffle.
+    Above the gate (real TPC-H scale) the sides hash-join on o_custkey
+    instead; both paths feed the same partial-agg → groupby tail and are
+    pinned equal by a parity test."""
     import ray
+
+    try:
+        import pyarrow.parquet as _pq
+
+        n_cust = _pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    except Exception:
+        n_cust = None
+
+    def tail(partial):
+        import ray.data
+
+        agg = partial.groupby("c_mktsegment").aggregate(
+            ray.data.aggregate.Sum("revenue_cents"),
+            ray.data.aggregate.Sum("n_orders"),
+        )
+        return _rename(
+            agg, {"sum(revenue_cents)": "revenue_cents",
+                  "sum(n_orders)": "n_orders"}
+        )
+
+    if n_cust is not None and n_cust > broadcast_gate:
+        cust_ds = _rename(
+            _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+            {"c_custkey": "o_custkey"})
+        joined = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+            .join(cust_ds, join_type="inner", num_partitions=8,
+                  on=("o_custkey",))
+
+        def pre(df: pd.DataFrame) -> pd.DataFrame:
+            cents = np.floor(df["o_totalprice"] * 100 + 0.5).astype("int64")
+            out = pd.DataFrame({"c_mktsegment": df["c_mktsegment"],
+                                "cents": cents, "one": 1})
+            return out.groupby("c_mktsegment", as_index=False).agg(
+                revenue_cents=("cents", "sum"), n_orders=("one", "sum"))
+
+        return tail(joined.map_batches(pre, batch_format="pandas"))
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
     seg_map_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
@@ -79,17 +124,8 @@ def segment_revenue(sf_dir: str):
                 revenue_cents=("cents", "sum"), n_orders=("one", "sum"))
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    partial = ds.map_batches(task_udf(Join, seg_map_ref),
-                             batch_format="pandas")
-    import ray.data
-
-    agg = partial.groupby("c_mktsegment").aggregate(
-        ray.data.aggregate.Sum("revenue_cents"),
-        ray.data.aggregate.Sum("n_orders"),
-    )
-    return _rename(
-        agg, {"sum(revenue_cents)": "revenue_cents", "sum(n_orders)": "n_orders"}
-    )
+    return tail(ds.map_batches(task_udf(Join, seg_map_ref),
+                               batch_format="pandas"))
 
 
 def top_parts(sf_dir: str, k: int = 10):
