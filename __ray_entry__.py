@@ -260,6 +260,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_by_type": relops.events_by_type,
         "rel_events_window": relops.events_window,
         "rel_events_asof": relops.events_asof,
+        "rel_events_range_join": relops.events_range_join,
+        "rel_price_band_join": relops.price_band_join,
+        "rel_events_sliding": relops.events_sliding_window,
         "rel_events_sessionize": relops.events_sessionize,
         # FTP LIST parser over the multi-dialect listings table (S3/M8)
         "ftp_entries": _q_ftp_entries,
@@ -619,6 +622,44 @@ def oracle_sql() -> dict[str, str]:
             "FROM ev) "
             "SELECT event_id, COALESCE(lv, -1)::BIGINT AS prev_view_id "
             "FROM scan WHERE event_type = 'click'"
+        ),
+        # keyed temporal range join: views strictly BEFORE the click,
+        # within the 600 s lookback, same user
+        "rel_events_range_join": (
+            "WITH c AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click'), "
+            "v AS (SELECT user_id, ts FROM events "
+            "WHERE event_type = 'view') "
+            "SELECT c.event_id, count(v.ts)::BIGINT AS n_prior_views "
+            "FROM c LEFT JOIN v ON v.user_id = c.user_id "
+            "AND v.ts >= c.ts - INTERVAL 600 SECOND AND v.ts < c.ts "
+            "GROUP BY c.event_id"
+        ),
+        # broadcast interval-table join: same non-uniform [lo, hi) bands
+        # as relops.PRICE_BANDS
+        "rel_price_band_join": (
+            "WITH bands(band_id, lo_cents, hi_cents) AS (VALUES "
+            + ", ".join(f"({b}, {lo}, {hi})"
+                        for b, lo, hi in relops.PRICE_BANDS) + "), "
+            "p AS (SELECT CAST(floor(p_retailprice*100+0.5) AS BIGINT) "
+            "AS cents FROM part) "
+            "SELECT band_id, lo_cents, count(*)::BIGINT AS n_parts, "
+            "sum(cents)::BIGINT AS sum_price_cents "
+            "FROM p JOIN bands ON p.cents >= bands.lo_cents "
+            "AND p.cents < bands.hi_cents "
+            "GROUP BY band_id, lo_cents"
+        ),
+        # hopping window, size 3600 s / hop 900 s: every event lands in
+        # exactly 4 hop-aligned windows (size % hop == 0)
+        "rel_events_sliding": (
+            "SELECT event_type, "
+            "(CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 - o.r * 900 "
+            "AS window_start, "
+            "sum(CAST(floor(value*100+0.5) AS BIGINT))::BIGINT "
+            "AS value_cents, count(*)::BIGINT AS n "
+            "FROM events CROSS JOIN "
+            "(SELECT range AS r FROM range(4)) o "
+            "GROUP BY event_type, window_start"
         ),
         "rel_events_sessionize": (
             "SELECT user_id, count(*)::BIGINT AS n_events, "

@@ -204,6 +204,129 @@ def events_window(sf_dir: str, window_minutes: int = 60):
     return _rename(agg, {"sum(value_cents)": "value_cents", "sum(n)": "n"})
 
 
+def events_range_join(sf_dir: str, lookback_seconds: int = 600):
+    """Keyed temporal RANGE JOIN (the prompt's custom-operator example,
+    via the (a) pattern — co-partition by the equi-key, vectorized
+    binary-search range probe per group): for every 'click' event, the
+    number of same-user 'view' events with ts in
+    ``[click.ts - lookback, click.ts)`` (exclusive of the click's own
+    instant).  Returns (event_id, n_prior_views).
+
+    Partitioning assumption: groups are per-user, so the range probe is
+    O(C log V) inside each group after one O(V log V) sort — a hot user
+    bounds a single group's work but never triggers an all-pairs
+    product.  At 100 TB the only shuffle is the groupby(user_id) hash
+    exchange; timestamps never leave their partition."""
+    lb_us = int(lookback_seconds) * 1_000_000
+
+    def rj(df: pd.DataFrame) -> pd.DataFrame:
+        is_view = (df["event_type"] == "view").to_numpy()
+        is_click = (df["event_type"] == "click").to_numpy()
+        ts = df["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        vts = np.sort(ts[is_view])
+        cts = ts[is_click]
+        lo = np.searchsorted(vts, cts - lb_us, side="left")
+        hi = np.searchsorted(vts, cts, side="left")
+        return pd.DataFrame({
+            "event_id": pd.Series(
+                df["event_id"].to_numpy(dtype="int64")[is_click],
+                dtype="int64"),
+            "n_prior_views": pd.Series((hi - lo), dtype="int64"),
+        })
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["event_type"].isin(["click", "view"])]
+
+    return ds.map_batches(pre, batch_format="pandas") \
+        .groupby("user_id").map_groups(rj, batch_format="pandas")
+
+
+# Non-uniform price bands (cents, [lo, hi)): a genuinely interval-keyed
+# small side — not expressible as modulo binning — covering the
+# generator's 900.00-999.90 part price range.  Parts outside every band
+# drop (inner-join semantics).
+PRICE_BANDS = ((0, 90_000, 92_000), (1, 92_000, 95_000),
+               (2, 95_000, 99_000), (3, 99_000, 100_500))
+
+
+def price_band_join(sf_dir: str):
+    """Broadcast INTERVAL-TABLE join (the range-join scale pattern for a
+    small build side): part rows land in non-uniform price bands via one
+    ``np.searchsorted`` against the broadcast sorted edge array — no
+    shuffle of the probe side at all; the only exchange is the final
+    tiny per-band groupby.  At 100 TB the interval table rides the task
+    closure (equivalently one ``ray.put``) while the probe side streams.
+    Returns (band_id, lo_cents, n_parts, sum_price_cents)."""
+    edges = np.array([b[1] for b in PRICE_BANDS] + [PRICE_BANDS[-1][2]],
+                     dtype="int64")
+    los = np.array([b[1] for b in PRICE_BANDS], dtype="int64")
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["p_retailprice"] * 100 + 0.5).astype("int64")
+        idx = np.searchsorted(edges, cents.to_numpy(), side="right") - 1
+        ok = (idx >= 0) & (idx < len(PRICE_BANDS))
+        out = pd.DataFrame({"band_id": idx[ok].astype("int64"),
+                            "cents": cents[ok], "one": 1})
+        return out.groupby("band_id", as_index=False).agg(
+            n_parts=("one", "sum"), sum_price_cents=("cents", "sum"))
+
+    ds = _read(sf_dir, "part", ["p_retailprice"]).map_batches(
+        pre, batch_format="pandas")
+    import ray.data
+
+    agg = ds.groupby("band_id").aggregate(
+        ray.data.aggregate.Sum("n_parts"),
+        ray.data.aggregate.Sum("sum_price_cents"))
+    agg = _rename(agg, {"sum(n_parts)": "n_parts",
+                        "sum(sum_price_cents)": "sum_price_cents"})
+
+    def attach_lo(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(lo_cents=los[df["band_id"].to_numpy()])
+        return df[["band_id", "lo_cents", "n_parts", "sum_price_cents"]]
+
+    return agg.map_batches(attach_lo, batch_format="pandas")
+
+
+def events_sliding_window(sf_dir: str, window_seconds: int = 3600,
+                          hop_seconds: int = 900):
+    """Sliding (hopping) window aggregate — the overlap generalization of
+    :func:`events_window`: each event belongs to exactly
+    ``window_seconds / hop_seconds`` hop-aligned windows, expanded
+    vectorized (np.repeat/tile) inside map_batches, then partial-agg →
+    one grouped aggregate.  The expansion factor (4 here) is a constant,
+    so the shuffle stays linear in the input.  window_start is epoch
+    seconds.  Returns (event_type, window_start, value_cents, n)."""
+    assert window_seconds % hop_seconds == 0
+    k = window_seconds // hop_seconds
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        epoch = df["ts"].to_numpy(dtype="datetime64[s]").astype("int64")
+        base = epoch // hop_seconds * hop_seconds
+        starts = (np.repeat(base, k)
+                  - np.tile(np.arange(k, dtype="int64") * hop_seconds,
+                            len(base)))
+        cents = np.floor(df["value"] * 100 + 0.5).astype("int64").to_numpy()
+        out = pd.DataFrame({
+            "event_type": np.repeat(df["event_type"].to_numpy(), k),
+            "window_start": starts,
+            "cents": np.repeat(cents, k),
+            "one": 1,
+        })
+        return out.groupby(["event_type", "window_start"],
+                           as_index=False).agg(
+            value_cents=("cents", "sum"), n=("one", "sum"))
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+        pre, batch_format="pandas")
+    import ray.data
+
+    agg = ds.groupby(["event_type", "window_start"]).aggregate(
+        ray.data.aggregate.Sum("value_cents"), ray.data.aggregate.Sum("n"))
+    return _rename(agg, {"sum(value_cents)": "value_cents", "sum(n)": "n"})
+
+
 def events_asof(sf_dir: str):
     """As-of join (the prompt's custom-operator example, via the (a)
     pattern: co-partition by key, ordered scan per group): for every

@@ -17,3 +17,69 @@ def test_segment_revenue_join_vs_broadcast_parity(ray_session):
     broadcast = _rows(relops.segment_revenue(sf))
     joined = _rows(relops.segment_revenue(sf, broadcast_gate=-1))
     assert broadcast == joined and len(broadcast) > 0
+
+
+def test_events_range_join_vs_bruteforce(ray_session):
+    """The per-group searchsorted range probe equals a brute-force pandas
+    interval count on the raw table."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    got = {int(r["event_id"]): int(r["n_prior_views"])
+           for r in relops.events_range_join(sf).take_all()}
+
+    df = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_id", "ts", "user_id",
+                                "event_type"]).to_pandas()
+    clicks = df[df["event_type"] == "click"]
+    views = df[df["event_type"] == "view"]
+    want = {}
+    for _, c in clicks.iterrows():
+        v = views[views["user_id"] == c["user_id"]]
+        lo = c["ts"] - pd.Timedelta(seconds=600)
+        want[int(c["event_id"])] = int(
+            ((v["ts"] >= lo) & (v["ts"] < c["ts"])).sum())
+    assert got == want and len(got) > 0 and max(got.values()) > 0
+
+
+def test_price_band_join_covers_and_sums(ray_session):
+    """Every generator price (900.00-999.90) lands in exactly one band;
+    band sums reconstruct the table total."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    rows = relops.price_band_join(sf).take_all()
+    prices = pq.read_table(f"{sf}/part.parquet",
+                           columns=["p_retailprice"])["p_retailprice"]
+    cents = np.floor(np.asarray(prices) * 100 + 0.5).astype("int64")
+    assert sum(int(r["n_parts"]) for r in rows) == len(cents)
+    assert sum(int(r["sum_price_cents"]) for r in rows) == int(cents.sum())
+    band_lo = {b: lo for b, lo, _hi in relops.PRICE_BANDS}
+    for r in rows:
+        assert int(r["lo_cents"]) == band_lo[int(r["band_id"])]
+
+
+def test_events_sliding_window_expansion(ray_session):
+    """Each event contributes to exactly size/hop windows, and each
+    hopping window equals the sum of its 4 constituent tumbling
+    15-minute buckets."""
+    sf = "/root/testdata/sf0.001"
+    slid = relops.events_sliding_window(sf).take_all()
+    base = relops.events_window(sf, window_minutes=15).take_all()
+
+    n_events = sum(int(r["n"]) for r in base)
+    assert sum(int(r["n"]) for r in slid) == 4 * n_events
+
+    tumb = {(r["event_type"], int(r["window_start"])):
+            (int(r["n"]), int(r["value_cents"])) for r in base}
+    for r in slid:
+        ws = int(r["window_start"])
+        n = c = 0
+        for k in range(4):
+            t = tumb.get((r["event_type"], ws + 900 * k))
+            if t:
+                n += t[0]
+                c += t[1]
+        assert (n, c) == (int(r["n"]), int(r["value_cents"]))
