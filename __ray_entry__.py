@@ -247,6 +247,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_dedup": textops.minhash_dedup,
         "doc_simhash_pairs": textops.simhash_pairs,
         "doc_langid": textops.langid,
+        "doc_corpus_clean": textops.corpus_clean,
+        "doc_top_tokens": textops.top_tokens,
         "doc_fingerprints": textops.fingerprints,
         # similarity search
         "ann_topk": ann.ann_topk,
@@ -347,6 +349,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        # composed cleaning pipeline: quality gate -> lang filter ->
+        # exact dedup (min doc_id per text) -> token stats
+        "doc_corpus_clean": (
+            "WITH q AS (SELECT doc_id, text FROM documents "
+            "WHERE lang = 'en' AND length(text) BETWEEN 50 AND 5000 "
+            "AND len(list_filter(regexp_extract_all(text,'\\S+'), "
+            f"x -> x IN {stop})) >= 1), "
+            "k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text) "
+            "SELECT q.doc_id, "
+            "length(regexp_extract_all(q.text,'\\S+'))::BIGINT AS n_tokens, "
+            "length(q.text)::BIGINT AS n_chars FROM q JOIN k USING (doc_id)"
+        ),
+        # corpus-wide heavy hitters (exact top-50, tie-break on token)
+        "doc_top_tokens": (
+            "WITH t AS (SELECT unnest(regexp_extract_all(text, '\\S+')) "
+            "AS token FROM documents), "
+            "c AS (SELECT token, count(*)::BIGINT AS cnt FROM t "
+            "GROUP BY token), "
+            "r AS (SELECT token, cnt, row_number() OVER "
+            "(ORDER BY cnt DESC, token) AS rank FROM c) "
+            "SELECT token, cnt, rank FROM r WHERE rank <= 50"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings "

@@ -876,3 +876,184 @@ def fingerprints(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         fp, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# composed training-data cleaning pipeline (SQL-oracled)
+
+
+_STOP_PAT = (r"(?<!\S)(?:"
+             + "|".join(re.escape(w) for w in STOPWORDS) + r")(?!\S)")
+
+
+def corpus_clean(sf_dir: str, lang: str = "en"):
+    """The flagship composed document flow — quality gate (length
+    bounds + stopword presence) → language filter → exact dedup (keep
+    the smallest doc_id per distinct text) → per-doc token stats, in
+    ONE streaming pass.  Returns (doc_id, n_tokens, n_chars) for
+    surviving documents.
+
+    Scale shape: text never crosses a stage boundary.  The quality
+    gate, the md5 key and the token stats are all computed inside the
+    same map_batches; the only exchange is the dedup groupby over
+    (md5, doc_id, stats) rows, pre-combined in-batch, and duplicate
+    groups carry equal stats so the grouped aggregate is three Min()s.
+    """
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        n_chars = df["text"].str.len().astype("int64")
+        n_stop = df["text"].str.count(_STOP_PAT).astype("int64")
+        keep = ((df["lang"] == lang) & (n_chars >= 50) & (n_chars <= 5000)
+                & (n_stop >= 1))
+        df = df[keep]
+        out = pd.DataFrame({
+            "h": [hashlib.md5(t.encode()).hexdigest() for t in df["text"]],
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_tokens": df["text"].str.count(r"\S+").astype("int64"),
+            "n_chars": n_chars[keep],
+        })
+        # in-batch combiner: one row per distinct text before the shuffle
+        return out.groupby("h", as_index=False).min()
+
+    import ray.data
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        pre, batch_format="pandas")
+    agg = ds.groupby("h").aggregate(
+        ray.data.aggregate.Min("doc_id"),
+        ray.data.aggregate.Min("n_tokens"),
+        ray.data.aggregate.Min("n_chars"))
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["min(doc_id)"].astype("int64"),
+            "n_tokens": df["min(n_tokens)"].astype("int64"),
+            "n_chars": df["min(n_chars)"].astype("int64"),
+        })
+
+    return agg.map_batches(project, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters: Misra-Gries sketch + exact verify (SQL-oracled)
+
+
+MG_CAPACITY = 512  # per-block sketch size; guarantee floor is N/(cap+1)
+
+
+def top_tokens(sf_dir: str, k: int = 50, capacity: int = MG_CAPACITY):
+    """The k most frequent whitespace tokens corpus-wide, EXACT, without
+    shuffling the full token stream — the vocabulary/heavy-hitter op a
+    100 TB corpus needs (a naive groupby over every token is an
+    all-to-all exchange of the tokenized corpus itself).
+
+    Two passes (Misra-Gries '82 summary + exact verify):
+      1. each batch computes exact in-batch counts, then MG-compresses
+         to ``capacity`` entries (subtract the (capacity+1)-th largest
+         count, drop non-positive).  Summed across batches, any token
+         whose true corpus count exceeds N/(capacity+1) is GUARANTEED a
+         surviving key (per-batch undercount is ≤ N_b/(capacity+1) and
+         absent tokens' counts telescope).
+      2. exact counts for the surviving key set only (broadcast set,
+         in-batch partials, tiny driver fold) → top-k by (count desc,
+         token asc).
+    The result is provably exact iff the k-th exact count >
+    N/(capacity+1); if the corpus is so flat that this fails, the op
+    falls back to the exact distributed groupby and logs it (correct
+    either way — the sketch is purely a shuffle-avoidance fast path).
+    Returns (token, cnt, rank), rank 1-based.
+    """
+    import ray.data
+
+    docs = _read_docs(sf_dir, ["text"])
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        toks = np.concatenate(
+            [_TOKEN_RE.findall(t) for t in df["text"]] or [[]])
+        total = toks.shape[0]
+        if total == 0:
+            return pd.DataFrame({"token": pd.Series([], dtype="string"),
+                                 "wt": pd.Series([], dtype="int64"),
+                                 "batch_total": pd.Series([], dtype="int64"),
+                                 "is_total": pd.Series([], dtype="bool")})
+        uniq, cnt = np.unique(toks, return_counts=True)
+        compressed = uniq.shape[0] > capacity
+        if compressed:
+            # MG compress: subtract the (capacity+1)-th largest count
+            kth = np.partition(cnt, -capacity - 1)[-capacity - 1]
+            keep = cnt > kth
+            uniq, cnt = uniq[keep], cnt[keep] - kth
+        out = pd.DataFrame({"token": uniq, "wt": cnt.astype("int64")})
+        out["batch_total"] = np.int64(0)
+        out["is_total"] = False
+        # one marker row carries the batch's token total for N; its wt
+        # records whether this batch actually compressed (the fast
+        # path's exactness proof only needs the floor check when some
+        # batch dropped tokens)
+        out.loc[len(out)] = {"token": "", "wt": int(compressed),
+                             "batch_total": np.int64(total),
+                             "is_total": True}
+        return out
+
+    parts = collect_df(docs.map_batches(sketch, batch_format="pandas"))
+    markers = parts.loc[parts["is_total"]]
+    n_total = int(markers["batch_total"].sum())
+    n_compressed = int(markers["wt"].sum())
+    merged = parts.loc[~parts["is_total"]].groupby("token")["wt"].sum()
+    floor = n_total // (capacity + 1)
+
+    if n_total == 0:
+        return ray.data.from_arrow(pa.table({
+            "token": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64())}))
+
+    def exact_fallback() -> pd.DataFrame:
+        # flat corpus (sketch guarantee failed): plain distributed
+        # groupby — correct always, just pays the full-token exchange
+        def cnt_all(df: pd.DataFrame) -> pd.DataFrame:
+            toks = np.concatenate(
+                [_TOKEN_RE.findall(t) for t in df["text"]] or [[]])
+            uniq, cnt = np.unique(toks, return_counts=True)
+            return pd.DataFrame({"token": uniq, "cnt": cnt.astype("int64")})
+
+        agg = docs.map_batches(cnt_all, batch_format="pandas") \
+            .groupby("token").aggregate(ray.data.aggregate.Sum("cnt"))
+        full = collect_df(_rename(agg, {"sum(cnt)": "cnt"}))
+        return full.sort_values(["cnt", "token"],
+                                ascending=[False, True]).head(k)
+
+    if merged.empty:
+        # every batch compressed away every key — nothing clears the
+        # floor, so the sketch proves nothing
+        top = exact_fallback()
+    else:
+        cand_arr = np.sort(merged.index.to_numpy(dtype="str"))
+
+        def exact(df: pd.DataFrame, ca=cand_arr) -> pd.DataFrame:
+            toks = np.concatenate(
+                [_TOKEN_RE.findall(t) for t in df["text"]] or [[]])
+            if toks.shape[0] == 0:
+                return pd.DataFrame(
+                    {"token": pd.Series([], dtype="string"),
+                     "cnt": pd.Series([], dtype="int64")})
+            hits = toks[np.isin(toks, ca)]
+            uniq, cnt = np.unique(hits, return_counts=True)
+            return pd.DataFrame({"token": uniq, "cnt": cnt.astype("int64")})
+
+        ex = collect_df(docs.map_batches(exact, batch_format="pandas"))
+        counts = ex.groupby("token")["cnt"].sum()
+        top = counts.reset_index().sort_values(
+            ["cnt", "token"], ascending=[False, True]).head(k)
+        # provably exact iff no batch dropped tokens, or the k-th exact
+        # count clears the merged-sketch undercount floor
+        exact_ok = (n_compressed == 0 or
+                    (len(top) == k and int(top["cnt"].iloc[-1]) > floor))
+        if not exact_ok:
+            top = exact_fallback()
+
+    top = top.reset_index(drop=True)
+    return ray.data.from_arrow(pa.table({
+        "token": pa.array(top["token"], pa.string()),
+        "cnt": pa.array(top["cnt"].astype("int64"), pa.int64()),
+        "rank": pa.array(np.arange(1, len(top) + 1, dtype="int64"),
+                         pa.int64())}))

@@ -149,3 +149,83 @@ def test_fingerprints_winnowing(ray_session, sf_dir, docs):
     # matches the pure-python reference on a few docs
     for d in docs[:10]:
         assert fps[d["doc_id"]] == set(textops.winnow(d["text"]))
+
+
+def test_corpus_clean_vs_bruteforce(ray_session, sf_dir, docs):
+    """The composed pipeline equals the stage-by-stage in-process
+    reference: quality gate -> lang filter -> min-doc_id dedup ->
+    stats."""
+    import re
+
+    stop_re = re.compile(textops._STOP_PAT)
+    survivors = {}
+    for d in docs:
+        t = d["text"]
+        if (d["lang"] == "en" and 50 <= len(t) <= 5000
+                and len(stop_re.findall(t)) >= 1):
+            if t not in survivors or d["doc_id"] < survivors[t]:
+                survivors[t] = d["doc_id"]
+    want = {did: (len(t.split()), len(t)) for t, did in survivors.items()}
+    got = {int(r["doc_id"]): (int(r["n_tokens"]), int(r["n_chars"]))
+           for r in textops.corpus_clean(sf_dir).take_all()}
+    assert got == want and len(got) > 0
+
+
+def test_top_tokens_mg_compression_exact(ray_session, tmp_path):
+    """With a vocabulary far larger than the sketch capacity the
+    Misra-Gries path must compress per batch yet still return the exact
+    top-k (heavy tokens clear the N/(capacity+1) floor)."""
+    import collections
+
+    import pyarrow as pa
+
+    rng = np.random.default_rng(7)
+    texts = []
+    # 3000 docs, each with 20 rare singleton-ish tokens + heavy tokens
+    for i in range(3000):
+        toks = [f"rare{i}_{j}" for j in range(20)]
+        if i % 2 == 0:
+            toks += ["heavy_alpha"] * 3
+        if i % 3 == 0:
+            toks += ["heavy_beta"] * 2
+        if i % 5 == 0:
+            toks.append("heavy_gamma")
+        rng.shuffle(toks)
+        texts.append(" ".join(toks))
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    exact = collections.Counter()
+    for t in texts:
+        exact.update(t.split())
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+
+    got = textops.top_tokens(str(tmp_path), k=3, capacity=64).take_all()
+    got_rows = [(r["token"], int(r["cnt"])) for r in
+                sorted(got, key=lambda r: int(r["rank"]))]
+    assert got_rows == want
+    assert [int(r["rank"]) for r in got] == [1, 2, 3]
+
+
+def test_top_tokens_flat_corpus_fallback(ray_session, tmp_path):
+    """A perfectly flat corpus fails the sketch guarantee; the exact
+    distributed fallback must still return the true top-k."""
+    import pyarrow as pa
+
+    # 600 tokens, each appearing exactly twice -> kth count (2) is
+    # below N/(capacity+1) for capacity=16? N=1200, floor=70 -> 2 <= 70
+    texts = [" ".join(f"tok{i:04d}" for i in range(j, j + 60))
+             for j in range(0, 600, 60)] * 2
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = textops.top_tokens(str(tmp_path), k=5, capacity=16).take_all()
+    rows = [(r["token"], int(r["cnt"])) for r in
+            sorted(got, key=lambda r: int(r["rank"]))]
+    # all counts equal 2; tie-break is lexicographic
+    assert rows == [(f"tok{i:04d}", 2) for i in range(5)]
