@@ -940,7 +940,8 @@ def corpus_clean(sf_dir: str, lang: str = "en"):
 MG_CAPACITY = 512  # per-block sketch size; guarantee floor is N/(cap+1)
 
 
-def top_tokens(sf_dir: str, k: int = 50, capacity: int = MG_CAPACITY):
+def top_tokens(sf_dir: str, k: int = 50, capacity: int = MG_CAPACITY,
+               driver_gate: int = 2_000_000):
     """The k most frequent whitespace tokens corpus-wide, EXACT, without
     shuffling the full token stream — the vocabulary/heavy-hitter op a
     100 TB corpus needs (a naive groupby over every token is an
@@ -956,10 +957,18 @@ def top_tokens(sf_dir: str, k: int = 50, capacity: int = MG_CAPACITY):
       2. exact counts for the surviving key set only (broadcast set,
          in-batch partials, tiny driver fold) → top-k by (count desc,
          token asc).
-    The result is provably exact iff the k-th exact count >
-    N/(capacity+1); if the corpus is so flat that this fails, the op
-    falls back to the exact distributed groupby and logs it (correct
-    either way — the sketch is purely a shuffle-avoidance fast path).
+    Sketch merging is size-gated: ≤ ``driver_gate`` sketch rows fold on
+    the driver; above it (the 100 TB shape — sketch rows grow as
+    blocks × capacity) the merge is a distributed groupby-sum over
+    SKETCH rows only, and the broadcast candidate set is bounded by the
+    threshold w_k − floor (w_k = k-th largest merged weight): every
+    true top-k token has weight ≥ true − floor ≥ true_kth − floor ≥
+    w_k − floor, so the filter provably keeps the answer while
+    excluding the long tail.
+    The result is provably exact iff no batch compressed, or the k-th
+    exact count clears the N/(capacity+1) floor; a corpus too flat for
+    that falls back to the exact distributed groupby (correct either
+    way — the sketch is purely a shuffle-avoidance fast path).
     Returns (token, cnt, rank), rank 1-based.
     """
     import ray.data
@@ -994,11 +1003,40 @@ def top_tokens(sf_dir: str, k: int = 50, capacity: int = MG_CAPACITY):
                              "is_total": True}
         return out
 
-    parts = collect_df(docs.map_batches(sketch, batch_format="pandas"))
-    markers = parts.loc[parts["is_total"]]
-    n_total = int(markers["batch_total"].sum())
-    n_compressed = int(markers["wt"].sum())
-    merged = parts.loc[~parts["is_total"]].groupby("token")["wt"].sum()
+    sk = docs.map_batches(sketch, batch_format="pandas").materialize()
+
+    if sk.count() <= driver_gate:
+        parts = collect_df(sk)
+        markers = parts.loc[parts["is_total"]]
+        n_total = int(markers["batch_total"].sum())
+        n_compressed = int(markers["wt"].sum())
+        merged = parts.loc[~parts["is_total"]].groupby("token")["wt"].sum()
+    else:
+        # distributed merge: markers fold on the driver (one tiny row
+        # per batch); sketch entries groupby-sum WITHOUT leaving the
+        # cluster, then only the threshold survivors come back
+        markers = collect_df(sk.map_batches(
+            lambda df: df.loc[df["is_total"], ["wt", "batch_total"]],
+            batch_format="pandas"))
+        n_total = int(markers["batch_total"].sum())
+        n_compressed = int(markers["wt"].sum())
+        entries = sk.map_batches(
+            lambda df: df.loc[~df["is_total"], ["token", "wt"]],
+            batch_format="pandas")
+        magg = _rename(
+            entries.groupby("token").aggregate(ray.data.aggregate.Sum("wt")),
+            {"sum(wt)": "wt"})
+        topw = collect_df(magg.sort("wt", descending=True).limit(k))
+        floor0 = n_total // (capacity + 1)
+        thresh = (int(topw["wt"].min()) if len(topw) == k else 0) - floor0
+        if len(topw) == k and thresh <= 0:
+            # flat corpus: candidate set unbounded, sketch proves
+            # nothing — merged stays empty so the fallback below runs
+            merged = pd.Series([], dtype="int64")
+        else:
+            cand = collect_df(magg.filter(
+                lambda r, t=thresh: r["wt"] >= t))
+            merged = cand.set_index("token")["wt"]
     floor = n_total // (capacity + 1)
 
     if n_total == 0:

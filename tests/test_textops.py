@@ -229,3 +229,36 @@ def test_top_tokens_flat_corpus_fallback(ray_session, tmp_path):
             sorted(got, key=lambda r: int(r["rank"]))]
     # all counts equal 2; tie-break is lexicographic
     assert rows == [(f"tok{i:04d}", 2) for i in range(5)]
+
+
+def test_top_tokens_distributed_merge_parity(ray_session, tmp_path):
+    """driver_gate=0 forces the distributed sketch merge + bounded
+    candidate threshold; result must equal the driver-merge path."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(11)
+    texts = []
+    for i in range(1000):
+        toks = [f"tail{i}_{j}" for j in range(10)]
+        if i % 2 == 0:
+            toks += ["big_one"] * 4
+        if i % 4 == 0:
+            toks += ["big_two"] * 3
+        rng.shuffle(toks)
+        texts.append(" ".join(toks))
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    a = [(r["token"], int(r["cnt"]), int(r["rank"])) for r in sorted(
+        textops.top_tokens(str(tmp_path), k=2, capacity=64).take_all(),
+        key=lambda r: int(r["rank"]))]
+    b = [(r["token"], int(r["cnt"]), int(r["rank"])) for r in sorted(
+        textops.top_tokens(str(tmp_path), k=2, capacity=64,
+                           driver_gate=0).take_all(),
+        key=lambda r: int(r["rank"]))]
+    assert a == b
+    assert a[0][0] == "big_one" and a[0][1] == 2000
+    assert a[1][0] == "big_two" and a[1][1] == 750
