@@ -143,6 +143,14 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     ann.ann_topk(sf_dir).count()
     out["queries"]["ann_topk"] = round(time.time() - t0, 3)
 
+    # --- composed cleaning pipeline + heavy hitters
+    t0 = time.time()
+    textops.corpus_clean(sf_dir).count()
+    out["queries"]["doc_corpus_clean"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    textops.top_tokens(sf_dir).count()
+    out["queries"]["doc_top_tokens"] = round(time.time() - t0, 3)
+
     return out
 
 
@@ -192,6 +200,10 @@ def run_scaling_job(num_cpus: int, n_pages: int, tag: str = "") -> dict:
         "pages_parsed": stats["pages_parsed"],
         "pages_per_sec": round(stats["pages_parsed"] / el, 1),
         "frontier_urls_per_sec": round(stats["frontier_urls"] / el, 1),
+        # in-task seconds / (wall x cpus): scheduling-noise-immune pool
+        # utilization (direct-path waves; ~all waves at this corpus size)
+        "cpu_busy_frac": round(
+            stats.get("task_busy_sec", 0.0) / (el * num_cpus), 3),
     }
     ray.shutdown()
     return out
@@ -283,6 +295,8 @@ def main() -> None:
                 "pages_per_sec_8cpu_quarter_corpus": r8s["pages_per_sec"],
                 "pages_per_sec_32cpu": tput32,
                 "pages_per_sec_4x8cpu_aggregate": round(sum(weak_tputs), 1),
+                "cpu_busy_frac_8cpu": r8.get("cpu_busy_frac"),
+                "cpu_busy_frac_32cpu": r32.get("cpu_busy_frac"),
                 "crawl_sec_8cpu_quarter": r8s["crawl_sec"],
                 "crawl_sec_32cpu_full": r32["crawl_sec"],
                 "scaling_pages": n_pages,

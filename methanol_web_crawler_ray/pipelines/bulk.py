@@ -663,6 +663,7 @@ def crawl_bfs(
         # slicing lets one big fragment (e.g. the single wave-0 seed
         # file) fan out over the whole CPU pool; frontier fragments are
         # URL lists, so re-reading a shared file per slice is cheap
+        t_busy0 = time.time()
         outs = []
         tbl_cache: Dict[str, pa.Table] = {}
         for path, b, off, cnt in pieces:
@@ -680,7 +681,8 @@ def crawl_bfs(
                 outs.append(wfn(t.slice(o, bsz)))
         outs = [o for o in outs if o.num_rows]
         if not outs:
-            return {"links": 0, "pages": 0, "files": []}
+            return {"links": 0, "pages": 0, "files": [],
+                    "busy": time.time() - t_busy0}
         res = pa.concat_tables(outs)
         # manifest of written link fragments (path, bucket, rows): the
         # next wave plans its task groups from this instead of
@@ -706,7 +708,8 @@ def crawl_bfs(
         kinds = res.column("kind")
         n_links = pc.sum(pc.equal(kinds, "link")).as_py() or 0
         n_pages = pc.sum(pc.equal(kinds, "page")).as_py() or 0
-        return {"links": n_links, "pages": n_pages, "files": written}
+        return {"links": n_links, "pages": n_pages, "files": written,
+                "busy": time.time() - t_busy0}
 
     wave_fn_ref = ray.put(wave_fn)
 
@@ -746,6 +749,7 @@ def crawl_bfs(
             "links": sum(r["links"] for r in results),
             "pages": sum(r["pages"] for r in results),
             "files": [f for r in results for f in r["files"]],
+            "busy": sum(r["busy"] for r in results),
         }
 
     wave_times = []
@@ -768,6 +772,11 @@ def crawl_bfs(
             res = _run_wave_direct(w, wdir, n_front, manifest)
             n_links, n_pages = res["links"], res["pages"]
             manifest = res["files"]
+            # in-task wall seconds (direct-path waves only): a
+            # scheduling-noise-immune utilization signal — busy/(wall×
+            # cpus) is how much of the pool did engine work
+            stats["task_busy_sec"] = (
+                stats.get("task_busy_sec", 0.0) + res["busy"])
         else:
             # ONE map-only execution per wave (NO shuffle: batches may
             # mix buckets, the wave fn probes each bucket table
