@@ -191,6 +191,18 @@ def _q_media_decode(sf_dir: str):
     return multimodal.media_decode()
 
 
+def _q_media_features(sf_dir: str):
+    from methanol_web_crawler_ray.pipelines import multimodal
+
+    return multimodal.media_features()
+
+
+def _q_media_frames(sf_dir: str):
+    from methanol_web_crawler_ray.pipelines import multimodal
+
+    return multimodal.media_frames()
+
+
 def _q_ftp_entries(sf_dir: str):
     """ftpparse (S3/M8) over all 9 LIST dialects — vs the generator's
     by-construction golden entries."""
@@ -270,6 +282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ftp_entries": _q_ftp_entries,
         # multimodal plumbing (deterministic fake codec)
         "media_decode": _q_media_decode,
+        "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
     }
 
 
@@ -701,5 +715,15 @@ def oracle_sql() -> dict[str, str]:
         "media_decode": (
             f"SELECT media_id, kind, dim_a, dim_b, body_len FROM "
             f"read_parquet('{media_dir}/golden_decode.parquet')"
+        ),
+        # feature-extract vs the generator's formula-derived histogram
+        "media_features": (
+            f"SELECT media_id, bucket, cnt FROM "
+            f"read_parquet('{media_dir}/golden_features.parquet')"
+        ),
+        # frame-sample vs the generator's frame grid
+        "media_frames": (
+            f"SELECT media_id, frame_idx FROM "
+            f"read_parquet('{media_dir}/golden_frames.parquet')"
         ),
     }

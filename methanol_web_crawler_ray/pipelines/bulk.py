@@ -828,3 +828,205 @@ def crawl_bfs(
     stats["wave_times"] = wave_times
     pool.shutdown()
     return stats
+
+
+def crawl_bfs_pipelined(
+    cfg: EngineConfig,
+    pages_dir: str,
+    seeds: Sequence[str],
+    crawler: Optional[str] = None,
+    *,
+    out_dir: str,
+    depth_limit: Optional[int] = None,
+    num_shards: int = 8,
+    seen_mode: str = "exact",
+    num_buckets: int = 32,
+    batch_size: int = 512,
+    use_robots: bool = True,
+    emit_text: bool = True,
+    max_inflight: Optional[int] = None,
+    prewarm_buckets: bool = False,
+) -> Dict[str, float]:
+    """Barrier-free frontier-queue crawl — the wave engine minus the
+    per-wave ``ray.get`` barrier.
+
+    The wave engine idles the pool behind each wave's stragglers
+    (measured: cpu_busy_frac 0.63 at 32 cpus vs 0.89 at 8 on the same
+    corpus — the barrier tax grows with width).  Bulk mode is
+    order-free, so BFS synchronization is not semantically required:
+    here every finished task's extracted links are immediately cut into
+    new tasks (classic work-queue crawl), and the pool never drains
+    until the frontier is globally exhausted.
+
+    Mechanics: a task takes ~``batch_size`` frontier rows (Arrow slices
+    straight from plasma — the frontier NEVER touches parquet or the
+    driver's heap beyond slice bookkeeping), runs the same fused
+    BucketWave kernel, writes page/target rows hive-partitioned under
+    ``out_dir``, and RETURNS its kind=link rows as an Arrow table.  The
+    driver buffers link tables and cuts row-balanced tasks, force-
+    flushing partial tasks whenever the pool runs under-committed so
+    the tail never serializes.  Depth limits, seen anti-join, robots,
+    external gating and MIME binding are all inside the shared kernel —
+    pipelined vs wave outputs are set-equal (pinned by test).
+
+    Tradeoff vs the wave engine: no wave checkpoints — the frontier is
+    ephemeral plasma, so a killed run restarts (use the wave engine
+    when resumability matters; at 100 TB, quiesce-and-snapshot every
+    N tasks would slot into the drain loop).  max_retries=0 for the
+    same reason as waves: seen adds are not idempotent.
+
+    Semantics note: when ``depth_limit`` actually BINDS (a URL first
+    reached via a path at/over the limit is seen-added but never
+    crawled), the visited SET can differ from wave-BFS order — the
+    wave engine's seen-first-wins is breadth-ordered, this engine's is
+    completion-ordered (the same class of nondeterminism the wave
+    engine already documents for within-wave external races).  With a
+    non-binding depth limit both engines visit exactly the reachable
+    set and their page/target outputs are set-equal (pinned by test)."""
+    import ray
+
+    from ..sources.pagestore import build_store
+    from ..state.seen import make_seen_pool
+    from .simulator import plan_seed_hosts
+
+    t0 = time.time()
+    store_dir = build_store(pages_dir, num_buckets=num_buckets)
+    cfg_blob = pickle.dumps(cfg)
+    cr = cfg.crawlers[crawler or cfg.default_crawler]
+    depth_limit = depth_limit if depth_limit is not None else cr.depth_limit
+    pool = make_seen_pool(num_shards=num_shards, mode=seen_mode)
+
+    robots_ref = None
+    if use_robots and cr.robotstxt:
+        robots_ref = ray.put(load_robots_map(store_dir))
+
+    os.makedirs(out_dir, exist_ok=True)
+    bucket_dir = make_bucket_directory(store_dir)
+    wave_fn = make_bucket_wave_fn(cfg_blob, crawler, bucket_dir,
+                                  robots_ref, pool.actors, cr.external,
+                                  depth_limit, num_buckets, emit_text)
+    wave_fn_ref = ray.put(wave_fn)
+
+    # seed frontier (seen-added exactly like the wave engine)
+    seed_rows = []
+    grouped: Dict[str, List[str]] = {}
+    for h, urls in plan_seed_hosts(cfg, seeds, crawler).items():
+        for u in urls:
+            parsed = url_set(u if "://" in u else "http://" + u)
+            if parsed is not None:
+                seed_rows.append(parsed)
+                grouped.setdefault(parsed.host_norm, []).append(
+                    parsed.seen_key)
+    pool.try_add_grouped(grouped)
+    seed_tbl = pa.table({
+        "bucket": pa.array(
+            [stable_hash64(p.host_norm) % num_buckets for p in seed_rows],
+            pa.int32()),
+        "url": pa.array([p.s for p in seed_rows], pa.string()),
+        "depth": pa.array([0] * len(seed_rows), pa.int32()),
+        "is_external": pa.array([False] * len(seed_rows), pa.bool_()),
+    }, schema=FRONTIER_SCHEMA)
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    max_inflight = max_inflight or cpus * 3
+
+    @ray.remote(num_cpus=1, max_retries=0)
+    def _stream_task(slices, odir, task_idx, wfn, bsz):
+        t_busy0 = time.time()
+        tbl = slices[0] if len(slices) == 1 else pa.concat_tables(slices)
+        outs = []
+        for o in range(0, tbl.num_rows, bsz):
+            outs.append(wfn(tbl.slice(o, bsz)))
+        outs = [o for o in outs if o.num_rows]
+        if not outs:
+            return None, 0, 0, time.time() - t_busy0
+        res = pa.concat_tables(outs)
+        is_link = pc.equal(res.column("kind"), "link")
+        links = res.filter(is_link).select(
+            ["bucket", "url", "depth", "is_external"])
+        persist = res.filter(pc.invert(is_link))
+        if persist.num_rows:
+            pads.write_dataset(
+                persist, odir, format="parquet",
+                partitioning=pads.partitioning(
+                    pa.schema([("kind", pa.string()),
+                               ("bucket", pa.int32())]), flavor="hive"),
+                basename_template=f"part-{task_idx}-{{i}}.parquet",
+                existing_data_behavior="overwrite_or_ignore")
+        n_pages = pc.sum(pc.equal(res.column("kind"), "page")).as_py() or 0
+        links = links.combine_chunks()
+        return (links if links.num_rows else None, n_pages,
+                links.num_rows, time.time() - t_busy0)
+
+    if prewarm_buckets:
+        # benchmark opt-in, same rationale as the wave engine's
+        ray.get(ray.get(
+            bucket_dir.get_refs.remote(list(range(num_buckets)))))
+
+    stats = {"pages_parsed": 0, "links_extracted": 0,
+             "frontier_urls": len(seed_rows), "task_busy_sec": 0.0,
+             "n_tasks": 0}
+    stats["setup_sec"] = time.time() - t0
+    t_loop = time.time()
+
+    pending: Dict = {}
+    buf: List[pa.Table] = []
+    buf_rows = 0
+    seq = 0
+
+    def cut(force: bool) -> None:
+        nonlocal buf, buf_rows, seq
+        while ((buf_rows >= batch_size or (force and buf_rows > 0))
+               and len(pending) < max_inflight):
+            need = min(batch_size, buf_rows)
+            take: List[pa.Table] = []
+            taken = 0
+            while taken < need:
+                t = buf[0]
+                room = need - taken
+                if t.num_rows <= room:
+                    take.append(buf.pop(0))
+                    taken += t.num_rows
+                else:
+                    take.append(t.slice(0, room))
+                    buf[0] = t.slice(room)
+                    taken += room
+            buf_rows -= taken
+            ref = _stream_task.remote(take, out_dir, seq, wave_fn_ref,
+                                      batch_size)
+            pending[ref] = None
+            seq += 1
+
+    buf.append(seed_tbl)
+    buf_rows = seed_tbl.num_rows
+    cut(force=True)
+    while pending:
+        done, _ = ray.wait(list(pending), num_returns=1)
+        for ref in done:
+            del pending[ref]
+            links, n_pages, n_links, busy = ray.get(ref)
+            stats["pages_parsed"] += n_pages
+            stats["links_extracted"] += n_links
+            stats["frontier_urls"] += n_links
+            stats["task_busy_sec"] += busy
+            stats["n_tasks"] += 1
+            if links is not None:
+                buf.append(links)
+                buf_rows += links.num_rows
+        # keep the pool committed: full tasks first, then force partial
+        # tasks whenever fewer tasks than cores remain
+        cut(force=False)
+        if buf_rows and len(pending) < cpus:
+            cut(force=True)
+
+    stats["crawl_sec"] = time.time() - t_loop
+    stats["elapsed_sec"] = time.time() - t0
+    stats["pages_per_sec"] = stats["pages_parsed"] / max(
+        stats["crawl_sec"], 1e-9)
+    stats["frontier_urls_per_sec"] = stats["frontier_urls"] / max(
+        stats["crawl_sec"], 1e-9)
+    stats["cpu_busy_frac"] = stats["task_busy_sec"] / max(
+        stats["crawl_sec"] * cpus, 1e-9)
+    stats["seen_size"] = pool.size()
+    pool.shutdown()
+    return stats

@@ -50,31 +50,53 @@ def fake_decode(payload: bytes):
     return KINDS[kid], a, b, payload[16:]
 
 
+FEAT_DIM = 16  # byte-histogram buckets for the feature-extract stage
+FRAME_EVERY = 4  # frame-sample stride
+
+
 def gen_media_table(n: int = 64):
     """Deterministic synthetic media table (index arithmetic, no RNG).
-    Returns (media, golden_decode): the generator KNOWS each payload's
-    metadata, so the expected decode output is emitted by construction —
-    the decode stage is then a genuine end-to-end check, not a
-    self-comparison."""
+    Returns (media, golden_decode, golden_features, golden_frames): the
+    generator KNOWS each payload's metadata, body formula and frame
+    grid, so every expected output is emitted by construction (computed
+    from the generation arithmetic, never by calling the codec) — each
+    stage is then a genuine end-to-end check, not a self-comparison."""
     ids, kinds, payloads = [], [], []
     g_a, g_b, g_len = [], [], []
+    f_ids, f_buckets, f_cnts = [], [], []
+    fr_ids, fr_idx = [], []
     for i in range(n):
         kind = KINDS[i % 3]
         if kind == "image":
             a, b = 64 + (i % 8) * 32, 48 + (i % 5) * 24  # w, h
-            body = bytes((i + j) % 251 for j in range(a * 2))
+            body_vals = [(i + j) % 251 for j in range(a * 2)]
         elif kind == "audio":
             a, b = 16000, 100 + i  # rate, frames
-            body = bytes((i * 3 + j) % 251 for j in range(256))
+            body_vals = [(i * 3 + j) % 251 for j in range(256)]
         else:
             a, b = 24, 30 + i  # fps, frames
-            body = bytes((i * 7 + j) % 251 for j in range(512))
+            body_vals = [(i * 7 + j) % 251 for j in range(512)]
+        body = bytes(body_vals)
         ids.append(i)
         kinds.append(kind)
         payloads.append(fake_encode(kind, a, b, body))
         g_a.append(a)
         g_b.append(b)
         g_len.append(len(body))
+        # feature golden: byte histogram folded to FEAT_DIM buckets,
+        # derived from the body FORMULA (independent of the codec)
+        hist = [0] * FEAT_DIM
+        for v in body_vals:
+            hist[v % FEAT_DIM] += 1
+        for bk, c in enumerate(hist):
+            f_ids.append(i)
+            f_buckets.append(bk)
+            f_cnts.append(c)
+        # frame golden: every FRAME_EVERY-th frame of each video
+        if kind == "video":
+            for fi in range(0, b, FRAME_EVERY):
+                fr_ids.append(i)
+                fr_idx.append(fi)
     media = pa.table({"media_id": ids, "kind": kinds, "payload": payloads},
                      schema=MEDIA_SCHEMA)
     golden = pa.table({
@@ -84,19 +106,32 @@ def gen_media_table(n: int = 64):
         "dim_b": pa.array(g_b, pa.int64()),
         "body_len": pa.array(g_len, pa.int64()),
     })
-    return media, golden
+    golden_features = pa.table({
+        "media_id": pa.array(f_ids, pa.int64()),
+        "bucket": pa.array(f_buckets, pa.int64()),
+        "cnt": pa.array(f_cnts, pa.int64()),
+    })
+    golden_frames = pa.table({
+        "media_id": pa.array(fr_ids, pa.int64()),
+        "frame_idx": pa.array(fr_idx, pa.int64()),
+    })
+    return media, golden, golden_features, golden_frames
 
 
 def media_dir_for(base: str = "/tmp/mwc_media", n: int = 64) -> str:
     import pyarrow.parquet as pq
 
-    out = os.path.join(base, f"{n}-v2")
+    out = os.path.join(base, f"{n}-v3")
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
         os.makedirs(out, exist_ok=True)
-        media, golden = gen_media_table(n)
+        media, golden, golden_features, golden_frames = gen_media_table(n)
         pq.write_table(media, os.path.join(out, "media.parquet"))
         pq.write_table(golden, os.path.join(out, "golden_decode.parquet"))
+        pq.write_table(golden_features,
+                       os.path.join(out, "golden_features.parquet"))
+        pq.write_table(golden_frames,
+                       os.path.join(out, "golden_frames.parquet"))
         open(marker, "w").write("ok")
     return out
 
@@ -121,6 +156,13 @@ class FakeCodec:
             raise ValueError("not a video")
         return list(range(0, frames, every))
 
+    def extract_features(self, payload: bytes, dim: int):
+        """Byte-histogram pseudo-embedding (integer counts — where a
+        real model's forward pass would slot in)."""
+        _kind, _a, _b, body = fake_decode(payload)
+        return np.bincount(np.frombuffer(body, np.uint8) % dim,
+                           minlength=dim).astype(np.int64)
+
 
 class RealCodec:
     """Where PIL / torchaudio / ffmpeg would plug in (not in container)."""
@@ -133,6 +175,7 @@ class RealCodec:
 
     resize_image = decode_meta
     sample_frames = decode_meta
+    extract_features = decode_meta
 
 
 class DecodeMeta:
@@ -176,6 +219,89 @@ def media_decode(media_dir: Optional[str] = None, codec: str = "fake"):
         # autoscaling pool (min, max): codec state is genuinely per-actor
         # (a real PIL/ffmpeg handle), but a pinned size starves at 32 cpus
         batch_size=16, concurrency=(2, 16), num_cpus=1,
+    )
+
+
+class ExtractFeatures:
+    """Actor-pool feature-extract stage (the "model inference" slot):
+    codec/model loaded once per actor, per-batch batched extraction.
+    Output is LONG-FORM (media_id, bucket, cnt) int64 rows — flat
+    columns hash cleanly at the driver gate, and at scale a long-form
+    feature table feeds the ANN ops directly."""
+
+    def __init__(self, dim: int = FEAT_DIM, codec_name: str = "fake"):
+        self.codec = FakeCodec() if codec_name == "fake" else RealCodec()
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_ids, out_buckets, out_cnts = [], [], []
+        for mid, p in zip(ids, payloads):
+            feat = self.codec.extract_features(p, self.dim)
+            out_ids.extend([mid] * self.dim)
+            out_buckets.extend(range(self.dim))
+            out_cnts.extend(int(c) for c in feat)
+        return pa.table({
+            "media_id": pa.array(out_ids, pa.int64()),
+            "bucket": pa.array(out_buckets, pa.int64()),
+            "cnt": pa.array(out_cnts, pa.int64()),
+        })
+
+
+def media_features(media_dir: Optional[str] = None, codec: str = "fake",
+                   dim: int = FEAT_DIM):
+    """(media_id, bucket, cnt) — the feature-extract stage over every
+    payload (image/audio/video alike: bytes in, vector out)."""
+    import ray.data
+
+    media_dir = media_dir or media_dir_for()
+    ds = ray.data.read_parquet(os.path.join(media_dir, "media.parquet"))
+    return ds.map_batches(
+        ExtractFeatures, fn_constructor_args=(dim, codec),
+        batch_format="pyarrow", batch_size=16, concurrency=(2, 16),
+        num_cpus=1,
+    )
+
+
+class SampleFrames:
+    """Actor-pool frame-sample stage: every ``every``-th frame index of
+    each video payload (a real codec would emit the frame bytes; the
+    index grid is the part the goldens pin)."""
+
+    def __init__(self, every: int = FRAME_EVERY, codec_name: str = "fake"):
+        self.codec = FakeCodec() if codec_name == "fake" else RealCodec()
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_ids, out_idx = [], []
+        for mid, kind, p in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            for fi in self.codec.sample_frames(p, self.every):
+                out_ids.append(mid)
+                out_idx.append(fi)
+        return pa.table({
+            "media_id": pa.array(out_ids, pa.int64()),
+            "frame_idx": pa.array(out_idx, pa.int64()),
+        })
+
+
+def media_frames(media_dir: Optional[str] = None, codec: str = "fake",
+                 every: int = FRAME_EVERY):
+    """(media_id, frame_idx) — frame sampling over the video rows."""
+    import ray.data
+
+    media_dir = media_dir or media_dir_for()
+    ds = ray.data.read_parquet(os.path.join(media_dir, "media.parquet"))
+    return ds.map_batches(
+        SampleFrames, fn_constructor_args=(every, codec),
+        batch_format="pyarrow", batch_size=16, concurrency=(2, 16),
+        num_cpus=1,
     )
 
 

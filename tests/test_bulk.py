@@ -159,3 +159,38 @@ def test_bulk_resume(ray_session):
     part_urls = set(_bulk_pages(part).column("url").to_pylist())
     assert part_urls == full_urls
     assert resumed["pages_parsed"] == len(full_urls)
+
+
+def test_pipelined_matches_wave_engine_sets(ray_session):
+    """The barrier-free frontier-queue engine and the wave engine visit
+    exactly the same pages with identical extracted text and targets
+    when the depth limit does not bind."""
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+    cfg = default_config(depth_limit=30, external=True)
+    seeds = ["http://host-0001.example/", "http://host-0002.example/"]
+
+    out_w = "/tmp/mwc_test_pipe_wave"
+    out_p = "/tmp/mwc_test_pipe_queue"
+    shutil.rmtree(out_w, ignore_errors=True)
+    shutil.rmtree(out_p, ignore_errors=True)
+    sw = bulk.crawl_bfs(cfg, d, seeds, out_dir=out_w, num_shards=4)
+    sp = bulk.crawl_bfs_pipelined(cfg, d, seeds, out_dir=out_p,
+                                  num_shards=4, batch_size=64)
+    assert sp["pages_parsed"] == sw["pages_parsed"] > 0
+    assert sp["seen_size"] == sw["seen_size"]
+
+    def rows(root, kind, cols):
+        tbl = pads.dataset(root, partitioning="hive").to_table(
+            filter=pc.field("kind") == kind, columns=cols)
+        return set(map(tuple, zip(*[tbl.column(c).to_pylist()
+                                    for c in cols])))
+
+    wave_pages = rows(bulk.waves_path(out_w), "page",
+                      ["url", "url_hash", "filetype", "text"])
+    pipe_pages = rows(out_p, "page", ["url", "url_hash", "filetype", "text"])
+    assert wave_pages == pipe_pages
+
+    wave_targets = rows(bulk.waves_path(out_w), "target",
+                        ["url", "url_hash", "filetype"])
+    pipe_targets = rows(out_p, "target", ["url", "url_hash", "filetype"])
+    assert wave_targets == pipe_targets
