@@ -348,6 +348,8 @@ def main() -> None:
             "queries": r["queries"],
             "warmup_sec": r.get("warmup_sec"),
             "pages_per_sec": r.get("pages_per_sec"),
+            "pages_per_sec_pipelined": r.get("pages_per_sec_pipelined"),
+            "crawl_pipe_busy_frac": r.get("crawl_pipe_busy_frac"),
             "frontier_urls_per_sec": r.get("frontier_urls_per_sec"),
             "texts_per_sec": r.get("texts_per_sec"),
             "pages_parsed": r.get("pages_parsed"),

@@ -81,6 +81,9 @@ def main(argv=None) -> int:
     common(sp)
     sp.add_argument("--out", required=True)
     sp.add_argument("--shards", type=int, default=8)
+    sp.add_argument("--pipelined", action="store_true",
+                    help="barrier-free frontier-queue engine (fastest; "
+                         "not resumable)")
 
     sp = sub.add_parser("sim", help="single-worker reference simulator")
     common(sp)
@@ -132,10 +135,11 @@ def main(argv=None) -> int:
                  logging_level="ERROR")
 
     if args.cmd == "bulk":
-        from .pipelines.bulk import crawl_bfs
+        from .pipelines.bulk import crawl_bfs, crawl_bfs_pipelined
 
-        stats = crawl_bfs(cfg, args.pages, args.seeds, args.crawler,
-                          out_dir=args.out, num_shards=args.shards)
+        engine = crawl_bfs_pipelined if args.pipelined else crawl_bfs
+        stats = engine(cfg, args.pages, args.seeds, args.crawler,
+                       out_dir=args.out, num_shards=args.shards)
         stats.pop("wave_times", None)
         print(json.dumps({k: round(v, 2) if isinstance(v, float) else v
                           for k, v in stats.items()}))

@@ -901,6 +901,13 @@ def crawl_bfs_pipelined(
         robots_ref = ray.put(load_robots_map(store_dir))
 
     os.makedirs(out_dir, exist_ok=True)
+    # a previous run's task-indexed fragments would otherwise mix with
+    # this run's (basenames carry the task seq, not a run id)
+    import shutil as _sh
+
+    for sub in os.listdir(out_dir):
+        if sub.startswith("kind="):
+            _sh.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
     bucket_dir = make_bucket_directory(store_dir)
     wave_fn = make_bucket_wave_fn(cfg_blob, crawler, bucket_dir,
                                   robots_ref, pool.actors, cr.external,
