@@ -262,6 +262,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_corpus_clean": textops.corpus_clean,
         "doc_top_tokens": textops.top_tokens,
         "doc_fingerprints": textops.fingerprints,
+        "doc_bpe_tokens": textops.bpe_token_stats,
+        "doc_decontaminate": textops.decontaminate,
+        "doc_sample_stratified": textops.sample_stratified,
+        "doc_repetition": textops.repetition,
+        "doc_pii_scrub": textops.pii_scrub,
         # similarity search
         "ann_topk": ann.ann_topk,
         "ann_topk_lsh": ann.ann_topk_lsh,
@@ -295,6 +300,7 @@ def oracle_sql() -> dict[str, str]:
     stop = "('the','a','of','and','to')"
     langprof = textops.write_langid_profiles("/tmp/mwc_langid_profiles.parquet")
     mhparams = textops.write_minhash_params("/tmp/mwc_minhash_params.parquet")
+    piidocs = textops.pii_documents_path("/root/testdata/sf0.01")
     lshp = ann.write_lsh_planes("/tmp/mwc_lsh_planes_topk.parquet",
                                 ann.LSH_SEED, ann.LSH_TABLES, ann.LSH_PLANES)
     ndp = ann.write_lsh_planes("/tmp/mwc_lsh_planes_nd.parquet",
@@ -495,6 +501,84 @@ def oracle_sql() -> dict[str, str]:
             f"q.wend - {textops.FP_W - 1} AND q.wend AND g.h = q.wmin "
             "GROUP BY q.doc_id, q.wend, q.wmin) "
             "SELECT DISTINCT doc_id, pos::BIGINT AS pos, wmin AS fp FROM sel"
+        ),
+        # BPE-ish pre-tokenizer counts (pattern shared with the Ray stage;
+        # the embedded quote is SQL-doubled)
+        "doc_bpe_tokens": (
+            "SELECT doc_id, "
+            f"len(regexp_extract_all(text, "
+            f"'{textops.BPE_PAT.replace(chr(39), chr(39) * 2)}'))::BIGINT "
+            "AS n_bpe_tokens, "
+            "len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_ws_tokens "
+            "FROM documents"
+        ),
+        # decontamination: distinct word-3-gram keys (the minhash shingle
+        # key) of the doc_id % BENCH_MOD benchmark members, probed by
+        # every other document
+        "doc_decontaminate": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '\\S+') AS toks FROM documents), "
+            "sh0 AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+            "list_transform(range(1, len(toks) - 1), i -> "
+            "toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' "
+            "|| toks[CAST(i AS INT) + 2]) "
+            "WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] "
+            "ELSE [] END AS grams FROM t), "
+            "sh AS (SELECT doc_id, list_distinct(list_transform(grams, "
+            "g -> CAST(md5_number_lower(g) & 2147483647::UBIGINT AS BIGINT)"
+            ")) AS xs FROM sh0), "
+            f"bench AS (SELECT DISTINCT u.x FROM sh, UNNEST(sh.xs) AS u(x) "
+            f"WHERE doc_id % {textops.BENCH_MOD} = 0), "
+            f"probe AS (SELECT doc_id, xs FROM sh "
+            f"WHERE doc_id % {textops.BENCH_MOD} != 0), "
+            "hits AS (SELECT p.doc_id, count(*)::BIGINT AS n "
+            "FROM probe p, UNNEST(p.xs) AS u(x), bench b "
+            "WHERE b.x = u.x GROUP BY p.doc_id) "
+            "SELECT p.doc_id, len(p.xs)::BIGINT AS n_shingles, "
+            "COALESCE(h.n, 0)::BIGINT AS n_hits, "
+            "(COALESCE(h.n, 0) > 0)::BIGINT AS contaminated "
+            "FROM probe p LEFT JOIN hits h ON h.doc_id = p.doc_id"
+        ),
+        # stratified sampling: md5-lower-8-LE(doc_id-as-string) ‰ selector
+        # with per-language keep rates — pure function of the row
+        "doc_sample_stratified": (
+            "SELECT doc_id, lang, source FROM documents "
+            "WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < "
+            f"CASE WHEN lang = 'en' THEN {textops.SAMPLE_PERMILLE['en']} "
+            f"WHEN lang = 'de' THEN {textops.SAMPLE_PERMILLE['de']} "
+            f"ELSE {textops.SAMPLE_DEFAULT_PERMILLE} END"
+        ),
+        # repetition filter: duplicate word-2-gram fraction, integer-exact
+        # n_dup * den <= n_bigrams * num decision
+        "doc_repetition": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '\\S+') AS toks FROM documents), "
+            "g AS (SELECT doc_id, CASE WHEN len(toks) >= 2 THEN "
+            "list_transform(range(1, len(toks)), i -> "
+            "toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]) "
+            "ELSE [] END AS grams FROM t) "
+            "SELECT doc_id, len(grams)::BIGINT AS n_bigrams, "
+            "(len(grams) - len(list_distinct(grams)))::BIGINT AS n_dup, "
+            "(CASE WHEN (len(grams) - len(list_distinct(grams))) "
+            f"* {textops.REP_DEN} <= len(grams) * {textops.REP_NUM} "
+            "THEN 1 ELSE 0 END)::BIGINT AS rep_ok FROM g"
+        ),
+        # PII scrub over the planted fixture: counts from the original
+        # text, md5 of the redacted text (same RE2-safe patterns both
+        # sides; replacement order email → ip → phone)
+        "doc_pii_scrub": (
+            f"WITH d AS (SELECT doc_id, text FROM read_parquet('{piidocs}')) "
+            "SELECT doc_id, "
+            f"len(regexp_extract_all(text, '{textops.PII_EMAIL}'))::BIGINT "
+            "AS n_emails, "
+            f"len(regexp_extract_all(text, '{textops.PII_IPV4}'))::BIGINT "
+            "AS n_ips, "
+            f"len(regexp_extract_all(text, '{textops.PII_PHONE}'))::BIGINT "
+            "AS n_phones, "
+            "md5(regexp_replace(regexp_replace(regexp_replace(text, "
+            f"'{textops.PII_EMAIL}', '<EMAIL>', 'g'), "
+            f"'{textops.PII_IPV4}', '<IP>', 'g'), "
+            f"'{textops.PII_PHONE}', '<PHONE>', 'g')) AS clean_md5 FROM d"
         ),
         # langid: character-bigram cosine argmax, decided in INTEGERS
         # (cross-multiplied dot²/|q|² comparison + fixed tie-break prio) —

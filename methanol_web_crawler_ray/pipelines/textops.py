@@ -1095,3 +1095,223 @@ def top_tokens(sf_dir: str, k: int = 50, capacity: int = MG_CAPACITY,
         "cnt": pa.array(top["cnt"].astype("int64"), pa.int64()),
         "rank": pa.array(np.arange(1, len(top) + 1, dtype="int64"),
                          pa.int64())}))
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination, stratified sampling, repetition filter,
+# PII scrubbing — the remaining first-class training-data ops
+
+
+BENCH_MOD = 37  # doc_id % BENCH_MOD == 0 → benchmark-suite member
+
+
+def decontaminate(sf_dir: str, bench_mod: int = BENCH_MOD):
+    """(doc_id, n_shingles, n_hits, contaminated) for every NON-benchmark
+    document — eval-benchmark decontamination (the GPT-3 appendix-C /
+    The-Pile overlap filter): the benchmark set (here the doc_id %
+    ``bench_mod`` members, standing in for held-out eval suites)
+    contributes its DISTINCT word-3-gram keys (md5-31-bit — the same
+    shingle key the minhash family uses); every other document reports
+    how many of its own distinct shingles hit that set;
+    contaminated = any hit.
+
+    Scale shape: eval benchmarks are MBs against a 100 TB corpus, so the
+    key set is built once (one map pass + small driver fold), broadcast
+    via ``ray.put`` as a sorted int64 array, and probed per batch with a
+    vectorized ``np.isin`` — the corpus side is one map-only pass, no
+    shuffle anywhere."""
+    import ray
+
+    def bench_keys(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["doc_id"] % bench_mod == 0]
+        xs = [shingle_hashes(t) for t in sub["text"]]
+        vals = np.unique(np.concatenate(xs)) if xs else np.array(
+            [], dtype=np.int64)
+        return pd.DataFrame({"x": pd.Series(vals, dtype="int64")})
+
+    bench = np.unique(collect_df(
+        _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+            bench_keys, batch_format="pandas"))["x"].to_numpy(np.int64))
+    bref = ray.put(bench)
+
+    def probe(df: pd.DataFrame, _r=bref) -> pd.DataFrame:
+        b = ray.get(_r)
+        sub = df[df["doc_id"] % bench_mod != 0]
+        n_sh = np.zeros(len(sub), dtype=np.int64)
+        n_hit = np.zeros(len(sub), dtype=np.int64)
+        for i, t in enumerate(sub["text"]):
+            xs = shingle_hashes(t)
+            n_sh[i] = xs.shape[0]
+            if xs.shape[0] and b.shape[0]:
+                n_hit[i] = int(np.isin(xs, b, assume_unique=True).sum())
+        return pd.DataFrame({
+            "doc_id": sub["doc_id"].to_numpy(np.int64),
+            "n_shingles": n_sh,
+            "n_hits": n_hit,
+            "contaminated": (n_hit > 0).astype(np.int64),
+        })
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        probe, batch_format="pandas")
+
+
+SAMPLE_PERMILLE = {"en": 200, "de": 350}  # per-stratum keep rates ‰
+SAMPLE_DEFAULT_PERMILLE = 500
+
+
+def sample_stratified(sf_dir: str, permille=None,
+                      default: int = SAMPLE_DEFAULT_PERMILLE):
+    """Deterministic per-stratum subsampling — the corpus-mixing op
+    (downweight over-represented languages/sources when composing a
+    training mix).  Selector: md5-lower-8-LE of ``str(doc_id)`` mod 1000
+    < permille[lang] — a pure function of the row, so the sample is
+    reproducible, order-independent, resumable, and needs no RNG state;
+    the whole op is one map-only filter pass (no shuffle, no sampling
+    actor).  Returns the kept (doc_id, lang, source) rows."""
+    rates = dict(SAMPLE_PERMILLE if permille is None else permille)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(str(int(d)).encode()).digest()[8:],
+                "little") % 1000 for d in df["doc_id"]),
+            dtype=np.int64, count=len(df))
+        r = df["lang"].map(lambda l: rates.get(l, default)).to_numpy(
+            dtype=np.int64)
+        out = df[h < r]
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].astype("int64"),
+            "lang": out["lang"].astype("string"),
+            "source": out["source"].astype("string"),
+        })
+
+    return _read_docs(sf_dir, ["doc_id", "lang", "source"]).map_batches(
+        pick, batch_format="pandas")
+
+
+REP_NUM, REP_DEN = 1, 5  # pass iff dup-bigram fraction ≤ 1/5
+
+
+def repetition(sf_dir: str, num: int = REP_NUM, den: int = REP_DEN):
+    """(doc_id, n_bigrams, n_dup, rep_ok) — within-document repetition
+    signal (the Gopher/MassiveText rep filters' word-n-gram member):
+    fraction of duplicate word-2-grams, decided integer-exact as
+    ``n_dup * den <= n_bigrams * num`` (docs with no bigrams pass).
+    Per-doc work only — one map pass, no shuffle."""
+    def rep(df: pd.DataFrame) -> pd.DataFrame:
+        nb = np.zeros(len(df), dtype=np.int64)
+        nd = np.zeros(len(df), dtype=np.int64)
+        for i, t in enumerate(df["text"]):
+            toks = _TOKEN_RE.findall(t.lower())
+            if len(toks) >= 2:
+                grams = [toks[j] + " " + toks[j + 1]
+                         for j in range(len(toks) - 1)]
+                nb[i] = len(grams)
+                nd[i] = len(grams) - len(set(grams))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_bigrams": nb,
+            "n_dup": nd,
+            "rep_ok": (nd * den <= nb * num).astype(np.int64),
+        })
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        rep, batch_format="pandas")
+
+
+# PII patterns: RE2-safe (no backrefs/lookaround) so Python re and the
+# DuckDB oracle's regexp_* evaluate them identically
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b555-\d{4}\b"
+PII_PLANT_MOD = 11
+
+
+def pii_documents_path(sf_dir: str) -> str:
+    """Deterministic PII-augmented documents fixture.  The synthetic
+    corpus is word-soup with no organic PII, so the scrubber is
+    exercised on planted spans (the ``embedding_neardup`` planted-
+    fixture pattern): every doc_id % 11 == 0 document gains an email,
+    an IPv4 and a phone number, all pure functions of doc_id.  Both the
+    Ray pipeline and the DuckDB oracle read THIS table."""
+    import os
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    out = (f"/tmp/mwc_docs_pii-{os.path.basename(os.path.normpath(sf_dir))}"
+           f"-{tbl.num_rows}.parquet")
+    if os.path.exists(out):
+        return out
+    ids = tbl.column("doc_id").to_numpy()
+    texts = tbl.column("text").to_pylist()
+    for i, d in enumerate(ids):
+        if d % PII_PLANT_MOD == 0:
+            d = int(d)
+            texts[i] = (f"{texts[i]} contact u{d}@ex{d % 7}.com from "
+                        f"10.{d % 200}.{(d * 3) % 251}.{(d * 7) % 249} "
+                        f"call 555-{1000 + d % 9000}")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), out + ".tmp")
+    import os as _os
+    _os.replace(out + ".tmp", out)
+    return out
+
+
+def pii_scrub(sf_dir: str):
+    """(doc_id, n_emails, n_ips, n_phones, clean_md5) over the planted
+    fixture — PII detection + redaction (emails → <EMAIL>, IPv4 →
+    <IP>, phones → <PHONE>), the compliance pass every released corpus
+    needs.  Counts come from the original text; ``clean_md5`` is the
+    md5-hex of the redacted text so the oracle verifies the actual
+    rewritten bytes, not just the counts.  Vectorized pandas
+    ``str.count``/``str.replace`` (compiled RE2-safe patterns); one
+    map-only pass."""
+    import ray.data
+
+    path = pii_documents_path(sf_dir)
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"]
+        clean = (t.str.replace(PII_EMAIL, "<EMAIL>", regex=True)
+                  .str.replace(PII_IPV4, "<IP>", regex=True)
+                  .str.replace(PII_PHONE, "<PHONE>", regex=True))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_emails": t.str.count(PII_EMAIL).astype("int64"),
+            "n_ips": t.str.count(PII_IPV4).astype("int64"),
+            "n_phones": t.str.count(PII_PHONE).astype("int64"),
+            "clean_md5": pd.Series(
+                [hashlib.md5(s.encode()).hexdigest() for s in clean],
+                dtype="string", index=df.index),
+        })
+
+    return ray.data.read_parquet(path).map_batches(
+        scrub, batch_format="pandas")
+
+
+# GPT-2-style pre-tokenizer, RE2-safe (the real one's \s+(?!\S) lookahead
+# is dropped — RE2/DuckDB has no lookahead — so interior space runs fold
+# into one whitespace token instead of splitting before the next word;
+# ASCII classes because the oracle's RE2 \s is ASCII while Python's is
+# unicode — identical on this corpus, documented for wider ones)
+BPE_PAT = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_stats(sf_dir: str):
+    """(doc_id, n_bpe_tokens, n_ws_tokens) — token counting with a
+    BPE-ish pre-tokenizer regex next to the plain whitespace count (the
+    prompt's token-counting pair; a corpus-size estimate in
+    tokenizer-sized units without shipping a tokenizer).  One vectorized
+    ``str.count`` per batch, map-only."""
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_bpe_tokens": df["text"].str.count(BPE_PAT).astype("int64"),
+            "n_ws_tokens": df["text"].str.count(r"\S+").astype("int64"),
+        })
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pandas")

@@ -262,3 +262,102 @@ def test_top_tokens_distributed_merge_parity(ray_session, tmp_path):
     assert a == b
     assert a[0][0] == "big_one" and a[0][1] == 2000
     assert a[1][0] == "big_two" and a[1][1] == 750
+
+
+def test_decontaminate_vs_bruteforce(ray_session, sf_dir, docs):
+    out = {r["doc_id"]: r
+           for r in textops.decontaminate(sf_dir).take_all()}
+    bench = set()
+    for d in docs:
+        if d["doc_id"] % textops.BENCH_MOD == 0:
+            bench.update(textops.shingle_hashes(d["text"]).tolist())
+    n_checked = 0
+    for d in docs:
+        if d["doc_id"] % textops.BENCH_MOD == 0:
+            assert d["doc_id"] not in out  # benchmark members excluded
+            continue
+        xs = textops.shingle_hashes(d["text"])
+        r = out[d["doc_id"]]
+        hits = sum(1 for x in xs.tolist() if x in bench)
+        assert r["n_shingles"] == xs.shape[0]
+        assert r["n_hits"] == hits
+        assert r["contaminated"] == int(hits > 0)
+        n_checked += 1
+    assert n_checked == len(out)
+    # the planted-overlap property: word-soup from a tiny vocabulary
+    # guarantees at least some contaminated docs at this sf
+    assert any(r["contaminated"] for r in out.values())
+
+
+def test_sample_stratified_selector(ray_session, sf_dir, docs):
+    import hashlib
+
+    kept = {r["doc_id"]: r
+            for r in textops.sample_stratified(sf_dir).take_all()}
+    for d in docs:
+        h = int.from_bytes(
+            hashlib.md5(str(d["doc_id"]).encode()).digest()[8:],
+            "little") % 1000
+        rate = textops.SAMPLE_PERMILLE.get(
+            d["lang"], textops.SAMPLE_DEFAULT_PERMILLE)
+        assert (d["doc_id"] in kept) == (h < rate)
+    # deterministic: a second run selects the identical set
+    again = sorted(r["doc_id"]
+                   for r in textops.sample_stratified(sf_dir).take_all())
+    assert again == sorted(kept)
+
+
+def test_repetition_vs_bruteforce(ray_session, sf_dir, docs):
+    out = {r["doc_id"]: r for r in textops.repetition(sf_dir).take_all()}
+    assert len(out) == len(docs)
+    for d in docs:
+        toks = d["text"].lower().split()
+        grams = [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+        nb, nd = len(grams), len(grams) - len(set(grams))
+        r = out[d["doc_id"]]
+        assert (r["n_bigrams"], r["n_dup"]) == (nb, nd)
+        assert r["rep_ok"] == int(
+            nd * textops.REP_DEN <= nb * textops.REP_NUM)
+
+
+def test_pii_scrub_planted(ray_session, sf_dir):
+    import hashlib
+    import re
+
+    import pyarrow.parquet as _pq
+
+    out = {r["doc_id"]: r for r in textops.pii_scrub(sf_dir).take_all()}
+    fixture = _pq.read_table(
+        textops.pii_documents_path(sf_dir)).to_pylist()
+    assert len(out) == len(fixture)
+    e_re = re.compile(textops.PII_EMAIL)
+    i_re = re.compile(textops.PII_IPV4)
+    p_re = re.compile(textops.PII_PHONE)
+    for d in fixture:
+        r = out[d["doc_id"]]
+        planted = d["doc_id"] % textops.PII_PLANT_MOD == 0
+        assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (
+            len(e_re.findall(d["text"])), len(i_re.findall(d["text"])),
+            len(p_re.findall(d["text"])))
+        if planted:
+            assert r["n_emails"] >= 1 and r["n_ips"] >= 1 \
+                and r["n_phones"] >= 1
+        clean = p_re.sub("<PHONE>",
+                         i_re.sub("<IP>", e_re.sub("<EMAIL>", d["text"])))
+        assert r["clean_md5"] == hashlib.md5(clean.encode()).hexdigest()
+        # redaction is complete: no pattern survives in the clean text
+        assert not (e_re.search(clean) or i_re.search(clean)
+                    or p_re.search(clean))
+
+
+def test_bpe_token_stats(ray_session, sf_dir, docs):
+    import re
+
+    pat = re.compile(textops.BPE_PAT)
+    out = {r["doc_id"]: r
+           for r in textops.bpe_token_stats(sf_dir).take_all()}
+    assert len(out) == len(docs)
+    for d in docs[:50]:
+        r = out[d["doc_id"]]
+        assert r["n_bpe_tokens"] == len(pat.findall(d["text"]))
+        assert r["n_ws_tokens"] == len(d["text"].split())
