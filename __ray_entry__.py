@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_tokens": textops.top_tokens,
         "doc_fingerprints": textops.fingerprints,
         "doc_bpe_tokens": textops.bpe_token_stats,
+        "doc_distinct_kmv": textops.distinct_tokens_kmv,
         "doc_decontaminate": textops.decontaminate,
         "doc_sample_stratified": textops.sample_stratified,
         "doc_repetition": textops.repetition,
@@ -511,6 +512,23 @@ def oracle_sql() -> dict[str, str]:
             "AS n_bpe_tokens, "
             "len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_ws_tokens "
             "FROM documents"
+        ),
+        # KMV distinct-count sketch, replayed exactly: k smallest md5
+        # hashes of the distinct tokens; < k distinct → exact count,
+        # else (k-1)·2^64 // kth in HUGEINT, clamped to int64
+        "doc_distinct_kmv": (
+            "WITH t AS (SELECT DISTINCT unnest("
+            "regexp_extract_all(text, '\\S+')) AS tok FROM documents), "
+            "h AS (SELECT DISTINCT md5_number_lower(tok) AS hv FROM t), "
+            f"k AS (SELECT hv FROM h ORDER BY hv LIMIT {textops.KMV_K}), "
+            "agg AS (SELECT count(*)::BIGINT AS n_kept, "
+            "COALESCE(max(hv), 0)::UBIGINT AS kth FROM k) "
+            "SELECT n_kept, kth AS kth_hash, "
+            f"CASE WHEN n_kept < {textops.KMV_K} THEN n_kept "
+            f"ELSE CAST(LEAST(({textops.KMV_K} - 1)::HUGEINT * "
+            "18446744073709551616::HUGEINT // kth::HUGEINT, "
+            "9223372036854775807::HUGEINT) AS BIGINT) END AS est_distinct "
+            "FROM agg"
         ),
         # decontamination: distinct word-3-gram keys (the minhash shingle
         # key) of the doc_id % BENCH_MOD benchmark members, probed by

@@ -1315,3 +1315,48 @@ def bpe_token_stats(sf_dir: str):
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         stats, batch_format="pandas")
+
+
+KMV_K = 1024  # sketch size; relative error ≈ 1/sqrt(k) ≈ 3%
+
+
+def distinct_tokens_kmv(sf_dir: str, k: int = KMV_K):
+    """One-row (n_kept, kth_hash, est_distinct): corpus-wide distinct-
+    token cardinality via the k-minimum-values sketch (Bar-Yossef et
+    al. '02) — the 100 TB cardinality shape (an EXACT distinct is a
+    full shuffle of the tokenized corpus; the sketch is a map-only pass
+    plus a ≤ k·n_batches-row driver fold).  Deterministic: hashes are
+    md5-lower-8 (DuckDB ``md5_number_lower``), so the oracle replays
+    the sketch bit-for-bit — no RNG, no approximation ambiguity.
+
+    Estimate: fewer than k distinct hashes seen → that count is EXACT;
+    otherwise (k-1) · 2^64 // kth_smallest_hash (integer division on
+    both sides), clamped to int64."""
+    import ray.data
+
+    def kmins(df: pd.DataFrame) -> pd.DataFrame:
+        toks = np.unique(np.concatenate(
+            [_TOKEN_RE.findall(t) for t in df["text"]] or [[]]))
+        if toks.shape[0] == 0:
+            return pd.DataFrame({"h": pd.Series([], dtype="uint64")})
+        hs = np.unique(_tok_hash64_batch(list(toks)))
+        if hs.shape[0] > k:
+            hs = np.partition(hs, k)[:k]
+        return pd.DataFrame({"h": pd.Series(hs, dtype="uint64")})
+
+    folded = np.unique(collect_df(
+        _read_docs(sf_dir, ["text"]).map_batches(
+            kmins, batch_format="pandas"))["h"].to_numpy(np.uint64))
+    if folded.shape[0] > k:
+        folded = np.partition(folded, k)[:k]
+    n_kept = int(folded.shape[0])
+    kth = int(folded.max()) if n_kept else 0
+    if n_kept < k:
+        est = n_kept
+    else:
+        est = min((k - 1) * (1 << 64) // kth, (1 << 63) - 1)
+    return ray.data.from_arrow(pa.table({
+        "n_kept": pa.array([n_kept], pa.int64()),
+        "kth_hash": pa.array([kth], pa.uint64()),
+        "est_distinct": pa.array([est], pa.int64()),
+    }))

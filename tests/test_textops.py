@@ -361,3 +361,38 @@ def test_bpe_token_stats(ray_session, sf_dir, docs):
         r = out[d["doc_id"]]
         assert r["n_bpe_tokens"] == len(pat.findall(d["text"]))
         assert r["n_ws_tokens"] == len(d["text"].split())
+
+
+def test_distinct_kmv_exact_branch(ray_session, sf_dir, docs):
+    row = textops.distinct_tokens_kmv(sf_dir).take_all()[0]
+    vocab = set()
+    for d in docs:
+        vocab.update(d["text"].split())
+    if len(vocab) < textops.KMV_K:
+        assert row["n_kept"] == len(vocab)
+        assert row["est_distinct"] == len(vocab)  # exact below k
+    else:
+        assert row["n_kept"] == textops.KMV_K
+
+
+def test_distinct_kmv_estimate_branch(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # 8 000 distinct tokens spread over 200 docs → the sketch must
+    # estimate: k=1024 ⇒ expected relative error ≈ 3%, assert 15%
+    n_tok, per_doc = 8000, 40
+    rows = {"doc_id": [], "text": []}
+    for i in range(n_tok // per_doc):
+        rows["doc_id"].append(i)
+        rows["text"].append(" ".join(
+            f"tok{j}" for j in range(i * per_doc, (i + 1) * per_doc)))
+    d = tmp_path / "kmv"
+    d.mkdir()
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+    row = textops.distinct_tokens_kmv(str(d)).take_all()[0]
+    assert row["n_kept"] == textops.KMV_K
+    assert abs(row["est_distinct"] - n_tok) / n_tok < 0.15
+    # determinism: identical sketch on a second run
+    again = textops.distinct_tokens_kmv(str(d)).take_all()[0]
+    assert again == row
