@@ -27,7 +27,7 @@ from typing import Any, Dict
 import pyarrow as pa
 
 from methanol_web_crawler_ray.config import default_config
-from methanol_web_crawler_ray.pipelines import ann, relops, textops
+from methanol_web_crawler_ray.pipelines import ann, graph, relops, textops
 
 # the sf tier the driver's correctness gate uses (TESTDATA.md)
 _GOLD_BASE = "/tmp/mwc_golden"
@@ -268,6 +268,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_stratified": textops.sample_stratified,
         "doc_repetition": textops.repetition,
         "doc_pii_scrub": textops.pii_scrub,
+        # link-graph analytics (iterative algorithm, fixed-point exact)
+        "graph_pagerank": graph.link_pagerank,
+        "graph_components": graph.link_components,
         # similarity search
         "ann_topk": ann.ann_topk,
         "ann_topk_lsh": ann.ann_topk_lsh,
@@ -513,6 +516,13 @@ def oracle_sql() -> dict[str, str]:
             "len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_ws_tokens "
             "FROM documents"
         ),
+        # fixed-point PageRank: edges from the golden canon table (value-
+        # equal to the live extract→canonicalize chain per the
+        # page_canonicalize gate), iterations unrolled as CTE stages
+        "graph_pagerank": graph.pagerank_oracle_sql(pdir),
+        # connected components: K min-label rounds over the undirected
+        # edge set, same unrolled-CTE replay
+        "graph_components": graph.components_oracle_sql(pdir),
         # KMV distinct-count sketch, replayed exactly: k smallest md5
         # hashes of the distinct tokens; < k distinct → exact count,
         # else (k-1)·2^64 // kth in HUGEINT, clamped to int64

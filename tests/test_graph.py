@@ -1,0 +1,54 @@
+"""Fixed-point PageRank vs an in-process brute-force replay."""
+
+from methanol_web_crawler_ray.pipelines import graph
+
+
+def test_pagerank_vs_bruteforce(ray_session, sf_dir):
+    out = {r["url"]: r["score"]
+           for r in graph.link_pagerank(sf_dir).take_all()}
+
+    edges = [(r["src"], r["dst"])
+             for r in graph._edges_ds(sf_dir).take_all()]
+    assert len(edges) == len(set(edges))  # distinct
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    scores = {n: graph.PR_SCALE for n in nodes}
+    for _ in range(graph.PR_ITERS):
+        inc = {n: 0 for n in nodes}
+        for s, d in edges:
+            inc[d] += scores[s] // deg[s]
+        scores = {n: graph.PR_BASE
+                  + (graph.PR_DAMP_NUM * inc[n]) // graph.PR_DAMP_DEN
+                  for n in nodes}
+
+    assert out == scores
+    # sanity: some node gained rank above the no-inlink floor
+    assert max(out.values()) > graph.PR_BASE
+
+
+def test_pagerank_deterministic(ray_session, sf_dir):
+    a = sorted(graph.link_pagerank(sf_dir).take_all(),
+               key=lambda r: r["url"])
+    b = sorted(graph.link_pagerank(sf_dir).take_all(),
+               key=lambda r: r["url"])
+    assert a == b
+
+
+def test_components_vs_bruteforce(ray_session, sf_dir):
+    out = {r["url"]: r["comp"]
+           for r in graph.link_components(sf_dir).take_all()}
+    edges = [(r["src"], r["dst"])
+             for r in graph._edges_ds(sf_dir).take_all()]
+    nbrs = {}
+    for s, d in edges:
+        nbrs.setdefault(s, set()).add(d)
+        nbrs.setdefault(d, set()).add(s)
+    labels = {n: n for n in nbrs}
+    for _ in range(graph.CC_ITERS):
+        labels = {n: min([labels[n]] + [labels[m] for m in nbrs[n]])
+                  for n in nbrs}
+    assert out == labels
+    # the fixture's graph is multi-host: more than one component
+    assert len(set(out.values())) > 1
