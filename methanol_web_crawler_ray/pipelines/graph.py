@@ -22,13 +22,47 @@ identical on both sides).
 
 from __future__ import annotations
 
-import pyarrow as pa
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 PR_SCALE = 1_000_000
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85, exact in integers
 PR_ITERS = 3
 PR_BASE = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
+
+# below this many edge rows the per-iteration fold runs map-side
+# partials + a driver pandas combine instead of Ray's sort-based
+# string-key groupby (measured ~25 s/iteration on 600 k string-keyed
+# rows vs <1 s for the fold — the same gate precedent as
+# textops.hot_keys); above it the distributed groupby takes over (the
+# 10^10-edge shape, where partial rows no longer fit one driver)
+GRAPH_DRIVER_GATE = 5_000_000
+
+
+def _fold_agg(ds, key: str, col: str, how: str, n_rows: int) -> dict:
+    """key → aggregate(col) over ``ds``: in-batch partial aggregation
+    always; combine on the driver below GRAPH_DRIVER_GATE (partial rows
+    are ≤ touched-nodes × batches), distributed groupby above it.
+    ``how`` is 'sum' or 'min' — both associative, so partial+combine is
+    exact."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: pd.Series([], dtype="string"),
+                                 col: pd.Series([], dtype=df[col].dtype
+                                                if col in df else "int64")})
+        g = df.groupby(key, sort=False)[col].agg(how)
+        return pd.DataFrame({key: g.index, col: g.values})
+
+    pre = ds.map_batches(partial, batch_format="pandas")
+    if n_rows <= GRAPH_DRIVER_GATE:
+        parts = pre.to_pandas()
+        g = parts.groupby(key, sort=False)[col].agg(how)
+        return dict(zip(g.index, g.values))
+    agg = pre.groupby(key).sum(col) if how == "sum" \
+        else pre.groupby(key).min(col)
+    df = agg.to_pandas()
+    return dict(zip(df[key], df[f"{how}({col})"]))
 
 
 def _edges_ds(sf_dir: str):
@@ -75,11 +109,21 @@ def link_pagerank(sf_dir: str, iters: int = PR_ITERS):
     import ray.data
 
     edges = _edges_ds(sf_dir).materialize()
+    n_edges = edges.count()  # metadata on a materialized dataset
 
-    deg_df = edges.groupby("src").count().to_pandas()
-    deg = dict(zip(deg_df["src"], deg_df["count()"].astype(int)))
-    dst_df = edges.groupby("dst").count().to_pandas()
-    nodes = sorted(set(deg) | set(dst_df["dst"]))
+    def ones(col):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({col: df[col],
+                                 "c": np.ones(len(df), dtype=np.int64)})
+        return f
+
+    deg = {k: int(v) for k, v in _fold_agg(
+        edges.map_batches(ones("src"), batch_format="pandas"),
+        "src", "c", "sum", n_edges).items()}
+    indeg = _fold_agg(
+        edges.map_batches(ones("dst"), batch_format="pandas"),
+        "dst", "c", "sum", n_edges)
+    nodes = sorted(set(deg) | set(indeg))
     scores = {n: PR_SCALE for n in nodes}
 
     for _ in range(iters):
@@ -92,11 +136,11 @@ def link_pagerank(sf_dir: str, iters: int = PR_ITERS):
             return pd.DataFrame({"dst": df["dst"],
                                  "c": c.astype("int64")})
 
-        agg = edges.map_batches(
-            contrib, batch_format="pandas").groupby("dst").sum("c")
-        inc_df = agg.to_pandas()
-        inc = dict(zip(inc_df["dst"], inc_df["sum(c)"].astype(int)))
-        scores = {n: PR_BASE + (PR_DAMP_NUM * inc.get(n, 0)) // PR_DAMP_DEN
+        inc = _fold_agg(
+            edges.map_batches(contrib, batch_format="pandas"),
+            "dst", "c", "sum", n_edges)
+        scores = {n: PR_BASE
+                  + (PR_DAMP_NUM * int(inc.get(n, 0))) // PR_DAMP_DEN
                   for n in nodes}
 
     return ray.data.from_arrow(pa.table({
@@ -150,9 +194,21 @@ def link_components(sf_dir: str, iters: int = CC_ITERS):
     import ray.data
 
     edges = _edges_ds(sf_dir).materialize()
-    deg_df = edges.groupby("src").count().to_pandas()
-    dst_df = edges.groupby("dst").count().to_pandas()
-    nodes = sorted(set(deg_df["src"]) | set(dst_df["dst"]))
+    n_edges = edges.count()
+
+    def ones(col):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({col: df[col],
+                                 "c": np.ones(len(df), dtype=np.int64)})
+        return f
+
+    srcs = _fold_agg(
+        edges.map_batches(ones("src"), batch_format="pandas"),
+        "src", "c", "sum", n_edges)
+    dsts = _fold_agg(
+        edges.map_batches(ones("dst"), batch_format="pandas"),
+        "dst", "c", "sum", n_edges)
+    nodes = sorted(set(srcs) | set(dsts))
     labels = {n: n for n in nodes}
 
     for _ in range(iters):
@@ -166,10 +222,9 @@ def link_components(sf_dir: str, iters: int = CC_ITERS):
                                ignore_index=True),
             })
 
-        agg = edges.map_batches(
-            prop, batch_format="pandas").groupby("n").min("l")
-        inc_df = agg.to_pandas()
-        inflow = dict(zip(inc_df["n"], inc_df["min(l)"]))
+        inflow = _fold_agg(
+            edges.map_batches(prop, batch_format="pandas"),
+            "n", "l", "min", 2 * n_edges)
         labels = {n: min(labels[n], inflow.get(n, labels[n]))
                   for n in nodes}
 
