@@ -235,6 +235,14 @@ def _q_page_canonicalize(sf_dir: str):
     return page_canonicalize_links(_pages_dir(sf_dir))
 
 
+def _q_page_host_stats(sf_dir: str):
+    """Per-host corpus statistics (the host-directory aggregate) over
+    the pages table — grouped sums with in-batch partial aggregation."""
+    from methanol_web_crawler_ray.stages.extract import host_stats
+
+    return host_stats(_pages_dir(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl engine (SURVEY §2 / §3) — oracled vs the sequential
@@ -249,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_xmlconv": _q_page_xmlconv,
         "page_classify": _q_page_classify,
         "page_canonicalize": _q_page_canonicalize,
+        "page_host_stats": _q_page_host_stats,
         # text analysis (SQL-oracled)
         "doc_token_stats": textops.token_stats,
         "doc_quality": textops.quality,
@@ -257,6 +266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": textops.exact_dedup,
         # dedup family (rows-only; pytest holds the brute-force oracles)
         "doc_minhash_dedup": textops.minhash_dedup,
+        "doc_dup_clusters": textops.dup_clusters,
+        "doc_tfidf": textops.tfidf_top_terms,
         "doc_simhash_pairs": textops.simhash_pairs,
         "doc_langid": textops.langid,
         "doc_corpus_clean": textops.corpus_clean,
@@ -276,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": ann.ann_topk_lsh,
         "ann_topk_ivf": ann.ann_topk_ivf,
         "embedding_neardup": ann.embedding_neardup,
+        "emb_clusters": ann.emb_clusters,
         # relational wide ops (SQL-oracled)
         "rel_lineitem_agg": relops.lineitem_agg,
         "rel_segment_revenue": relops.segment_revenue,
@@ -411,40 +423,35 @@ def oracle_sql() -> dict[str, str]:
         # banding replayed as band-vector equality, exact integer Jaccard
         # verification (inter*5 >= union*4)
         "doc_minhash_dedup": (
-            "WITH t AS (SELECT doc_id, "
-            "regexp_extract_all(lower(text), '\\S+') AS toks FROM documents), "
-            "sh0 AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
-            "list_transform(range(1, len(toks) - 1), i -> "
-            "toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' "
-            "|| toks[CAST(i AS INT) + 2]) "
-            "WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] "
-            "ELSE [] END AS grams FROM t), "
-            "sh AS (SELECT doc_id, list_distinct(list_transform(grams, "
-            "g -> CAST(md5_number_lower(g) & 2147483647::UBIGINT AS BIGINT)"
-            ")) AS xs FROM sh0), "
-            f"params AS (SELECT * FROM read_parquet('{mhparams}')), "
-            "mins AS (SELECT s.doc_id, p.i, MIN(p.a * u.x + p.b) AS v "
-            "FROM sh s, UNNEST(s.xs) AS u(x), params p "
-            "GROUP BY s.doc_id, p.i), "
-            "sigs AS (SELECT d.doc_id, p.i, "
-            "COALESCE(m.v, 9223372036854775807) AS v "
-            "FROM (SELECT doc_id FROM t) d CROSS JOIN params p "
-            "LEFT JOIN mins m ON m.doc_id = d.doc_id AND m.i = p.i), "
-            "bandv AS (SELECT doc_id, i // 4 AS band, "
-            "string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS bv "
-            "FROM sigs GROUP BY doc_id, i // 4), "
-            "cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb "
-            "FROM bandv a JOIN bandv b ON a.band = b.band AND a.bv = b.bv "
-            "AND a.doc_id < b.doc_id), "
-            "j AS (SELECT c.ida, c.idb, "
-            "len(list_intersect(sa.xs, sb.xs)) AS inter, "
-            "len(sa.xs) + len(sb.xs) - len(list_intersect(sa.xs, sb.xs)) "
-            "AS un FROM cand c JOIN sh sa ON sa.doc_id = c.ida "
-            "JOIN sh sb ON sb.doc_id = c.idb) "
+            textops.minhash_cte_prefix(mhparams) + " "
             f"SELECT idb AS doc_id, min(ida)::BIGINT AS dup_of FROM j "
             f"WHERE un > 0 "
             f"AND inter * {textops.THRESH_DEN} >= un * {textops.THRESH_NUM} "
             "GROUP BY idb"
+        ),
+        # near-dup clusters: the same verified pair set, then K unrolled
+        # min-label propagation rounds over the undirected pair graph;
+        # non-dup docs come back as singleton clusters
+        "doc_dup_clusters": textops.dup_clusters_oracle_sql(mhparams),
+        # integer tf-idf (score = tf * ((SCALE*N) // df), ties by term):
+        # exact on both sides, top-3 per document
+        "doc_tfidf": (
+            "WITH t AS (SELECT doc_id, unnest("
+            "regexp_extract_all(lower(text), '\\S+')) AS tok "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf "
+            "FROM t GROUP BY doc_id, tok), "
+            "df AS (SELECT tok, count(DISTINCT doc_id)::BIGINT AS df "
+            "FROM t GROUP BY tok), "
+            "n AS (SELECT count(*)::BIGINT AS n FROM documents), "
+            "s AS (SELECT tf.doc_id, tf.tok, "
+            f"tf.tf * (({textops.TFIDF_SCALE} * n.n) // df.df) AS score "
+            "FROM tf JOIN df USING (tok) CROSS JOIN n), "
+            "r AS (SELECT doc_id, tok, score, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY score DESC, tok) AS rank "
+            "FROM s) "
+            "SELECT doc_id, tok AS term, score::BIGINT AS score, rank "
+            f"FROM r WHERE rank <= {textops.TFIDF_TOPK}"
         ),
         # simhash: md5-keyed Charikar fingerprints; the banded pipeline is
         # COMPLETE for hamming<=3 (pigeonhole over 4x16-bit chunks) EXCEPT
@@ -641,7 +648,7 @@ def oracle_sql() -> dict[str, str]:
         # identically; ranking reuses list_cosine_similarity like ann_topk
         "ann_topk_lsh": (
             "WITH qv AS (SELECT vec_id, CAST(i AS INT) AS dim, "
-            f"CAST(round(embedding[CAST(i AS INT) + 1] * {ann.QSCALE}) "
+            f"CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) * {ann.QSCALE}) "
             "AS BIGINT) AS q FROM embeddings, UNNEST(range(64)) AS d(i)), "
             f"pl AS (SELECT * FROM read_parquet('{lshp}')), "
             "dots AS (SELECT qv.vec_id, pl.tbl, pl.plane, "
@@ -675,7 +682,7 @@ def oracle_sql() -> dict[str, str]:
         # probes = each query's n_probe nearest lists, same ordering
         "ann_topk_ivf": (
             "WITH qv AS (SELECT vec_id, CAST(i AS INT) AS dim, "
-            f"CAST(round(embedding[CAST(i AS INT) + 1] * {ann.QSCALE}) "
+            f"CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) * {ann.QSCALE}) "
             "AS BIGINT) AS q FROM embeddings, UNNEST(range(64)) AS d(i)), "
             f"cent AS (SELECT * FROM read_parquet('{ivfc}')), "
             "dist AS (SELECT qv.vec_id, c.cid, "
@@ -704,7 +711,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": (
             f"WITH emb AS (SELECT * FROM read_parquet('{emb_aug}')), "
             "qv AS (SELECT vec_id, CAST(i AS INT) AS dim, "
-            f"CAST(round(embedding[CAST(i AS INT) + 1] * {ann.QSCALE}) "
+            f"CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) * {ann.QSCALE}) "
             "AS BIGINT) AS q FROM emb, UNNEST(range(64)) AS d(i)), "
             f"pl AS (SELECT * FROM read_parquet('{ndp}')), "
             "dots AS (SELECT qv.vec_id, pl.tbl, pl.plane, "
@@ -726,6 +733,33 @@ def oracle_sql() -> dict[str, str]:
             f">= {ann.ND_THRESHOLD}) "
             "SELECT idb AS vec_id, min(ida)::BIGINT AS dup_of FROM v "
             "GROUP BY idb"
+        ),
+        # k-means cluster stats: assignment = the IVF oracle's exact
+        # integer argmin (ties -> lowest cid) against the shared
+        # quantized centroids; per-cluster count + integer inertia
+        "emb_clusters": (
+            "WITH qv AS (SELECT vec_id, CAST(i AS INT) AS dim, "
+            f"CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) * {ann.QSCALE}) "
+            "AS BIGINT) AS q FROM embeddings, UNNEST(range(64)) AS d(i)), "
+            f"cent AS (SELECT * FROM read_parquet('{ivfc}')), "
+            "dist AS (SELECT qv.vec_id, c.cid, "
+            "SUM((qv.q - c.c) * (qv.q - c.c)) AS d2 "
+            "FROM qv JOIN cent c ON c.dim = qv.dim "
+            "GROUP BY qv.vec_id, c.cid), "
+            "rk AS (SELECT vec_id, cid, d2, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dist), "
+            "lab AS (SELECT vec_id, cid, d2 FROM rk WHERE rn = 1) "
+            "SELECT cid::BIGINT AS cid, count(*)::BIGINT AS n_vecs, "
+            "sum(d2)::BIGINT AS sum_d2 FROM lab GROUP BY cid"
+        ),
+        # per-host pages-table aggregate (host = URL authority; html in
+        # BYTES, text in unicode chars)
+        "page_host_stats": (
+            "SELECT split_part(url, '/', 3) AS host, "
+            "count(*)::BIGINT AS n_pages, "
+            "sum(octet_length(html))::BIGINT AS total_html_bytes, "
+            "sum(length(text))::BIGINT AS total_text_chars "
+            f"FROM read_parquet('{pdir}/pages.parquet') GROUP BY host"
         ),
         "rel_lineitem_agg": (
             "SELECT l_returnflag, l_linestatus, "

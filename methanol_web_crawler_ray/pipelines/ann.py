@@ -125,7 +125,12 @@ QSCALE = 1_000_000
 
 
 def _quantize(M: np.ndarray) -> np.ndarray:
-    return np.round(M.astype(np.float64) * QSCALE).astype(np.int64)
+    # round half AWAY FROM ZERO — DuckDB round()'s convention; np.round
+    # is half-to-even, whose ulp-level disagreements the wide-margin
+    # bucket/rank queries absorbed but exact aggregates (emb_clusters'
+    # sum_d2) do not
+    X = M.astype(np.float64) * QSCALE
+    return (np.sign(X) * np.floor(np.abs(X) + 0.5)).astype(np.int64)
 
 
 def _int_planes(seed: int, n_tables: int, n_planes: int,
@@ -565,3 +570,52 @@ def embedding_neardup(sf_dir: str, threshold: float = ND_THRESHOLD):
         return empty
     res = verified.groupby("vec_id").min("dup_of")
     return _rename(res, {"min(dup_of)": "dup_of"})
+
+
+def emb_clusters(sf_dir: str):
+    """(cid, n_vecs, sum_d2): k-means clustering over the embedding
+    corpus — every vector assigned to its nearest of the shared IVF
+    centroids (``ivf_centroids``: seeded kmeans++ + Lloyd on a bounded
+    sample, the 100 TB training pattern), plus per-cluster size and
+    summed INTEGER squared distance (the inertia decomposition a
+    clustering job reports).  Assignment is an exact integer argmin
+    over quantized vectors (ties → lowest cid), so the DuckDB oracle
+    replays it bit-for-bit.
+
+    Scale shape: one map-only assignment pass with the centroid matrix
+    broadcast via ``ray.put``; per-batch partial (cid, count, sum_d2)
+    rows — at most IVF_LISTS per batch — folded on the driver (bounded
+    by lists × batches, never corpus-sized)."""
+    import ray
+    import ray.data
+
+    C = ivf_centroids(sf_dir)
+    ref = ray.put(C)
+
+    def assign(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
+        cents = ray.get(_r)
+        M = _quantize(_to_matrix(df["embedding"]))
+        if M.shape[0] == 0:
+            return pd.DataFrame({"cid": pd.Series([], dtype="int64"),
+                                 "n_vecs": pd.Series([], dtype="int64"),
+                                 "sum_d2": pd.Series([], dtype="int64")})
+        d2 = ((M[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        lab = d2.argmin(axis=1)
+        best = d2[np.arange(M.shape[0]), lab]
+        out = pd.DataFrame({"cid": lab.astype("int64"),
+                            "d2": best.astype("int64")})
+        g = out.groupby("cid")["d2"].agg(["size", "sum"])
+        return pd.DataFrame({"cid": g.index.astype("int64"),
+                             "n_vecs": g["size"].astype("int64"),
+                             "sum_d2": g["sum"].astype("int64")})
+
+    parts = _read_emb(sf_dir).map_batches(
+        assign, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return ray.data.from_arrow(pa.table({
+            "cid": pa.array([], pa.int64()),
+            "n_vecs": pa.array([], pa.int64()),
+            "sum_d2": pa.array([], pa.int64())}))
+    g = parts.groupby("cid", as_index=False)[["n_vecs", "sum_d2"]].sum()
+    return ray.data.from_pandas(
+        g.sort_values("cid").reset_index(drop=True))

@@ -48,7 +48,8 @@ def _fold_agg(ds, key: str, col: str, how: str, n_rows: int) -> dict:
     exact."""
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
-            return pd.DataFrame({key: pd.Series([], dtype="string"),
+            return pd.DataFrame({key: df[key] if key in df
+                                 else pd.Series([], dtype="string"),
                                  col: pd.Series([], dtype=df[col].dtype
                                                 if col in df else "int64")})
         g = df.groupby(key, sort=False)[col].agg(how)

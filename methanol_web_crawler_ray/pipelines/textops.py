@@ -237,12 +237,15 @@ N_BANDS = 16  # 16 bands × 4 rows: s-curve threshold (1/16)^(1/4)≈0.5,
 THRESH_NUM, THRESH_DEN = 4, 5  # default jaccard threshold 4/5, compared
 # in INTEGERS (inter*DEN >= union*NUM) so Ray and DuckDB decide identically
 _SIG_EMPTY = np.iinfo(np.int64).max  # signature of a shingle-less doc
+_MH_PRIME = np.uint64(2147483647)  # 2^31-1 (Mersenne); > any shingle key
 
 
 def _hash_params(k: int = K_HASHES) -> Tuple[np.ndarray, np.ndarray]:
-    # 31-bit multipliers over 31-bit shingle keys: a*x+b < 2^63 is EXACT
-    # in uint64 numpy AND in DuckDB HUGEINT — the signatures are
-    # bit-identical across both implementations
+    # 31-bit multipliers over 31-bit shingle keys: a*x+b < 2^62 is EXACT
+    # in uint64 numpy AND in DuckDB BIGINT, and (a*x+b) mod 2^31-1 makes
+    # the k functions independent universal hashes — the signatures are
+    # bit-identical across both implementations (none of the drawn a are
+    # ≡ 0 mod p, asserted in tests)
     rng = np.random.default_rng(1234)  # fixed: signatures are deterministic
     a = rng.integers(1, 1 << 31, size=k, dtype=np.uint64)
     b = rng.integers(0, 1 << 31, size=k, dtype=np.uint64)
@@ -270,7 +273,13 @@ def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
     if sh.size == 0:
         return np.full(a.shape[0], _SIG_EMPTY, dtype=np.int64)
     x = sh.astype(np.uint64)
-    vals = x[None, :] * a[:, None] + b[:, None]  # < 2^63: exact, no wrap
+    # (a*x + b) mod p, p = 2^31-1: a proper Carter-Wegman universal hash.
+    # The product is < 2^62 (exact in uint64 AND in DuckDB BIGINT) and the
+    # mod is what makes the k functions INDEPENDENT permutations — without
+    # it a*x+b is monotone in x, every h_i argmins at the same (minimum)
+    # shingle, and the whole signature degenerates to a function of one
+    # shingle (recall drops from the banded s-curve to plain J).
+    vals = (x[None, :] * a[:, None] + b[:, None]) % _MH_PRIME
     return vals.min(axis=1).view(np.int64)
 
 
@@ -332,7 +341,8 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 MH_DIRECT_GATE = 100_000
 
 
-def _minhash_dedup_direct(sf_dir: str, thresh_num: int, thresh_den: int):
+def _minhash_dedup_direct(sf_dir: str, thresh_num: int, thresh_den: int,
+                          return_pairs: bool = False):
     """Direct-task minhash-LSH for driver-small corpora: round A computes
     band keys (tasks over row slices), the driver finds hot buckets and
     generates candidate pairs (band rows are 16/doc — driver-small under
@@ -347,9 +357,7 @@ def _minhash_dedup_direct(sf_dir: str, thresh_num: int, thresh_den: int):
 
     path = f"{sf_dir}/documents.parquet"
     n = _pq.read_metadata(path).num_rows
-    empty = ray.data.from_arrow(pa.table(
-        {"doc_id": pa.array([], pa.int64()),
-         "dup_of": pa.array([], pa.int64())}))
+    empty = _mh_empty(return_pairs)
     if n == 0:
         return empty
     cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -390,11 +398,16 @@ def _minhash_dedup_direct(sf_dir: str, thresh_num: int, thresh_den: int):
     for d in ray.get([shingle_task.remote(o, c, cand_ref)
                       for o, c in ranges]):
         sh.update(d)
+    verified = [(a, b) for a, b in plist
+                if _jaccard_ge(sh[a], sh[b], thresh_num, thresh_den)]
+    if return_pairs:
+        return ray.data.from_arrow(pa.table(
+            {"id_a": pa.array([p[0] for p in verified], pa.int64()),
+             "id_b": pa.array([p[1] for p in verified], pa.int64())}))
     best: Dict[int, int] = {}
-    for a, b in plist:
-        if _jaccard_ge(sh[a], sh[b], thresh_num, thresh_den):
-            if b not in best or a < best[b]:
-                best[b] = a
+    for a, b in verified:
+        if b not in best or a < best[b]:
+            best[b] = a
     if not best:
         return empty
     out = sorted(best.items())
@@ -403,9 +416,22 @@ def _minhash_dedup_direct(sf_dir: str, thresh_num: int, thresh_den: int):
          "dup_of": pa.array([v for _, v in out], pa.int64())}))
 
 
+def _mh_empty(return_pairs: bool):
+    import ray.data
+
+    if return_pairs:
+        return ray.data.from_arrow(pa.table(
+            {"id_a": pa.array([], pa.int64()),
+             "id_b": pa.array([], pa.int64())}))
+    return ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "dup_of": pa.array([], pa.int64())}))
+
+
 def minhash_dedup(sf_dir: str, thresh_num: int = THRESH_NUM,
                   thresh_den: int = THRESH_DEN, num_partitions: int = 8,
-                  direct_gate: int = MH_DIRECT_GATE):
+                  direct_gate: int = MH_DIRECT_GATE,
+                  return_pairs: bool = False):
     """(doc_id, dup_of): docs whose verified shingle-Jaccard with an
     earlier doc ≥ thresh_num/thresh_den, dup_of = smallest such partner.
 
@@ -431,15 +457,14 @@ def minhash_dedup(sf_dir: str, thresh_num: int = THRESH_NUM,
     except Exception:
         n_docs = None
     if n_docs is not None and n_docs <= direct_gate:
-        return _minhash_dedup_direct(sf_dir, thresh_num, thresh_den)
+        return _minhash_dedup_direct(sf_dir, thresh_num, thresh_den,
+                                     return_pairs=return_pairs)
 
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     bands = docs.map_batches(minhash_bands, batch_format="pandas",
                              batch_size=256).materialize()
     hot = hot_keys(bands, ["bk"])  # collision KEYS only
-    empty = ray.data.from_arrow(pa.table(
-        {"doc_id": pa.array([], pa.int64()),
-         "dup_of": pa.array([], pa.int64())}))
+    empty = _mh_empty(return_pairs)
     if not hot:
         return empty
     hot_arr = pa.array(sorted(hot), pa.string())
@@ -520,6 +545,10 @@ def minhash_dedup(sf_dir: str, thresh_num: int = THRESH_NUM,
                                              batch_format="pandas"))
         if vdf.empty:
             return empty
+        if return_pairs:
+            pout = vdf.rename(columns={"dup_of": "id_a", "doc_id": "id_b"})
+            return ray.data.from_pandas(
+                pout[["id_a", "id_b"]].reset_index(drop=True))
         out_pd = vdf.groupby("doc_id", as_index=False)["dup_of"].min()
         return ray.data.from_pandas(out_pd[["doc_id", "dup_of"]])
     else:
@@ -560,6 +589,8 @@ def minhash_dedup(sf_dir: str, thresh_num: int = THRESH_NUM,
             both.map_batches(verify, batch_format="pandas").materialize())
     if verified is None:
         return empty
+    if return_pairs:
+        return _rename(verified, {"dup_of": "id_a", "doc_id": "id_b"})
     out = verified.groupby("doc_id").min("dup_of")
     return _rename(out, {"min(dup_of)": "dup_of"})
 
@@ -1360,3 +1391,284 @@ def distinct_tokens_kmv(sf_dir: str, k: int = KMV_K):
         "kth_hash": pa.array([kth], pa.uint64()),
         "est_distinct": pa.array([est], pa.int64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters: connected components over verified minhash pairs
+
+
+DUP_CC_ITERS = 3
+
+
+def dup_clusters(sf_dir: str, iters: int = DUP_CC_ITERS):
+    """(doc_id, cluster): near-duplicate CLUSTERS — ``iters`` rounds of
+    min-label propagation over the verified minhash near-dup pair graph
+    (the grouping step a dedup job runs after pair verification: keep
+    one representative per cluster, so transitive dups a~b~c collapse
+    together instead of surviving as two independent pairs).  cluster =
+    smallest doc_id reachable within ``iters`` hops; non-dup docs are
+    singleton clusters of themselves.  Fixed iteration count keeps the
+    op exactly oracle-replayable (the graph.link_components convention;
+    at production scale you loop on a changed-label counter — same
+    per-round shape).
+
+    Scale shape: the pair set is the output of the fully-sharded
+    minhash pipeline (verified dup pairs ≪ corpus); per round one
+    both-direction edge map + a min fold (graph._fold_agg — driver fold
+    below GRAPH_DRIVER_GATE partial rows, distributed groupby-min
+    above).  The final labelling is a map-only pass over the documents
+    table against the broadcast label dict, which holds PAIR-
+    PARTICIPATING nodes only (the small side by construction)."""
+    import ray
+    import ray.data
+
+    from .graph import _fold_agg
+
+    pairs = minhash_dedup(sf_dir, return_pairs=True).materialize()
+    n_pairs = pairs.count()
+    docs = _read_docs(sf_dir, ["doc_id"])
+
+    def identity(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "cluster": df["doc_id"].astype("int64")})
+
+    if n_pairs == 0:
+        return docs.map_batches(identity, batch_format="pandas")
+
+    def nodes_fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n": pd.concat([df["id_a"], df["id_b"]],
+                           ignore_index=True).astype("int64"),
+            "c": np.int64(1)})
+
+    node_counts = _fold_agg(
+        pairs.map_batches(nodes_fn, batch_format="pandas"),
+        "n", "c", "sum", 2 * n_pairs)
+    labels = {int(n): int(n) for n in node_counts}
+
+    for _ in range(iters):
+        ref = ray.put(labels)
+
+        def prop(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
+            lb = ray.get(_r)
+            return pd.DataFrame({
+                "n": pd.concat([df["id_b"], df["id_a"]],
+                               ignore_index=True).astype("int64"),
+                "l": pd.concat([df["id_a"].map(lb), df["id_b"].map(lb)],
+                               ignore_index=True).astype("int64"),
+            })
+
+        inflow = _fold_agg(
+            pairs.map_batches(prop, batch_format="pandas"),
+            "n", "l", "min", 2 * n_pairs)
+        labels = {n: min(labels[n], int(inflow.get(n, labels[n])))
+                  for n in labels}
+
+    lref = ray.put(labels)
+
+    def assign(df: pd.DataFrame, _r=lref) -> pd.DataFrame:
+        lb = ray.get(_r)
+        ids = df["doc_id"].astype("int64")
+        return pd.DataFrame({
+            "doc_id": ids,
+            "cluster": ids.map(lambda i, _l=lb: _l.get(int(i), int(i)))
+            .astype("int64")})
+
+    return docs.map_batches(assign, batch_format="pandas")
+
+
+def minhash_cte_prefix(mhparams_path: str) -> str:
+    """The shared DuckDB CTE chain replaying shingles → signatures →
+    bands → candidate pairs → integer-Jaccard stats (``j``): used by the
+    doc_minhash_dedup oracle and extended by doc_dup_clusters."""
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '\\S+') AS toks FROM documents), "
+        "sh0 AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+        "list_transform(range(1, len(toks) - 1), i -> "
+        "toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' "
+        "|| toks[CAST(i AS INT) + 2]) "
+        "WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] "
+        "ELSE [] END AS grams FROM t), "
+        "sh AS (SELECT doc_id, list_distinct(list_transform(grams, "
+        "g -> CAST(md5_number_lower(g) & 2147483647::UBIGINT AS BIGINT)"
+        ")) AS xs FROM sh0), "
+        f"params AS (SELECT * FROM read_parquet('{mhparams_path}')), "
+        "mins AS (SELECT s.doc_id, p.i, "
+        "MIN((p.a * u.x + p.b) % 2147483647) AS v "
+        "FROM sh s, UNNEST(s.xs) AS u(x), params p "
+        "GROUP BY s.doc_id, p.i), "
+        "sigs AS (SELECT d.doc_id, p.i, "
+        "COALESCE(m.v, 9223372036854775807) AS v "
+        "FROM (SELECT doc_id FROM t) d CROSS JOIN params p "
+        "LEFT JOIN mins m ON m.doc_id = d.doc_id AND m.i = p.i), "
+        "bandv AS (SELECT doc_id, i // 4 AS band, "
+        "string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS bv "
+        "FROM sigs GROUP BY doc_id, i // 4), "
+        "cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb "
+        "FROM bandv a JOIN bandv b ON a.band = b.band AND a.bv = b.bv "
+        "AND a.doc_id < b.doc_id), "
+        "j AS (SELECT c.ida, c.idb, "
+        "len(list_intersect(sa.xs, sb.xs)) AS inter, "
+        "len(sa.xs) + len(sb.xs) - len(list_intersect(sa.xs, sb.xs)) "
+        "AS un FROM cand c JOIN sh sa ON sa.doc_id = c.ida "
+        "JOIN sh sb ON sb.doc_id = c.idb)"
+    )
+
+
+def dup_clusters_oracle_sql(mhparams_path: str,
+                            iters: int = DUP_CC_ITERS) -> str:
+    """DuckDB replay: verified pairs from the shared minhash CTEs, then
+    the same ``iters`` min-label rounds over the undirected pair graph,
+    non-participating docs joining back as singletons."""
+    parts = [
+        minhash_cte_prefix(mhparams_path), ", ",
+        f"p AS (SELECT ida, idb FROM j WHERE un > 0 "
+        f"AND inter * {THRESH_DEN} >= un * {THRESH_NUM}), ",
+        "ue AS (SELECT ida AS a, idb AS b FROM p "
+        "UNION SELECT idb, ida FROM p), ",
+        "pn AS (SELECT DISTINCT a AS u FROM ue), ",
+        "l0 AS (SELECT u, u AS lb FROM pn), ",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"l{i} AS (SELECT q.u, LEAST(q.lb, "
+            "COALESCE(MIN(r.lb), q.lb)) AS lb "
+            f"FROM l{i - 1} q LEFT JOIN ue ON ue.a = q.u "
+            f"LEFT JOIN l{i - 1} r ON r.u = ue.b "
+            "GROUP BY q.u, q.lb), ")
+    body = "".join(parts)[:-2]
+    return (body + " SELECT d.doc_id, "
+            f"COALESCE(l{iters}.lb, d.doc_id)::BIGINT AS cluster "
+            f"FROM documents d LEFT JOIN l{iters} ON l{iters}.u = d.doc_id")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document (SQL-oracled)
+
+
+TFIDF_SCALE = 1_000_000
+TFIDF_TOPK = 3
+# above this many distinct-vocabulary partial rows the broadcast-df path
+# gives way to the join path (tf rows ⋈ df on token → per-doc top-k)
+TFIDF_VOCAB_GATE = 2_000_000
+
+
+def _doc_tf(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, token, tf) rows — lowercased whitespace tokens; a doc's
+    rows are emitted contiguously within its batch."""
+    rows_id: List[int] = []
+    rows_tok: List[str] = []
+    rows_tf: List[int] = []
+    for doc_id, text in zip(df["doc_id"], df["text"]):
+        toks = _TOKEN_RE.findall(text.lower())
+        if not toks:
+            continue
+        uniq, cnt = np.unique(toks, return_counts=True)
+        rows_id.extend([int(doc_id)] * uniq.shape[0])
+        rows_tok.extend(uniq.tolist())
+        rows_tf.extend(int(c) for c in cnt)
+    return pd.DataFrame({"doc_id": pd.Series(rows_id, dtype="int64"),
+                         "token": pd.Series(rows_tok, dtype="object"),
+                         "tf": pd.Series(rows_tf, dtype="int64")})
+
+
+def _tfidf_rank(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Top-k rows of one document's (doc_id, token, score) frame,
+    ranked by (score desc, token asc) — the shared in-group kernel of
+    both tfidf paths."""
+    df = df.sort_values(["score", "token"],
+                        ascending=[False, True]).head(k)
+    out = df.reset_index(drop=True)
+    return pd.DataFrame({
+        "doc_id": out["doc_id"].astype("int64"),
+        "term": out["token"].astype("object"),
+        "score": out["score"].astype("int64"),
+        "rank": pd.Series(np.arange(1, len(out) + 1), dtype="int64"),
+    })
+
+
+def tfidf_top_terms(sf_dir: str, k: int = TFIDF_TOPK,
+                    vocab_gate: int = TFIDF_VOCAB_GATE):
+    """(doc_id, term, score, rank): each document's top-k terms by an
+    INTEGER tf-idf — score = tf · ((SCALE·N) // df), ties broken by
+    term; exact on both sides, so DuckDB replays it bit-for-bit (a
+    float idf = ln(N/df) would differ in the last ulp between numpy
+    and DuckDB).
+
+    Broadcast path (vocab ≤ ``vocab_gate`` partial rows): pass 1 folds
+    per-batch (token, n_docs) partials into the document-frequency map
+    (each doc contributes once per distinct token); pass 2 re-tokenizes
+    each doc and emits its top-k in-batch against the broadcast idf map
+    — a doc's rows never cross a batch boundary, so per-doc ranking
+    needs no shuffle.  Join path (web-scale vocab, where the df map is
+    NOT broadcastable): tf rows ⋈ df on token (hash join), then
+    groupby(doc_id) top-k — two honest shuffles."""
+    import pyarrow.parquet as _pq
+
+    import ray
+    import ray.data
+
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    if n_docs == 0:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "score": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64())}))
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = np.concatenate(
+            [np.unique(_TOKEN_RE.findall(t.lower())) for t in df["text"]]
+            or [np.array([], dtype=object)])
+        if toks.shape[0] == 0:
+            return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                                 "nd": pd.Series([], dtype="int64")})
+        uniq, cnt = np.unique(toks, return_counts=True)
+        return pd.DataFrame({"token": uniq,
+                             "nd": cnt.astype("int64")})
+
+    partials = docs.map_batches(df_partial,
+                                batch_format="pandas").materialize()
+    if partials.count() <= vocab_gate:
+        parts = collect_df(partials)
+        dfmap = parts.groupby("token")["nd"].sum()
+        idf = {t: (TFIDF_SCALE * n_docs) // int(d)
+               for t, d in dfmap.items()}
+        ref = ray.put(idf)
+
+        def topk_bc(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
+            iv = ray.get(_r)
+            tf = _doc_tf(df)
+            if tf.empty:
+                return _tfidf_rank(tf.assign(score=pd.Series(
+                    [], dtype="int64")), k)
+            tf["score"] = (tf["tf"]
+                           * tf["token"].map(iv).astype("int64"))
+            return pd.concat(
+                [_tfidf_rank(g, k)
+                 for _i, g in tf.groupby("doc_id", sort=True)],
+                ignore_index=True)
+
+        return docs.map_batches(topk_bc, batch_format="pandas")
+
+    # join path: vocab-scale df — tf rows ⋈ df(token), per-doc top-k
+    tf_rows = docs.map_batches(_doc_tf,
+                               batch_format="pandas").materialize()
+    dfr = _rename(tf_rows.select_columns(["token"])
+                  .groupby("token").count(), {"count()": "nd"})
+    joined = tf_rows.join(dfr, join_type="inner", num_partitions=8,
+                          on=("token",))
+
+    def score_fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "token": df["token"],
+            "score": (df["tf"].astype("int64")
+                      * ((TFIDF_SCALE * n_docs)
+                         // df["nd"].astype("int64"))).astype("int64")})
+
+    scored = joined.map_batches(score_fn, batch_format="pandas")
+    return scored.groupby("doc_id").map_groups(
+        lambda g: _tfidf_rank(g, k), batch_format="pandas")

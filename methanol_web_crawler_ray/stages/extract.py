@@ -164,3 +164,45 @@ def page_classify(pages_dir: str, cfg=None, crawler=None,
     return ray.data.read_parquet(
         f"{pages_dir}/pages.parquet", columns=["url"]
     ).map_batches(classify, batch_format="pyarrow", batch_size=batch_size)
+
+
+def host_stats(pages_dir: str, batch_size: int = 1024):
+    """(host, n_pages, total_html_bytes, total_text_chars): per-host
+    corpus statistics over the pages table — the crawl-planning
+    aggregate (host directory sizing, per-host fetch budgets; the
+    reference's host directory ``urlengine.c:283-338`` holds exactly
+    this cardinality).  One vectorized pyarrow pass (host = URL
+    authority, html measured in BYTES, text in unicode chars) with
+    in-batch partial aggregation, then a groupby-sum over the partial
+    rows — hosts-sized shuffle, never pages-sized."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        host = pc.list_element(
+            pc.split_pattern(batch.column("url"), "/"), 2)
+        t = pa.table({
+            "host": host,
+            "n_pages": pa.array(np.ones(len(batch), dtype=np.int64)),
+            "total_html_bytes": pc.cast(
+                pc.binary_length(batch.column("html")), pa.int64()),
+            "total_text_chars": pc.cast(
+                pc.utf8_length(batch.column("text")), pa.int64()),
+        })
+        return t.group_by(["host"]).aggregate(
+            [("n_pages", "sum"), ("total_html_bytes", "sum"),
+             ("total_text_chars", "sum")]).rename_columns(
+            ["host", "n_pages", "total_html_bytes", "total_text_chars"])
+
+    ds = ray.data.read_parquet(
+        f"{pages_dir}/pages.parquet",
+        columns=["url", "html", "text"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size)
+    agg = ds.groupby("host").sum(
+        ["n_pages", "total_html_bytes", "total_text_chars"])
+    from ..pipelines._util import rename
+
+    return rename(agg, {"sum(n_pages)": "n_pages",
+                        "sum(total_html_bytes)": "total_html_bytes",
+                        "sum(total_text_chars)": "total_text_chars"})

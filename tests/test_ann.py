@@ -106,3 +106,37 @@ def test_embedding_neardup_planted(ray_session, sf_dir):
                if int(i) < 1_000_000 and int(i) % ann.ND_PLANT_EVERY == 0]
     hit = sum(1 for p in planted if p in found_pairs)
     assert hit / len(planted) >= 0.8
+
+
+def test_emb_clusters_partition(ray_session, sf_dir):
+    """Cluster sizes partition the corpus; sum_d2 matches a direct
+    integer recomputation."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from methanol_web_crawler_ray.pipelines import ann
+
+    rows = ann.emb_clusters(sf_dir).take_all()
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    n = tbl.num_rows
+    assert sum(r["n_vecs"] for r in rows) == n
+    M = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in tbl.column("embedding").to_pylist()])
+    Q = ann._quantize(M)
+    C = ann.ivf_centroids(sf_dir)
+    d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    lab = d2.argmin(1)
+    best = d2[np.arange(n), lab]
+    for r in rows:
+        m = lab == r["cid"]
+        assert int(m.sum()) == r["n_vecs"]
+        assert int(best[m].sum()) == r["sum_d2"]
+
+
+def test_quantize_half_away_from_zero():
+    import numpy as np
+
+    from methanol_web_crawler_ray.pipelines import ann
+
+    x = np.array([0.0000005, -0.0000005, 0.0000015, -0.0000015])
+    assert ann._quantize(x[None, :])[0].tolist() == [1, -1, 2, -2]

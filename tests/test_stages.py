@@ -68,3 +68,29 @@ def test_goldens_match_kernels(ray_session):
     assert len(got) == len(gk) > 0
     for r in got:
         assert r["canon"] == gk[(r["url"], r["link_seq"])], r["url"]
+
+
+def test_host_stats(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+
+    from methanol_web_crawler_ray.sources import pagegen
+    from methanol_web_crawler_ray.stages.extract import host_stats
+
+    pdir = pagegen.pages_dir_for(sf_dir)
+    rows = {r["host"]: r for r in host_stats(pdir).take_all()}
+    tbl = pq.read_table(f"{pdir}/pages.parquet",
+                        columns=["url", "html", "text"])
+    import collections
+    exp = collections.defaultdict(lambda: [0, 0, 0])
+    for u, h, t in zip(tbl.column("url").to_pylist(),
+                       tbl.column("html").to_pylist(),
+                       tbl.column("text").to_pylist()):
+        host = u.split("/")[2]
+        exp[host][0] += 1
+        exp[host][1] += len(h)
+        exp[host][2] += len(t)
+    assert len(rows) == len(exp)
+    for h, (np_, hb, tc) in exp.items():
+        r = rows[h]
+        assert (r["n_pages"], r["total_html_bytes"],
+                r["total_text_chars"]) == (np_, hb, tc)

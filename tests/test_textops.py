@@ -396,3 +396,112 @@ def test_distinct_kmv_estimate_branch(ray_session, tmp_path):
     # determinism: identical sketch on a second run
     again = textops.distinct_tokens_kmv(str(d)).take_all()[0]
     assert again == row
+
+
+def test_dup_clusters_transitive(ray_session, tmp_path):
+    """a~b and b~c near-dups (but a!~c directly below the band/verify
+    radar? here all three collide) must land in ONE cluster keyed by the
+    smallest doc_id; unrelated docs stay singletons."""
+    import pyarrow as pa
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon " * 4).split()
+    a = " ".join(base)
+    b = " ".join(base[:-1] + ["CHANGED1"])
+    c = " ".join(base[:-2] + ["CHANGED1", "CHANGED2"])
+    texts = [a, b, c, "a completely different tiny document here",
+             "another unrelated document with its own words entirely"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["t"] * len(texts), pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r["cluster"]
+           for r in textops.dup_clusters(str(tmp_path)).take_all()}
+    assert len(out) == 5
+    # pair graph is transitive within `iters` hops: 0-1, 1-2 verified
+    assert out[0] == 0 and out[1] == 0 and out[2] == 0
+    assert out[3] == 3 and out[4] == 4
+
+
+def test_dup_clusters_no_pairs_identity(ray_session, tmp_path):
+    import pyarrow as pa
+
+    texts = ["first unique document text", "second unique document text",
+             "third entirely different words"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["t"] * 3, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r["cluster"]
+           for r in textops.dup_clusters(str(tmp_path)).take_all()}
+    assert out == {0: 0, 1: 1, 2: 2}
+
+
+def test_tfidf_broadcast_vs_join_parity(ray_session, sf_dir):
+    """The join path (vocab_gate=-1: tf ⋈ df + groupby top-k) must equal
+    the broadcast path row-for-row."""
+    bc = sorted(
+        (r["doc_id"], r["rank"], r["term"], r["score"])
+        for r in textops.tfidf_top_terms(sf_dir).take_all())
+    jn = sorted(
+        (r["doc_id"], r["rank"], r["term"], r["score"])
+        for r in textops.tfidf_top_terms(sf_dir, vocab_gate=-1).take_all())
+    assert bc == jn and len(bc) > 0
+
+
+def test_tfidf_vs_bruteforce(ray_session, sf_dir, docs):
+    """Integer tf-idf scores and top-k selection vs a direct in-process
+    computation."""
+    import collections
+
+    n = len(docs)
+    df = collections.Counter()
+    tfs = {}
+    for d in docs:
+        toks = textops._TOKEN_RE.findall(d["text"].lower())
+        tf = collections.Counter(toks)
+        tfs[d["doc_id"]] = tf
+        df.update(set(toks))
+    expected = {}
+    for did, tf in tfs.items():
+        scored = sorted(
+            ((t, c * ((textops.TFIDF_SCALE * n) // df[t]))
+             for t, c in tf.items()),
+            key=lambda x: (-x[1], x[0]))[:textops.TFIDF_TOPK]
+        for rank, (t, s) in enumerate(scored, 1):
+            expected[(did, rank)] = (t, s)
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["score"])
+           for r in textops.tfidf_top_terms(sf_dir).take_all()}
+    assert got == expected
+
+
+def test_minhash_permutations_independent():
+    """Regression: without the mod-p reduction, a*x+b is monotone in x,
+    every hash argmins at the doc's MINIMUM shingle, and a near-dup
+    whose one extra shingle becomes the new minimum misses ALL bands
+    (recall J instead of the banded s-curve).  With proper universal
+    hashing the two signatures must agree on nearly every hash."""
+    a, b = textops._hash_params()
+    assert (a % int(textops._MH_PRIME) == 0).sum() == 0
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon " * 4).split()
+    t1 = " ".join(base)
+    t2 = " ".join(base[:-1] + ["CHANGED1"])
+    s1 = textops.shingle_hashes(t1)
+    s2 = textops.shingle_hashes(t2)
+    # the planted extra shingle IS the new global minimum — the exact
+    # case the degenerate construction missed
+    assert np.setdiff1d(s2, s1).min() < s1.min()
+    sig1 = textops.minhash_signature(s1, a, b)
+    sig2 = textops.minhash_signature(s2, a, b)
+    n_same_bands = sum(
+        (sig1[i * 4:(i + 1) * 4] == sig2[i * 4:(i + 1) * 4]).all()
+        for i in range(textops.N_BANDS))
+    assert (sig1 != sig2).sum() <= 8  # E[diff] = 64/21 ≈ 3
+    assert n_same_bands >= 12
