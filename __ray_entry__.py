@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_corpus_clean": textops.corpus_clean,
         "doc_top_tokens": textops.top_tokens,
         "doc_fingerprints": textops.fingerprints,
+        "doc_substring_overlap": textops.substring_overlap,
         "doc_bpe_tokens": textops.bpe_token_stats,
         "doc_distinct_kmv": textops.distinct_tokens_kmv,
         "doc_decontaminate": textops.decontaminate,
@@ -491,28 +492,13 @@ def oracle_sql() -> dict[str, str]:
         # + position-of-min join; short docs (< w grams / < k chars) take
         # the single whole-window / whole-string path on both sides
         "doc_fingerprints": (
-            "WITH t AS (SELECT doc_id, "
-            "regexp_replace(lower(text), '\\s+', ' ', 'g') AS s "
-            "FROM documents), "
-            f"b AS (SELECT doc_id, s, CASE WHEN length(s) >= {textops.FP_K} "
-            f"THEN length(s) - {textops.FP_K - 1} "
-            "WHEN length(s) > 0 THEN 1 ELSE 0 END AS m FROM t), "
-            "g AS (SELECT doc_id, CAST(i AS INT) AS pos, m, "
-            f"substring(md5(CASE WHEN length(s) >= {textops.FP_K} THEN "
-            f"substring(s, CAST(i AS INT), {textops.FP_K}) ELSE s END), "
-            "17, 16) AS h "
-            "FROM b, UNNEST(range(1, m + 1)) AS u(i)), "
-            "we AS (SELECT doc_id, pos AS wend, m, min(h) OVER "
-            "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN "
-            f"{textops.FP_W - 1} PRECEDING AND CURRENT ROW) AS wmin FROM g), "
-            f"q AS (SELECT * FROM we WHERE wend >= {textops.FP_W} "
-            "OR wend = m), "
-            "sel AS (SELECT q.doc_id, q.wend, q.wmin, max(g.pos) AS pos "
-            "FROM q JOIN g ON g.doc_id = q.doc_id AND g.pos BETWEEN "
-            f"q.wend - {textops.FP_W - 1} AND q.wend AND g.h = q.wmin "
-            "GROUP BY q.doc_id, q.wend, q.wmin) "
+            textops.fingerprints_cte_prefix() + " "
             "SELECT DISTINCT doc_id, pos::BIGINT AS pos, wmin AS fp FROM sel"
         ),
+        # exact substring overlap: pairs sharing >= SS_MIN_SHARED distinct
+        # winnowing-selected windows (>= FP_K identical normalized chars
+        # each), boilerplate fingerprints capped on both sides
+        "doc_substring_overlap": textops.substring_overlap_oracle_sql(),
         # BPE-ish pre-tokenizer counts (pattern shared with the Ray stage;
         # the embedded quote is SQL-doubled)
         "doc_bpe_tokens": (

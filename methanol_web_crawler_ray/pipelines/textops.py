@@ -1672,3 +1672,143 @@ def tfidf_top_terms(sf_dir: str, k: int = TFIDF_TOPK,
     scored = joined.map_batches(score_fn, batch_format="pandas")
     return scored.groupby("doc_id").map_groups(
         lambda g: _tfidf_rank(g, k), batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# exact substring overlap (winnowing-selected shared windows)
+
+
+SS_K = 48  # overlap window: 48 identical normalized chars (a verbatim
+# span, Lee et al.-scale) — deliberately much longer than FP_K's
+# 8-char plagiarism-grain fingerprints
+SS_W = 16  # winnowing window for the overlap pass (density 2/(w+1))
+SS_MIN_SHARED = 2     # shared selected windows to report a pair
+SS_BUCKET_CAP = 1000  # degenerate-fingerprint guard (boilerplate windows)
+SS_PAIR_GATE = 500_000  # hot-member rows beyond which pairgen distributes
+
+
+def fingerprints_cte_prefix(k: int = FP_K, w: int = FP_W) -> str:
+    """Shared DuckDB CTE chain replaying the winnowing selection
+    (normalize → k-gram md5-hex → window-min, rightmost tie) ending in
+    ``sel(doc_id, wend, wmin, pos)`` — used by the doc_fingerprints
+    oracle (FP_K/FP_W) and by doc_substring_overlap (SS_K/SS_W)."""
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "regexp_replace(lower(text), '\\s+', ' ', 'g') AS s "
+        "FROM documents), "
+        f"b AS (SELECT doc_id, s, CASE WHEN length(s) >= {k} "
+        f"THEN length(s) - {k - 1} "
+        "WHEN length(s) > 0 THEN 1 ELSE 0 END AS m FROM t), "
+        "g AS (SELECT doc_id, CAST(i AS INT) AS pos, m, "
+        f"substring(md5(CASE WHEN length(s) >= {k} THEN "
+        f"substring(s, CAST(i AS INT), {k}) ELSE s END), "
+        "17, 16) AS h "
+        "FROM b, UNNEST(range(1, m + 1)) AS u(i)), "
+        "we AS (SELECT doc_id, pos AS wend, m, min(h) OVER "
+        "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN "
+        f"{w - 1} PRECEDING AND CURRENT ROW) AS wmin FROM g), "
+        f"q AS (SELECT * FROM we WHERE wend >= {w} "
+        "OR wend = m), "
+        "sel AS (SELECT q.doc_id, q.wend, q.wmin, max(g.pos) AS pos "
+        "FROM q JOIN g ON g.doc_id = q.doc_id AND g.pos BETWEEN "
+        f"q.wend - {w - 1} AND q.wend AND g.h = q.wmin "
+        "GROUP BY q.doc_id, q.wend, q.wmin)"
+    )
+
+
+def substring_overlap_oracle_sql(min_shared: int = SS_MIN_SHARED,
+                                 cap: int = SS_BUCKET_CAP) -> str:
+    return (
+        fingerprints_cte_prefix(SS_K, SS_W) + ", "
+        "fps AS (SELECT DISTINCT doc_id, wmin AS fp FROM sel), "
+        "hot AS (SELECT fp FROM fps GROUP BY fp "
+        f"HAVING count(*) BETWEEN 2 AND {cap}), "
+        "pp AS (SELECT a.doc_id AS ida, b.doc_id AS idb, "
+        "count(*)::BIGINT AS nw "
+        "FROM fps a JOIN hot h ON h.fp = a.fp "
+        "JOIN fps b ON b.fp = a.fp AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id) "
+        "SELECT ida AS id_a, idb AS id_b, nw AS n_windows FROM pp "
+        f"WHERE nw >= {min_shared}"
+    )
+
+
+def substring_overlap(sf_dir: str, min_shared: int = SS_MIN_SHARED,
+                      cap: int = SS_BUCKET_CAP,
+                      pair_gate: int = SS_PAIR_GATE):
+    """(id_a, id_b, n_windows): document pairs sharing ≥ ``min_shared``
+    distinct winnowing-selected exact text windows — the EXACT-substring
+    overlap detector (Lee et al. '22 "Deduplicating Training Data"
+    family: near-dup catches reworded copies, this catches verbatim
+    shared passages — boilerplate, quotations, templated spans — that
+    token-level Jaccard dilutes away on long documents).  A shared
+    selected window means an identical SS_K-char (48) normalized
+    substring (md5-64bit fingerprint equality; collision odds ~2^-64,
+    and the winnowing guarantee makes any shared run of ≥ SS_W+SS_K-1 =
+    63 chars produce at least one shared SELECTED window on both
+    sides).
+    Fingerprints appearing in more than ``cap`` documents are skipped as
+    corpus boilerplate (replicated in the oracle's HAVING).
+
+    Scale shape: the fingerprint table is the sharded primitive
+    (map-only, ~2/(w+1) density); hot-fingerprint detection is
+    aggregate-then-probe (``hot_keys``); pair generation folds on the
+    driver below ``pair_gate`` hot-member rows and runs as
+    groupby(fp).map_groups + a (id_a, id_b) groupby-count above it —
+    the minhash large-path shape."""
+    import ray
+    import ray.data
+
+    def fp_batch(df: pd.DataFrame) -> pd.DataFrame:
+        # winnow at the SS_K/SS_W overlap grain; a doc's rows never
+        # split across batches → in-batch distinct (doc_id, fp) is
+        # globally exact
+        ids, fps_ = [], []
+        for doc_id, t in zip(df["doc_id"], df["text"]):
+            for h in {h for _p, h in winnow(t, SS_K, SS_W)}:
+                ids.append(int(doc_id))
+                fps_.append(h)
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                             "fp": pd.Series(fps_, dtype="string")})
+
+    dfp = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fp_batch, batch_format="pandas").materialize()
+    hot = hot_keys(dfp, ["fp"], min_count=2, max_count=cap)
+    empty = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        "n_windows": pa.array([], pa.int64())}))
+    if not hot:
+        return empty
+    hot_arr = pa.array(sorted(hot), pa.string())
+    members = dfp.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("fp"), value_set=hot_arr)),
+        batch_format="pyarrow").materialize()
+
+    def pairgen(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(df["doc_id"].to_numpy())
+        iu, ju = np.triu_indices(ids.shape[0], k=1)
+        return pd.DataFrame({"id_a": ids[iu].astype(np.int64),
+                             "id_b": ids[ju].astype(np.int64)})
+
+    if members.count() <= pair_gate:
+        mdf = collect_df(members)
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for _fp, g in mdf.groupby("fp"):
+            ids = np.sort(g["doc_id"].to_numpy())
+            iu, ju = np.triu_indices(ids.shape[0], k=1)
+            cnt.update(zip(ids[iu].tolist(), ids[ju].tolist()))
+        rows = sorted((a, b, n) for (a, b), n in cnt.items()
+                      if n >= min_shared)
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([r[0] for r in rows], pa.int64()),
+            "id_b": pa.array([r[1] for r in rows], pa.int64()),
+            "n_windows": pa.array([r[2] for r in rows], pa.int64())}))
+
+    counted = _rename(
+        members.groupby("fp").map_groups(pairgen, batch_format="pandas")
+        .groupby(["id_a", "id_b"]).count(), {"count()": "n_windows"})
+    return counted.filter(
+        lambda r, m=min_shared: r["n_windows"] >= m)

@@ -505,3 +505,76 @@ def test_minhash_permutations_independent():
         for i in range(textops.N_BANDS))
     assert (sig1 != sig2).sum() <= 8  # E[diff] = 64/21 ≈ 3
     assert n_same_bands >= 12
+
+
+def test_substring_overlap_planted(ray_session, tmp_path):
+    """Two docs sharing a verbatim paragraph (otherwise different) are
+    reported; unrelated docs are not."""
+    import pyarrow as pa
+
+    shared = ("the quick brown fox jumps over the lazy dog while the "
+              "band plays an entirely memorable tune in the background")
+    texts = [
+        "first document preamble text. " + shared + " first epilogue.",
+        "completely different opening words here! " + shared + " done.",
+        "this third document has no overlap with anything at all",
+        "and the fourth one is also entirely on its own topic",
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["t"] * 4, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = textops.substring_overlap(str(tmp_path)).take_all()
+    pairs = {(r["id_a"], r["id_b"]): r["n_windows"] for r in rows}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= textops.SS_MIN_SHARED
+    assert all(p == (0, 1) for p in pairs)
+
+
+def test_substring_overlap_vs_bruteforce(ray_session, sf_dir, docs):
+    got = {(r["id_a"], r["id_b"]): r["n_windows"]
+           for r in textops.substring_overlap(sf_dir).take_all()}
+    # brute force: winnowed fp sets per doc (overlap grain), hot-capped,
+    # pair counts
+    from collections import Counter
+
+    sets = {d["doc_id"]: {h for _p, h in textops.winnow(
+        d["text"], textops.SS_K, textops.SS_W)} for d in docs}
+    fp_count = Counter()
+    for s in sets.values():
+        fp_count.update(s)
+    hot = {f for f, c in fp_count.items()
+           if 2 <= c <= textops.SS_BUCKET_CAP}
+    ids = sorted(sets)
+    exp = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            nw = len(sets[a] & sets[b] & hot)
+            if nw >= textops.SS_MIN_SHARED:
+                exp[(a, b)] = nw
+    assert got == exp
+
+
+def test_substring_overlap_driver_vs_distributed(ray_session, tmp_path):
+    import pyarrow as pa
+
+    shared = ("a long enough shared sentence that the winnowing pass at "
+              "the forty-eight character overlap grain must certainly "
+              "select from, well beyond the guarantee length ")
+    texts = [f"doc {i} says: " + shared + f"and ends uniquely {i}"
+             for i in range(6)]
+    tbl = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 6, pa.string()),
+        "source": pa.array(["t"] * 6, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    a = sorted((r["id_a"], r["id_b"], r["n_windows"]) for r in
+               textops.substring_overlap(str(tmp_path)).take_all())
+    b = sorted((r["id_a"], r["id_b"], r["n_windows"]) for r in
+               textops.substring_overlap(str(tmp_path),
+                                         pair_gate=-1).take_all())
+    assert a == b and len(a) > 0
