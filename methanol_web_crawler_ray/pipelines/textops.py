@@ -917,7 +917,8 @@ _STOP_PAT = (r"(?<!\S)(?:"
              + "|".join(re.escape(w) for w in STOPWORDS) + r")(?!\S)")
 
 
-def corpus_clean(sf_dir: str, lang: str = "en"):
+def corpus_clean(sf_dir: str, lang: str = "en",
+                 direct_gate: int = 1_000_000):
     """The flagship composed document flow — quality gate (length
     bounds + stopword presence) → language filter → exact dedup (keep
     the smallest doc_id per distinct text) → per-doc token stats, in
@@ -929,6 +930,10 @@ def corpus_clean(sf_dir: str, lang: str = "en"):
     same map_batches; the only exchange is the dedup groupby over
     (md5, doc_id, stats) rows, pre-combined in-batch, and duplicate
     groups carry equal stats so the grouped aggregate is three Min()s.
+    Below ``direct_gate`` rows the groupby collapses to task-side
+    partials folded on the driver (the exact_dedup precedent — the
+    Dataset groupby costs ~1.5 s of fixed machinery at bench scale);
+    the SAME ``pre`` kernel runs in both paths.
     """
     def pre(df: pd.DataFrame) -> pd.DataFrame:
         n_chars = df["text"].str.len().astype("int64")
@@ -945,7 +950,38 @@ def corpus_clean(sf_dir: str, lang: str = "en"):
         # in-batch combiner: one row per distinct text before the shuffle
         return out.groupby("h", as_index=False).min()
 
+    import ray
     import ray.data
+
+    direct = _docs_direct_ranges(sf_dir, direct_gate)
+    if direct is not None:
+        path, ranges = direct
+
+        @ray.remote(num_cpus=1)
+        def pre_task(off: int, cnt: int) -> pd.DataFrame:
+            import pyarrow.parquet as _pq
+
+            t = _pq.read_table(path, columns=["doc_id", "text", "lang"]) \
+                .slice(off, cnt)
+            return pre(t.to_pandas())
+
+        parts = ray.get([pre_task.remote(o, c) for o, c in ranges])
+        merged = pd.concat(parts, ignore_index=True) if parts else \
+            pd.DataFrame({"h": [], "doc_id": [], "n_tokens": [],
+                          "n_chars": []})
+        if merged.empty:
+            return ray.data.from_arrow(pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64())}))
+        out = merged.groupby("h", as_index=False).min() \
+            .sort_values("doc_id").reset_index(drop=True)
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(out["doc_id"].astype("int64"), pa.int64()),
+            "n_tokens": pa.array(out["n_tokens"].astype("int64"),
+                                 pa.int64()),
+            "n_chars": pa.array(out["n_chars"].astype("int64"),
+                                pa.int64())}))
 
     ds = _read_docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
         pre, batch_format="pandas")
@@ -972,7 +1008,8 @@ MG_CAPACITY = 512  # per-block sketch size; guarantee floor is N/(cap+1)
 
 
 def top_tokens(sf_dir: str, k: int = 50, capacity: int = MG_CAPACITY,
-               driver_gate: int = 2_000_000):
+               driver_gate: int = 2_000_000,
+               direct_gate: int = 200_000):
     """The k most frequent whitespace tokens corpus-wide, EXACT, without
     shuffling the full token stream — the vocabulary/heavy-hitter op a
     100 TB corpus needs (a naive groupby over every token is an
@@ -1000,9 +1037,50 @@ def top_tokens(sf_dir: str, k: int = 50, capacity: int = MG_CAPACITY,
     exact count clears the N/(capacity+1) floor; a corpus too flat for
     that falls back to the exact distributed groupby (correct either
     way — the sketch is purely a shuffle-avoidance fast path).
+    Below ``direct_gate`` documents a direct-task path computes exact
+    per-slice counts and folds them on the driver (same output — the
+    sketch is only ever a shuffle-avoidance mechanism, and at sandbox
+    scale the Dataset executions' fixed floors dominate it).
     Returns (token, cnt, rank), rank 1-based.
     """
+    import ray
     import ray.data
+
+    def to_out(top: pd.DataFrame):
+        top = top.reset_index(drop=True)
+        return ray.data.from_arrow(pa.table({
+            "token": pa.array(top["token"], pa.string()),
+            "cnt": pa.array(top["cnt"].astype("int64"), pa.int64()),
+            "rank": pa.array(np.arange(1, len(top) + 1, dtype="int64"),
+                             pa.int64())}))
+
+    direct = _docs_direct_ranges(sf_dir, direct_gate)
+    if direct is not None:
+        path, ranges = direct
+
+        @ray.remote(num_cpus=1)
+        def cnt_task(off: int, cnt: int) -> pd.DataFrame:
+            import pyarrow.parquet as _pq
+
+            t = _pq.read_table(path, columns=["text"]).slice(off, cnt)
+            toks = np.concatenate(
+                [_TOKEN_RE.findall(x) for x in
+                 t.column("text").to_pylist()] or [[]])
+            if toks.shape[0] == 0:
+                return pd.DataFrame({"token": pd.Series([], dtype="str"),
+                                     "cnt": pd.Series([], dtype="int64")})
+            uniq, c = np.unique(toks, return_counts=True)
+            return pd.DataFrame({"token": uniq, "cnt": c.astype("int64")})
+
+        parts = ray.get([cnt_task.remote(o, c) for o, c in ranges])
+        merged_df = pd.concat(parts, ignore_index=True) if parts else \
+            pd.DataFrame({"token": [], "cnt": []})
+        if merged_df.empty:
+            return to_out(pd.DataFrame({"token": pd.Series([], dtype="str"),
+                                        "cnt": pd.Series([], dtype="int64")}))
+        counts = merged_df.groupby("token")["cnt"].sum().reset_index()
+        return to_out(counts.sort_values(
+            ["cnt", "token"], ascending=[False, True]).head(k))
 
     docs = _read_docs(sf_dir, ["text"])
 
@@ -1120,12 +1198,7 @@ def top_tokens(sf_dir: str, k: int = 50, capacity: int = MG_CAPACITY,
         if not exact_ok:
             top = exact_fallback()
 
-    top = top.reset_index(drop=True)
-    return ray.data.from_arrow(pa.table({
-        "token": pa.array(top["token"], pa.string()),
-        "cnt": pa.array(top["cnt"].astype("int64"), pa.int64()),
-        "rank": pa.array(np.arange(1, len(top) + 1, dtype="int64"),
-                         pa.int64())}))
+    return to_out(top)
 
 
 # ---------------------------------------------------------------------------

@@ -203,7 +203,8 @@ def test_top_tokens_mg_compression_exact(ray_session, tmp_path):
         exact.update(t.split())
     want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
 
-    got = textops.top_tokens(str(tmp_path), k=3, capacity=64).take_all()
+    got = textops.top_tokens(str(tmp_path), k=3, capacity=64,
+                                 direct_gate=-1).take_all()
     got_rows = [(r["token"], int(r["cnt"])) for r in
                 sorted(got, key=lambda r: int(r["rank"]))]
     assert got_rows == want
@@ -224,7 +225,8 @@ def test_top_tokens_flat_corpus_fallback(ray_session, tmp_path):
         "text": pa.array(texts, pa.string()),
     })
     pq.write_table(tbl, str(tmp_path / "documents.parquet"))
-    got = textops.top_tokens(str(tmp_path), k=5, capacity=16).take_all()
+    got = textops.top_tokens(str(tmp_path), k=5, capacity=16,
+                                 direct_gate=-1).take_all()
     rows = [(r["token"], int(r["cnt"])) for r in
             sorted(got, key=lambda r: int(r["rank"]))]
     # all counts equal 2; tie-break is lexicographic
@@ -253,11 +255,12 @@ def test_top_tokens_distributed_merge_parity(ray_session, tmp_path):
     pq.write_table(tbl, str(tmp_path / "documents.parquet"))
 
     a = [(r["token"], int(r["cnt"]), int(r["rank"])) for r in sorted(
-        textops.top_tokens(str(tmp_path), k=2, capacity=64).take_all(),
+        textops.top_tokens(str(tmp_path), k=2, capacity=64,
+                           direct_gate=-1).take_all(),
         key=lambda r: int(r["rank"]))]
     b = [(r["token"], int(r["cnt"]), int(r["rank"])) for r in sorted(
         textops.top_tokens(str(tmp_path), k=2, capacity=64,
-                           driver_gate=0).take_all(),
+                           driver_gate=0, direct_gate=-1).take_all(),
         key=lambda r: int(r["rank"]))]
     assert a == b
     assert a[0][0] == "big_one" and a[0][1] == 2000
@@ -577,4 +580,24 @@ def test_substring_overlap_driver_vs_distributed(ray_session, tmp_path):
     b = sorted((r["id_a"], r["id_b"], r["n_windows"]) for r in
                textops.substring_overlap(str(tmp_path),
                                          pair_gate=-1).take_all())
+    assert a == b and len(a) > 0
+
+
+def test_top_tokens_direct_vs_sketch_parity(ray_session, sf_dir):
+    a = [(r["token"], r["cnt"], r["rank"])
+         for r in sorted(textops.top_tokens(sf_dir).take_all(),
+                         key=lambda r: r["rank"])]
+    b = [(r["token"], r["cnt"], r["rank"])
+         for r in sorted(textops.top_tokens(sf_dir,
+                                            direct_gate=-1).take_all(),
+                         key=lambda r: r["rank"])]
+    assert a == b and len(a) > 0
+
+
+def test_corpus_clean_direct_vs_dataset_parity(ray_session, sf_dir):
+    a = sorted((r["doc_id"], r["n_tokens"], r["n_chars"])
+               for r in textops.corpus_clean(sf_dir).take_all())
+    b = sorted((r["doc_id"], r["n_tokens"], r["n_chars"])
+               for r in textops.corpus_clean(sf_dir,
+                                             direct_gate=-1).take_all())
     assert a == b and len(a) > 0
