@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_substring_overlap": textops.substring_overlap,
         "doc_bpe_tokens": textops.bpe_token_stats,
         "doc_distinct_kmv": textops.distinct_tokens_kmv,
+        "doc_postings": textops.postings,
         "doc_decontaminate": textops.decontaminate,
         "doc_sample_stratified": textops.sample_stratified,
         "doc_repetition": textops.repetition,
@@ -532,6 +533,16 @@ def oracle_sql() -> dict[str, str]:
             "18446744073709551616::HUGEINT // kth::HUGEINT, "
             "9223372036854775807::HUGEINT) AS BIGINT) END AS est_distinct "
             "FROM agg"
+        ),
+        # inverted-index build: per-token document frequency + md5 digest
+        # of the ascending posting list
+        "doc_postings": (
+            "WITH p AS (SELECT DISTINCT doc_id, unnest(list_distinct("
+            "regexp_extract_all(lower(text), '\\S+'))) AS token "
+            "FROM documents) "
+            "SELECT token, count(*)::BIGINT AS df, "
+            "md5(string_agg(CAST(doc_id AS VARCHAR), ',' "
+            "ORDER BY doc_id)) AS postings_md5 FROM p GROUP BY token"
         ),
         # decontamination: distinct word-3-gram keys (the minhash shingle
         # key) of the doc_id % BENCH_MOD benchmark members, probed by

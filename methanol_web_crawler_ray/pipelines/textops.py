@@ -1885,3 +1885,74 @@ def substring_overlap(sf_dir: str, min_shared: int = SS_MIN_SHARED,
         .groupby(["id_a", "id_b"]).count(), {"count()": "n_windows"})
     return counted.filter(
         lambda r, m=min_shared: r["n_windows"] >= m)
+
+
+# ---------------------------------------------------------------------------
+# inverted index build (SQL-oracled)
+
+
+def postings(sf_dir: str, direct_gate: int = 200_000):
+    """(token, df, postings_md5): the inverted-index build — every
+    document contributes its distinct lowercased tokens, and each
+    token's posting list (ascending doc_ids) is folded to its length
+    and an md5 of the comma-joined ids (the gate-friendly digest of a
+    list column; the list itself would be the real sink payload).
+
+    Scale shape: THE canonical index-build shuffle — (token, doc_id)
+    rows (in-batch distinct) → groupby(token).map_groups building each
+    posting list where it lands; nothing token-keyed ever folds through
+    the driver above the gate.  Below ``direct_gate`` documents the
+    task-partial + driver-fold path runs instead (same digest)."""
+    import ray
+    import ray.data
+
+    def pairs_batch(df: pd.DataFrame) -> pd.DataFrame:
+        ids, toks = [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            for t in np.unique(_TOKEN_RE.findall(text.lower())):
+                ids.append(int(doc_id))
+                toks.append(t)
+        return pd.DataFrame({"token": pd.Series(toks, dtype="object"),
+                             "doc_id": pd.Series(ids, dtype="int64")})
+
+    def digest(ids) -> str:
+        s = ",".join(str(i) for i in sorted(int(x) for x in ids))
+        return hashlib.md5(s.encode()).hexdigest()
+
+    direct = _docs_direct_ranges(sf_dir, direct_gate)
+    if direct is not None:
+        path, ranges = direct
+
+        @ray.remote(num_cpus=1)
+        def pairs_task(off: int, cnt: int) -> pd.DataFrame:
+            import pyarrow.parquet as _pq
+
+            t = _pq.read_table(path, columns=["doc_id", "text"]) \
+                .slice(off, cnt)
+            return pairs_batch(t.to_pandas())
+
+        parts = ray.get([pairs_task.remote(o, c) for o, c in ranges])
+        allp = pd.concat(parts, ignore_index=True) if parts else \
+            pd.DataFrame({"token": [], "doc_id": []})
+        if allp.empty:
+            return ray.data.from_arrow(pa.table({
+                "token": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "postings_md5": pa.array([], pa.string())}))
+        rows = [(t, len(g), digest(g))
+                for t, g in allp.groupby("token")["doc_id"]]
+        rows.sort()
+        return ray.data.from_arrow(pa.table({
+            "token": pa.array([r[0] for r in rows], pa.string()),
+            "df": pa.array([r[1] for r in rows], pa.int64()),
+            "postings_md5": pa.array([r[2] for r in rows], pa.string())}))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "token": [g["token"].iloc[0]],
+            "df": pd.Series([len(g)], dtype="int64"),
+            "postings_md5": [digest(g["doc_id"])]})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(pairs_batch, batch_format="pandas") \
+        .groupby("token").map_groups(fold, batch_format="pandas")

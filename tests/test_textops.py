@@ -601,3 +601,26 @@ def test_corpus_clean_direct_vs_dataset_parity(ray_session, sf_dir):
                for r in textops.corpus_clean(sf_dir,
                                              direct_gate=-1).take_all())
     assert a == b and len(a) > 0
+
+
+def test_postings_vs_bruteforce(ray_session, sf_dir, docs):
+    import hashlib as _hl
+
+    got = {r["token"]: (r["df"], r["postings_md5"])
+           for r in textops.postings(sf_dir).take_all()}
+    idx = {}
+    for d in docs:
+        for t in set(textops._TOKEN_RE.findall(d["text"].lower())):
+            idx.setdefault(t, []).append(d["doc_id"])
+    exp = {t: (len(v), _hl.md5(
+        ",".join(str(i) for i in sorted(v)).encode()).hexdigest())
+        for t, v in idx.items()}
+    assert got == exp and len(got) > 0
+
+
+def test_postings_direct_vs_dataset(ray_session, sf_dir):
+    a = sorted((r["token"], r["df"], r["postings_md5"])
+               for r in textops.postings(sf_dir).take_all())
+    b = sorted((r["token"], r["df"], r["postings_md5"])
+               for r in textops.postings(sf_dir, direct_gate=-1).take_all())
+    assert a == b
