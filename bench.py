@@ -270,13 +270,31 @@ def main() -> None:
 
         def run_sync(cmd):
             r = subprocess.run(cmd, capture_output=True, text=True,
-                               timeout=3600)
+                               timeout=7200)
             out = parse_result(r.stdout)
             if out is None:
                 print(r.stdout[-2000:], file=sys.stderr)
                 print(r.stderr[-2000:], file=sys.stderr)
                 raise SystemExit("scaling job failed")
             return out
+
+        # build the heavy fixtures in THIS process first: on a fresh box
+        # the 200k-page generation alone is ~an hour of single-core work,
+        # which blew through the old per-subprocess timeout and killed
+        # the campaign before any measurement ran
+        from methanol_web_crawler_ray.sources import pagegen
+        from methanol_web_crawler_ray.sources.pagestore import build_store
+
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=_num_cpus(),
+                     include_dashboard=False, logging_level="ERROR")
+        build_store(pagegen.pages_dir_custom(n_pages, heavy=True,
+                                             tag="scaling"))
+        build_store(pagegen.pages_dir_custom(n_pages // 4, heavy=True,
+                                             tag="scaling"))
+        ray.shutdown()  # jobs below own their sessions
 
         # warm the corpus + store once (avoids a build race between jobs),
         # pinned like the weak baseline
