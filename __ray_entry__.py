@@ -277,6 +277,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_tokens": textops.bpe_token_stats,
         "doc_distinct_kmv": textops.distinct_tokens_kmv,
         "doc_postings": textops.postings,
+        "doc_length_quantiles": textops.length_quantiles,
+        "doc_global_rank": textops.global_rank,
+        "doc_pack_shards": textops.pack_shards,
         "doc_decontaminate": textops.decontaminate,
         "doc_sample_stratified": textops.sample_stratified,
         "doc_repetition": textops.repetition,
@@ -543,6 +546,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, count(*)::BIGINT AS df, "
             "md5(string_agg(CAST(doc_id AS VARCHAR), ',' "
             "ORDER BY doc_id)) AS postings_md5 FROM p GROUP BY token"
+        ),
+        # exact length quantiles: percentile_disc rule replayed in
+        # integers — smallest n_chars with cum_count*1000 >= q*total
+        "doc_length_quantiles": (
+            "WITH lens AS (SELECT length(text)::BIGINT AS n_chars "
+            "FROM documents), "
+            "tot AS (SELECT count(*)::BIGINT AS n FROM lens), "
+            "h AS (SELECT n_chars, count(*)::BIGINT AS c FROM lens "
+            "GROUP BY n_chars), "
+            "cum AS (SELECT n_chars, sum(c) OVER "
+            "(ORDER BY n_chars)::BIGINT AS cc FROM h), "
+            "qs(q_permille) AS (VALUES (10),(50),(250),(500),(750),"
+            "(950),(990)) "
+            "SELECT q.q_permille::BIGINT AS q_permille, "
+            "min(cum.n_chars)::BIGINT AS n_chars "
+            "FROM qs q CROSS JOIN cum CROSS JOIN tot "
+            "WHERE cum.cc * 1000 >= q.q_permille * tot.n "
+            "GROUP BY q.q_permille"
+        ),
+        # global total-order rank by (length, doc_id) — row_number replay
+        "doc_global_rank": (
+            "SELECT doc_id, row_number() OVER "
+            "(ORDER BY length(text), doc_id)::BIGINT AS rank "
+            "FROM documents"
+        ),
+        # shard packing: exclusive global byte offset in (length, doc_id)
+        # order → fixed-size shard assignment (window-cumsum replay; the
+        # (length, doc_id) key is unique so RANGE framing == ROWS)
+        "doc_pack_shards": (
+            "WITH o AS (SELECT doc_id, "
+            "(sum(length(text)) OVER (ORDER BY length(text), doc_id) "
+            "- length(text))::BIGINT AS offset_bytes FROM documents) "
+            f"SELECT doc_id, offset_bytes, "
+            f"(offset_bytes // {textops.SHARD_BYTES})::BIGINT AS shard_id "
+            "FROM o"
         ),
         # decontamination: distinct word-3-gram keys (the minhash shingle
         # key) of the doc_id % BENCH_MOD benchmark members, probed by

@@ -1956,3 +1956,177 @@ def postings(sf_dir: str, direct_gate: int = 200_000):
     return _read_docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(pairs_batch, batch_format="pandas") \
         .groupby("token").map_groups(fold, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# exact distributed quantiles + global total-order rank (SQL-oracled)
+
+QUANTILE_PERMILLE = (10, 50, 250, 500, 750, 950, 990)
+
+
+def _length_hist(sf_dir: str, hist_gate: int):
+    """Merged (n_chars, c) histogram of document lengths, ascending.
+
+    Per-batch ``value_counts`` partials collapse each block to at most
+    distinct-lengths-in-block rows — the only thing that leaves a task;
+    above ``hist_gate`` partial rows the merge runs as a distributed
+    groupby-sum first, below it the driver folds directly (same
+    integers either way)."""
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(pc.utf8_length(t.column("text")))
+        return pa.table({"n_chars": vc.field("values").cast(pa.int64()),
+                         "c": vc.field("counts").cast(pa.int64())})
+
+    parts = _read_docs(sf_dir, ["text"]).map_batches(
+        partial, batch_format="pyarrow").materialize()
+    if parts.count() > hist_gate:
+        hist = collect_df(parts.groupby("n_chars").sum("c")) \
+            .rename(columns={"sum(c)": "c"})
+    else:
+        hist = collect_df(parts).groupby(
+            "n_chars", as_index=False)["c"].sum()
+    return hist.sort_values("n_chars").reset_index(drop=True)
+
+
+def length_quantiles(sf_dir: str, permille=QUANTILE_PERMILLE,
+                     hist_gate: int = 2_000_000):
+    """(q_permille, n_chars): exact corpus quantiles of document length
+    — for each q the smallest n_chars whose cumulative count x 1000 >=
+    q_permille x total (percentile_disc semantics, decided in integers;
+    the oracle replays the same rule with window cumsums).
+
+    Scale shape: the classic two-level histogram quantile — no sort of
+    the data, no shuffle of text; the merged histogram is bounded by
+    the distinct-length domain (<= max doc length), so the final fold
+    is tiny at any corpus size.  Exact (not a sample sketch) while the
+    value domain stays bounded; an unbounded real-valued domain would
+    swap in a t-digest and lose exactness."""
+    import ray.data
+
+    hist = _length_hist(sf_dir, hist_gate)
+    total = int(hist["c"].sum())
+    if total == 0:
+        return ray.data.from_arrow(pa.table({
+            "q_permille": pa.array([], pa.int64()),
+            "n_chars": pa.array([], pa.int64())}))
+    cum1000 = hist["c"].cumsum().to_numpy(dtype=np.int64) * 1000
+    vals = hist["n_chars"].to_numpy(dtype=np.int64)
+    idx = np.searchsorted(cum1000, np.asarray(permille, dtype=np.int64)
+                          * total, side="left")
+    return ray.data.from_arrow(pa.table({
+        "q_permille": pa.array([int(q) for q in permille], pa.int64()),
+        "n_chars": pa.array(vals[idx], pa.int64())}))
+
+
+def global_rank(sf_dir: str, hist_gate: int = 2_000_000):
+    """(doc_id, rank): the corpus in total order — rank 1..N by
+    (n_chars, doc_id), the row_number() Ray Data does not ship.
+
+    Distributed construction (no global sort): (1) the length histogram
+    (shared with ``length_quantiles``) gives every distinct n_chars its
+    exclusive cumulative offset, broadcast once via ``ray.put``; (2)
+    (doc_id, n_chars) rows — never text — shuffle ONCE keyed by n_chars
+    and each group sorts locally by doc_id, so local position + offset
+    is the global rank.  Skew note: a degenerate corpus where most docs
+    share one length makes that group hot; production would salt the
+    key and add a second offset level — documented trade, the length
+    domain of real web text is dispersed."""
+    import ray
+    import ray.data
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "n_chars": pc.utf8_length(t.column("text")).cast(pa.int64())})
+
+    pre = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        keyed, batch_format="pyarrow").materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t.column("n_chars"))
+        return pa.table({"n_chars": vc.field("values").cast(pa.int64()),
+                         "c": vc.field("counts").cast(pa.int64())})
+
+    parts = pre.map_batches(partial, batch_format="pyarrow").materialize()
+    if parts.count() > hist_gate:
+        hist = collect_df(parts.groupby("n_chars").sum("c")) \
+            .rename(columns={"sum(c)": "c"})
+    else:
+        hist = collect_df(parts).groupby(
+            "n_chars", as_index=False)["c"].sum()
+    hist = hist.sort_values("n_chars").reset_index(drop=True)
+    cum = hist["c"].cumsum().to_numpy(dtype=np.int64)
+    offsets = {int(v): int(o) for v, o in
+               zip(hist["n_chars"], np.concatenate(([0], cum[:-1])))}
+    oref = ray.put(offsets)
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(oref)[int(g["n_chars"].iloc[0])]
+        ids = np.sort(g["doc_id"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({
+            "doc_id": ids,
+            "rank": np.arange(base + 1, base + 1 + len(ids),
+                              dtype=np.int64)})
+
+    return pre.groupby("n_chars").map_groups(
+        rank_group, batch_format="pandas")
+
+
+SHARD_BYTES = 64_000
+
+
+def pack_shards(sf_dir: str, shard_bytes: int = SHARD_BYTES,
+                hist_gate: int = 2_000_000):
+    """(doc_id, offset_bytes, shard_id): deterministic training-shard
+    packing — docs in (n_chars, doc_id) total order, each assigned its
+    exclusive global byte offset and the fixed-size output shard that
+    offset falls in (offset // shard_bytes).  The assignment a 100 TB
+    tokenize-and-pack job needs: stable under reruns, resumable per
+    shard, no coordinator.
+
+    Distributed construction (no global sort, same histogram machinery
+    as ``global_rank``): the length histogram gives every distinct
+    n_chars its exclusive cumulative BYTE offset (lengths below it x
+    their counts); within a group all docs share one length, so a doc's
+    global offset is group_offset + local_index * n_chars after the
+    group's local doc_id sort.  Only (doc_id, n_chars) rows shuffle,
+    keyed by n_chars."""
+    import ray
+    import ray.data
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "n_chars": pc.utf8_length(t.column("text")).cast(pa.int64())})
+
+    pre = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        keyed, batch_format="pyarrow").materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t.column("n_chars"))
+        return pa.table({"n_chars": vc.field("values").cast(pa.int64()),
+                         "c": vc.field("counts").cast(pa.int64())})
+
+    parts = pre.map_batches(partial, batch_format="pyarrow").materialize()
+    if parts.count() > hist_gate:
+        hist = collect_df(parts.groupby("n_chars").sum("c")) \
+            .rename(columns={"sum(c)": "c"})
+    else:
+        hist = collect_df(parts).groupby(
+            "n_chars", as_index=False)["c"].sum()
+    hist = hist.sort_values("n_chars").reset_index(drop=True)
+    nbytes = (hist["n_chars"] * hist["c"]).to_numpy(dtype=np.int64)
+    cumb = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    byte_off = {int(v): int(o) for v, o in zip(hist["n_chars"], cumb)}
+    oref = ray.put(byte_off)
+
+    def pack_group(g: pd.DataFrame) -> pd.DataFrame:
+        ln = int(g["n_chars"].iloc[0])
+        base = ray.get(oref)[ln]
+        ids = np.sort(g["doc_id"].to_numpy(dtype=np.int64))
+        offs = base + np.arange(len(ids), dtype=np.int64) * ln
+        return pd.DataFrame({"doc_id": ids, "offset_bytes": offs,
+                             "shard_id": offs // shard_bytes})
+
+    return pre.groupby("n_chars").map_groups(
+        pack_group, batch_format="pandas")

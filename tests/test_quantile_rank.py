@@ -1,0 +1,89 @@
+"""length_quantiles / global_rank vs brute-force in-process oracles."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from methanol_web_crawler_ray.pipelines import textops
+
+
+@pytest.fixture(scope="module")
+def docs(sf_dir):
+    return pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+
+
+def _brute_quantiles(lengths, permille):
+    """Smallest value with cum_count*1000 >= q*total (percentile_disc)."""
+    s = sorted(lengths)
+    n = len(s)
+    out = {}
+    for q in permille:
+        for i, v in enumerate(s, start=1):
+            if i * 1000 >= q * n:
+                out[q] = v
+                break
+    return out
+
+
+def test_length_quantiles(ray_session, sf_dir, docs):
+    lengths = [len(d["text"]) for d in docs]
+    want = _brute_quantiles(lengths, textops.QUANTILE_PERMILLE)
+    got = {r["q_permille"]: r["n_chars"]
+           for r in textops.length_quantiles(sf_dir).take_all()}
+    assert got == want
+
+
+def test_length_quantiles_gate_parity(ray_session, sf_dir):
+    """Driver-fold and distributed-groupby merge paths agree."""
+    a = sorted(map(tuple, (r.values() for r in
+                           textops.length_quantiles(sf_dir).take_all())))
+    b = sorted(map(tuple, (r.values() for r in textops.length_quantiles(
+        sf_dir, hist_gate=-1).take_all())))
+    assert a == b
+
+
+def test_length_quantiles_degenerate_single_value(ray_session, tmp_path):
+    """All-equal-length corpus: every quantile is that one length."""
+    import pyarrow as pa
+
+    t = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                  "text": pa.array(["x" * 7] * 100)})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    rows = textops.length_quantiles(str(tmp_path)).take_all()
+    assert {r["n_chars"] for r in rows} == {7}
+    assert sorted(r["q_permille"] for r in rows) == \
+        sorted(textops.QUANTILE_PERMILLE)
+
+
+def test_global_rank(ray_session, sf_dir, docs):
+    order = sorted((len(d["text"]), d["doc_id"]) for d in docs)
+    want = {doc_id: i for i, (_, doc_id) in enumerate(order, start=1)}
+    got = {r["doc_id"]: r["rank"]
+           for r in textops.global_rank(sf_dir).take_all()}
+    assert got == want
+
+
+def test_global_rank_is_a_permutation(ray_session, sf_dir, docs):
+    ranks = [r["rank"] for r in textops.global_rank(sf_dir).take_all()]
+    assert sorted(ranks) == list(range(1, len(docs) + 1))
+
+
+def test_pack_shards(ray_session, sf_dir, docs):
+    order = sorted((len(d["text"]), d["doc_id"]) for d in docs)
+    off, want = 0, {}
+    for ln, doc_id in order:
+        want[doc_id] = (off, off // textops.SHARD_BYTES)
+        off += ln
+    got = {r["doc_id"]: (r["offset_bytes"], r["shard_id"])
+           for r in textops.pack_shards(sf_dir).take_all()}
+    assert got == want
+
+
+def test_pack_shards_boundaries(ray_session, sf_dir):
+    """Shards are dense 0..max and no doc's offset jumps a shard."""
+    rows = sorted(textops.pack_shards(sf_dir).take_all(),
+                  key=lambda r: r["offset_bytes"])
+    shards = [r["shard_id"] for r in rows]
+    assert shards[0] == 0
+    for a, b in zip(shards, shards[1:]):
+        assert b - a in (0, 1)
