@@ -120,6 +120,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     out["queries"]["crawl_pipe"] = round(time.time() - t0, 3)
     out["pages_per_sec_pipelined"] = round(pstats["pages_per_sec"], 1)
     out["crawl_pipe_busy_frac"] = round(pstats["cpu_busy_frac"], 3)
+    out["crawl_pipe_setup_sec"] = round(pstats["setup_sec"], 3)
+    out["crawl_pipe_crawl_sec"] = round(pstats["crawl_sec"], 3)
 
     # --- crawl_rounds: ordered engine, first two hosts
     ck = "/tmp/mwc_bench_rounds"
@@ -365,6 +367,10 @@ def main() -> None:
             "unit": "sec",
             "queries": r["queries"],
             "warmup_sec": r.get("warmup_sec"),
+            "crawl_bulk_setup_sec": r.get("crawl_bulk_setup_sec"),
+            "crawl_bulk_crawl_sec": r.get("crawl_bulk_crawl_sec"),
+            "crawl_pipe_setup_sec": r.get("crawl_pipe_setup_sec"),
+            "crawl_pipe_crawl_sec": r.get("crawl_pipe_crawl_sec"),
             "pages_per_sec": r.get("pages_per_sec"),
             "pages_per_sec_pipelined": r.get("pages_per_sec_pipelined"),
             "crawl_pipe_busy_frac": r.get("crawl_pipe_busy_frac"),
