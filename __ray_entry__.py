@@ -280,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": textops.length_quantiles,
         "doc_global_rank": textops.global_rank,
         "doc_pack_shards": textops.pack_shards,
+        "doc_lm_coverage": textops.lm_coverage,
         "doc_decontaminate": textops.decontaminate,
         "doc_sample_stratified": textops.sample_stratified,
         "doc_repetition": textops.repetition,
@@ -570,6 +571,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, row_number() OVER "
             "(ORDER BY length(text), doc_id)::BIGINT AS rank "
             "FROM documents"
+        ),
+        # corpus bigram-LM coverage: positional md5-31-bit bigram keys
+        # (the shingle key family), model = keys with corpus count >=
+        # LM_MIN_COUNT, coverage decided in integer permille
+        "doc_lm_coverage": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '\\S+') AS toks "
+            "FROM documents), "
+            "g0 AS (SELECT doc_id, CASE WHEN len(toks) >= 2 THEN "
+            "list_transform(range(1, len(toks)), i -> "
+            "toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]) "
+            "WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] "
+            "ELSE [] END AS grams FROM t), "
+            "gx AS (SELECT doc_id, CAST(md5_number_lower(g) & "
+            "2147483647::UBIGINT AS BIGINT) AS x "
+            "FROM g0, UNNEST(grams) AS u(g)), "
+            f"model AS (SELECT x FROM gx GROUP BY x "
+            f"HAVING count(*) >= {textops.LM_MIN_COUNT}), "
+            "per AS (SELECT gx.doc_id, count(*)::BIGINT AS nb, "
+            "count(m.x)::BIGINT AS nk FROM gx "
+            "LEFT JOIN model m USING (x) GROUP BY gx.doc_id) "
+            "SELECT d.doc_id, COALESCE(per.nb, 0)::BIGINT AS n_bigrams, "
+            "COALESCE(per.nk, 0)::BIGINT AS n_known, "
+            "(CASE WHEN COALESCE(per.nb, 0) > 0 "
+            "THEN (per.nk * 1000) // per.nb ELSE 0 END)::BIGINT "
+            "AS coverage_permille "
+            "FROM documents d LEFT JOIN per USING (doc_id)"
         ),
         # shard packing: exclusive global byte offset in (length, doc_id)
         # order → fixed-size shard assignment (window-cumsum replay; the

@@ -2130,3 +2130,87 @@ def pack_shards(sf_dir: str, shard_bytes: int = SHARD_BYTES,
 
     return pre.groupby("n_chars").map_groups(
         pack_group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# corpus n-gram LM coverage (SQL-oracled)
+
+LM_MIN_COUNT = 3  # a bigram is "in the model" iff corpus count >= this
+
+
+def _bigram_keys(text: str) -> np.ndarray:
+    """POSITIONAL word-bigram keys (md5-31-bit, the shingle key family)
+    — unlike ``shingle_hashes`` this keeps duplicates: coverage counts
+    positions, not types.  Short-doc rule matches the shingle family
+    (one whole-text gram below w tokens)."""
+    toks = _TOKEN_RE.findall(text.lower())
+    if len(toks) < 2:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)]
+    if not grams:
+        return np.array([], dtype=np.int64)
+    return np.array(
+        [int.from_bytes(hashlib.md5(g.encode()).digest()[8:], "little")
+         & 0x7FFFFFFF for g in grams], dtype=np.int64)
+
+
+def lm_coverage(sf_dir: str, min_count: int = LM_MIN_COUNT,
+                driver_limit: int = 2_000_000):
+    """(doc_id, n_bigrams, n_known, coverage_permille): score every
+    document against a bigram model TRAINED ON THE CORPUS ITSELF — the
+    integer-exact stand-in for LM-perplexity quality filtering (CCNet /
+    Gopher style): a document whose word-bigrams are mostly corpus-rare
+    (coverage low) is boilerplate, gibberish or OCR noise.
+
+    Two passes.  Pass 1 (model build) is the one shuffle: per-batch
+    positional-bigram count partials — (key, c) rows, never text —
+    merged by a size-gated fold (driver below ``driver_limit`` partial
+    rows, distributed groupby-sum above); keys with total count >=
+    ``min_count`` form the model.  Pass 2 is map-only: the model ships
+    once via ``ray.put`` as a sorted int64 array and every batch probes
+    it with vectorized ``np.isin``.  At 100 TB the model is capped by
+    the min-count cut (production would add a top-V cap); keys are the
+    md5-31-bit shingle family shared with the minhash/decontaminate
+    oracles, so the DuckDB replay is exact (hash collisions conflate
+    bigrams identically on both sides)."""
+    import ray
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        allx = [_bigram_keys(t) for t in df["text"]]
+        xs = np.concatenate(allx) if allx else np.array([], dtype=np.int64)
+        if xs.shape[0] == 0:
+            return pd.DataFrame({"x": pd.Series([], dtype="int64"),
+                                 "c": pd.Series([], dtype="int64")})
+        uniq, cnt = np.unique(xs, return_counts=True)
+        return pd.DataFrame({"x": uniq.astype("int64"),
+                             "c": cnt.astype("int64")})
+
+    parts = _read_docs(sf_dir, ["text"]).map_batches(
+        partial, batch_format="pandas").materialize()
+    if parts.count() > driver_limit:
+        agg = collect_df(parts.groupby("x").sum("c")) \
+            .rename(columns={"sum(c)": "c"})
+    else:
+        agg = collect_df(parts).groupby("x", as_index=False)["c"].sum()
+    model = np.sort(agg.loc[agg["c"] >= min_count, "x"]
+                    .to_numpy(np.int64))
+    mref = ray.put(model)
+
+    def score(df: pd.DataFrame, _r=mref) -> pd.DataFrame:
+        m = ray.get(_r)
+        nb = np.zeros(len(df), dtype=np.int64)
+        nk = np.zeros(len(df), dtype=np.int64)
+        for i, t in enumerate(df["text"]):
+            xs = _bigram_keys(t)
+            nb[i] = xs.shape[0]
+            if xs.shape[0] and m.shape[0]:
+                nk[i] = int(np.isin(xs, m).sum())
+        cov = np.where(nb > 0, (nk * 1000) // np.maximum(nb, 1), 0)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_bigrams": nb, "n_known": nk,
+            "coverage_permille": cov.astype(np.int64)})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas")

@@ -87,3 +87,36 @@ def test_pack_shards_boundaries(ray_session, sf_dir):
     assert shards[0] == 0
     for a, b in zip(shards, shards[1:]):
         assert b - a in (0, 1)
+
+
+def _brute_lm(docs, min_count):
+    from collections import Counter
+
+    per_doc = {d["doc_id"]: textops._bigram_keys(d["text"]) for d in docs}
+    counts = Counter()
+    for xs in per_doc.values():
+        counts.update(xs.tolist())
+    model = {x for x, c in counts.items() if c >= min_count}
+    out = {}
+    for doc_id, xs in per_doc.items():
+        nb = len(xs)
+        nk = sum(1 for x in xs.tolist() if x in model)
+        out[doc_id] = (nb, nk, (nk * 1000) // nb if nb else 0)
+    return out
+
+
+def test_lm_coverage(ray_session, sf_dir, docs):
+    want = _brute_lm(docs, textops.LM_MIN_COUNT)
+    got = {r["doc_id"]: (r["n_bigrams"], r["n_known"],
+                         r["coverage_permille"])
+           for r in textops.lm_coverage(sf_dir).take_all()}
+    assert got == want
+
+
+def test_lm_coverage_gate_parity(ray_session, sf_dir):
+    """Driver-fold and distributed-groupby model merges agree."""
+    a = sorted(map(tuple, (r.values() for r in
+                           textops.lm_coverage(sf_dir).take_all())))
+    b = sorted(map(tuple, (r.values() for r in textops.lm_coverage(
+        sf_dir, driver_limit=-1).take_all())))
+    assert a == b
