@@ -169,7 +169,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
 
 
 def run_scaling_job(num_cpus: int, n_pages: int, tag: str = "",
-                    engine: str = None) -> dict:
+                    engine: str = None, barrier: str = None,
+                    barrier_n: int = 0) -> dict:
     """The scaling headline in one fresh Ray session: the bulk BFS crawl
     over a heavy (Common-Crawl-sized bodies, dense links) pages table.
     Throughput is measured over the crawl loop (store ingest excluded —
@@ -205,15 +206,33 @@ def run_scaling_job(num_cpus: int, n_pages: int, tag: str = "",
     # (a cluster's nodes ingest from distributed storage in parallel; on
     # one box it is a fixed cost that corrupts the CPU-scaling signal)
     engine = engine or os.environ.get("MWC_SCALING_ENGINE", "pipelined")
+
+    gate = None
+    if barrier:
+        # rendezvous for CONCURRENT sessions: each writes a ready marker
+        # after its (untimed) setup, then blocks until all barrier_n are
+        # ready — so one job's setup burst never lands inside another
+        # job's timed loop (the r3j run-1 artifact: 4x8 aggregate 18k
+        # pages/s vs 26k for a single 32-cpu session, coord "1.47")
+        def gate() -> None:
+            import glob
+
+            open(f"{barrier}.{tag}", "w").close()
+            t_dead = time.time() + 600
+            while len(glob.glob(barrier + ".*")) < barrier_n:
+                if time.time() > t_dead:
+                    raise RuntimeError("scaling barrier timed out")
+                time.sleep(0.05)
+
     if engine == "pipelined":
         # the barrier-free throughput engine is the scaling headline;
         # MWC_SCALING_ENGINE=wave measures the resumable wave engine
         stats = bulk.crawl_bfs_pipelined(
             cfg, pdir, seeds, out_dir=out, num_shards=8,
-            prewarm_buckets=True)
+            prewarm_buckets=True, start_gate=gate)
     else:
         stats = bulk.crawl_bfs(cfg, pdir, seeds, out_dir=out, num_shards=8,
-                               prewarm_buckets=True)
+                               prewarm_buckets=True, start_gate=gate)
     el = stats["crawl_sec"]
     out = {
         "queries": {"crawl_bulk_heavy": round(el, 3)},
@@ -253,11 +272,14 @@ def main() -> None:
         here = os.path.dirname(os.path.abspath(__file__))
         have_taskset = shutil.which("taskset") is not None
 
-        def job_cmd(cpus: int, n: int, tag: str, pin=None) -> list:
+        def job_cmd(cpus: int, n: int, tag: str, pin=None,
+                    barrier=None, barrier_n=0) -> list:
             code = (
                 "import json,sys; sys.path.insert(0, %r); "
-                "import bench; r = bench.run_scaling_job(%d, %d, %r); "
-                "print('RESULT ' + json.dumps(r))" % (here, cpus, n, tag)
+                "import bench; r = bench.run_scaling_job(%d, %d, %r, "
+                "barrier=%r, barrier_n=%d); "
+                "print('RESULT ' + json.dumps(r))"
+                % (here, cpus, n, tag, barrier, barrier_n)
             )
             cmd = [sys.executable, "-c", code]
             if pin is not None and have_taskset:
@@ -304,8 +326,14 @@ def main() -> None:
         r8s = run_sync(job_cmd(8, n_pages // 4, "_wseq", pin="0-7"))
         r32 = run_sync(job_cmd(32, n_pages, "_strong"))
 
+        import glob as _glob
+
+        bar = f"/tmp/mwc_weak_barrier_{os.getpid()}"
+        for f in _glob.glob(bar + ".*"):
+            os.unlink(f)
         procs = [subprocess.Popen(
-                    job_cmd(8, n_pages, f"_w{i}", pin=f"{i*8}-{i*8+7}"),
+                    job_cmd(8, n_pages, f"_w{i}", pin=f"{i*8}-{i*8+7}",
+                            barrier=bar, barrier_n=4),
                     stdout=subprocess.PIPE, text=True)
                  for i in range(4)]
         weak_tputs = []
@@ -316,10 +344,23 @@ def main() -> None:
                 raise SystemExit("weak-scaling job failed")
             weak_tputs.append(r["pages_per_sec"])
 
+        # symmetric baseline: the single-8cpu phase runs a second time
+        # AFTER the 4x8 phase, and the weak ratio is taken against the
+        # MEAN of the two baselines.  On a shared VM the box drifts
+        # between the baseline and the concurrent phase minutes later;
+        # pre+post bracketing cancels linear drift instead of letting it
+        # masquerade as (anti-)scaling — the r3h/r3i campaigns recorded
+        # physically impossible readings (weak 1.12, coord 1.78) from
+        # exactly this hole.
+        r8b = run_sync(job_cmd(8, n_pages, "_wpost", pin="0-7"))
+
         tput8 = r8["pages_per_sec"]
+        tput8b = r8b["pages_per_sec"]
+        base_sym = (tput8 + tput8b) / 2.0
         tput32 = r32["pages_per_sec"]
         eff_strong = tput32 / (4 * tput8) if tput8 else 0.0
-        eff_weak = sum(weak_tputs) / (4 * tput8) if tput8 else 0.0
+        eff_weak = sum(weak_tputs) / (4 * base_sym) if base_sym else 0.0
+        eff_weak_pre = sum(weak_tputs) / (4 * tput8) if tput8 else 0.0
         eff_weak_seq = (r8s["crawl_sec"] / r32["crawl_sec"]
                         if r32["crawl_sec"] else 0.0)
         # coordination efficiency: ONE 32-cpu session vs FOUR independent
@@ -331,17 +372,20 @@ def main() -> None:
         print(json.dumps(
             {
                 "metric": "scaling efficiency N→4N (weak node-proxy: 1 vs"
-                          " 4 pinned concurrent 8-cpu jobs; weak fixed"
-                          " work/cpu: 50k@8 vs 200k@32 time ratio;"
+                          " 4 pinned concurrent 8-cpu jobs, symmetric"
+                          " pre/post baseline; weak fixed work/cpu:"
+                          " 50k@8 vs 200k@32 time ratio;"
                           " strong: same 200k job 8 vs 32 cpus)",
                 "value": round(eff_weak, 3),
                 "unit": "ratio",
                 "weak_efficiency": round(eff_weak, 3),
+                "weak_efficiency_pre_baseline": round(eff_weak_pre, 3),
                 "weak_seq_efficiency": round(eff_weak_seq, 3),
                 "strong_efficiency": round(eff_strong, 3),
                 "coord_efficiency": round(eff_coord, 3),
                 "engine": r32.get("engine"),
                 "pages_per_sec_8cpu": tput8,
+                "pages_per_sec_8cpu_post": tput8b,
                 "pages_per_sec_8cpu_quarter_corpus": r8s["pages_per_sec"],
                 "pages_per_sec_32cpu": tput32,
                 "pages_per_sec_4x8cpu_aggregate": round(sum(weak_tputs), 1),

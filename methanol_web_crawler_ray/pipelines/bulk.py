@@ -517,6 +517,7 @@ def crawl_bfs(
     resume: bool = False,
     direct_wave_gate: int = 200_000,
     prewarm_buckets: bool = False,
+    start_gate=None,
 ) -> Dict[str, float]:
     """Run the BFS bulk crawl; writes wave Parquet + frontier Parquet +
     seen snapshots per wave under out_dir (resumable) and returns
@@ -611,6 +612,11 @@ def crawl_bfs(
         _ray.get(_ray.get(
             bucket_dir.get_refs.remote(list(range(num_buckets)))))
     stats["setup_sec"] = time.time() - t0
+    if start_gate is not None:
+        # benchmark rendezvous: concurrent sessions block here until all
+        # have finished setup, so timed loops only ever overlap timed
+        # loops (a real cluster's job start after per-node setup)
+        start_gate()
     t_loop = time.time()
 
     wave_fn = make_bucket_wave_fn(cfg_blob, crawler, bucket_dir,
@@ -846,6 +852,7 @@ def crawl_bfs_pipelined(
     emit_text: bool = True,
     max_inflight: Optional[int] = None,
     prewarm_buckets: bool = False,
+    start_gate=None,
 ) -> Dict[str, float]:
     """Barrier-free frontier-queue crawl — the wave engine minus the
     per-wave ``ray.get`` barrier.
@@ -974,6 +981,9 @@ def crawl_bfs_pipelined(
              "frontier_urls": len(seed_rows), "task_busy_sec": 0.0,
              "n_tasks": 0}
     stats["setup_sec"] = time.time() - t0
+    if start_gate is not None:
+        # benchmark rendezvous: see crawl_bfs
+        start_gate()
     t_loop = time.time()
 
     pending: Dict = {}
