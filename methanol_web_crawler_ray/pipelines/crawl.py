@@ -80,17 +80,23 @@ def _rows_table(rows: List[dict]) -> pa.Table:
 
 class _PoolFacade:
     """try_add_batch / try_add_seq over shard actor handles, usable inside
-    map_groups workers (handles serialize with the closure)."""
+    map_groups workers (handles serialize with the closure).
 
-    def __init__(self, actors):
+    ``claimant`` (the crawling host, set by HostTurnStep) tags every
+    turn-time add so shards can log same-round claims per key — the
+    raw material for the driver's deterministic conflict replay (see
+    SeenShardActor docstring).  Merge/registry paths leave it None."""
+
+    def __init__(self, actors, claimant: Optional[str] = None):
         self.actors = actors
         self.num_shards = len(actors)
+        self.claimant = claimant
 
     def try_add_batch(self, host_norm: str, keys):
         import ray
 
         a = self.actors[shard_of(host_norm, self.num_shards)]
-        return ray.get(a.try_add_batch.remote(list(keys)))
+        return ray.get(a.try_add_batch.remote(list(keys), self.claimant))
 
     def try_add_runs(self, runs):
         """[(host_norm, keys), ...] → [verdicts, ...]: submit every run's
@@ -101,7 +107,7 @@ class _PoolFacade:
 
         futs = [
             self.actors[shard_of(h, self.num_shards)]
-            .try_add_batch.remote(list(keys))
+            .try_add_batch.remote(list(keys), self.claimant)
             for h, keys in runs
         ]
         return ray.get(futs)
@@ -179,7 +185,7 @@ class HostTurnStep:
                 return _rows_table([row])
         self.cfg, self.fetch = _turn_ctx(self.cfg_blob, self.store_dir,
                                          self.num_buckets)
-        self.pool = _PoolFacade(self.actors)
+        self.pool = _PoolFacade(self.actors, claimant=host)
         state = None
         seeds: Optional[List[str]] = None
         arrivals: Optional[List[Tuple]] = None
@@ -301,6 +307,36 @@ def _get_turn_task():
 # driver holds only counters (the 10^8-host shape).  Same kernel, same
 # deterministic merge, same lineage either way.
 SMALL_WORK_ROWS = 20_000
+
+# Same-round seen-claim replay cap; realistic conflicts converge in 2
+# iterations (1 optimistic + 1 forced) — the cap guards pathological
+# claim-set oscillation, after which the small path serializes.
+MAX_ROUND_REPLAYS = 8
+
+
+def _reconcile_claims(claims_by_shard, forced_used):
+    """Fold per-shard round-claim logs into the next forced-verdict maps.
+
+    For every contested round-local key the deterministic winner is the
+    lexicographically smallest claimant host (the sequential model's
+    sorted-host turn order, simulator.py:284).  Returns
+    ``(new_forced_by_shard, converged)``: converged means every contested
+    key's forced winner already equals the min claimant of THIS run (a
+    fixpoint — the run's outcome equals the sequential execution)."""
+    converged = True
+    new_forced = []
+    for shard_claims, used in zip(claims_by_shard, forced_used):
+        nf = {}
+        for k, claimants in shard_claims.items():
+            if not claimants:
+                continue  # stale forced key nobody claimed — drop it
+            win = min(claimants)
+            if len(claimants) >= 2 or k in used:
+                nf[k] = win
+                if used.get(k) != win:
+                    converged = False
+        new_forced.append(nf)
+    return new_forced, converged
 
 
 def _work_table_local(round_dir: str) -> pa.Table:
@@ -464,11 +500,34 @@ def crawl_rounds(
         # restores every shard from the round-START snapshot and re-runs
         # whole — the deterministic merge order makes the replay
         # byte-identical.
+        #
+        # The same restore/replay machinery also resolves SAME-ROUND
+        # cross-host seen races deterministically: the synchronous
+        # ignore_host / epeek verdicts (hostloop.py "keep-in-place")
+        # are RPC-arrival-ordered under concurrency, but the sequential
+        # model processes hosts in sorted order (simulator.py:284), so
+        # the deterministic winner of a contested round-local key is the
+        # lexicographically SMALLEST claimant host.  Shards log claims
+        # per round; if any key got ≥2 distinct claimants, the round is
+        # replayed with a forced-verdict table (winner = min claimant),
+        # iterated to fixpoint — any fixpoint equals the sequential
+        # outcome (the smallest host's run depends on nothing, induction
+        # up the order).  Conflict-free rounds (the common case: a
+        # conflict needs two hosts reaching the SAME in-place-crawled
+        # URL in the SAME round) cost one extra RPC per shard.  If the
+        # fixpoint iteration hits its cap, the small path falls back to
+        # running turns one-at-a-time in sorted order (trivially the
+        # sequential semantics).
         pre_round_seen = pool.snapshots()
-        for attempt in range(3):
+        forced = [dict() for _ in range(num_shards)]
+        err_tries = 0
+        replays = 0
+        serialize = False
+        while True:
             try:
                 import shutil as _sh
 
+                pool.begin_round(forced)
                 _sh.rmtree(round_dir, ignore_errors=True)
                 os.makedirs(round_dir, exist_ok=True)
 
@@ -495,9 +554,13 @@ def crawl_rounds(
                     step = HostTurnStep(cfg_blob, store_dir, num_buckets,
                                         pool.actors, r, crawler)
                     task = _get_turn_task()
-                    futs = [task.remote(step, g)
-                            for _h, g in wdf.groupby("host", sort=True)]
-                    tables = ray.get(futs)
+                    groups = wdf.groupby("host", sort=True)
+                    if serialize:
+                        tables = [ray.get(task.remote(step, g))
+                                  for _h, g in groups]
+                    else:
+                        futs = [task.remote(step, g) for _h, g in groups]
+                        tables = ray.get(futs)
                     results_tbl = pa.concat_tables(tables)
                     os.makedirs(os.path.join(round_dir, "result"),
                                 exist_ok=True)
@@ -537,59 +600,76 @@ def crawl_rounds(
                             round_dir, sub, "part-0.parquet"))
                         n_arr = len(rows)
                         arrivals_scheduled = ext_on and n_arr > 0
-                    break
-
-                # ---- DATASET-NATIVE round (the 10^8-host shape)
-                results = work.groupby("host").map_groups(
-                    HostTurnStep(cfg_blob, store_dir, num_buckets,
-                                 pool.actors, r, crawler),
-                    batch_format="pandas",
-                    num_cpus=1,
-                    max_retries=0,
-                ).materialize()
-                _write_round(results, round_dir)
-
-                # one summary fold over the materialized result blocks —
-                # replaces the old count()/min() probe executions
-                summ = results.map_batches(
-                    _summarize, batch_format="pyarrow").take_all()
-                n_active = sum(s["n_active"] for s in summ)
-                n_cand = sum(s["n_cand"] for s in summ)
-                dues = [s["min_due"] for s in summ
-                        if s["min_due"] is not None]
-                min_due = min(dues) if dues else None
-
-                arrivals_scheduled = False
-                n_arr = 0
-                if n_cand:
-                    # round barrier: merge external candidates per shard
-                    # (kind=cand rows carry shard id in `seq`); candidates
-                    # stream result-blocks → shard-groupby → Parquet,
-                    # never through the driver
-                    cand_ds = _read_kind_ds(round_dir, "cand")
-                    arrivals = cand_ds.groupby("seq").map_groups(
-                        MergeStep(cfg_blob, pool.actors),
+                else:
+                    # ---- DATASET-NATIVE round (the 10^8-host shape)
+                    results = work.groupby("host").map_groups(
+                        HostTurnStep(cfg_blob, store_dir, num_buckets,
+                                     pool.actors, r, crawler),
                         batch_format="pandas",
-                        num_cpus=0.5,
+                        num_cpus=1,
                         max_retries=0,
-                    )
-                    # Arrival rows only SCHEDULE when the active crawler
-                    # has external=True — simulate_rounds gates new_hosts
-                    # the same way, and the reference pops pending hosts
-                    # only under LM_CRFLAG_EXTERNAL (worker.c:255).  The
-                    # merge itself always runs: its ordered seen/registry
-                    # adds are part of the seen-set semantics.
-                    sub = "arrivals" if ext_on else "arrivals_unscheduled"
-                    arrivals = arrivals.materialize()
-                    arrivals.write_parquet(os.path.join(round_dir, sub))
-                    n_arr = arrivals.count()
-                    arrivals_scheduled = ext_on and n_arr > 0
-                break
+                    ).materialize()
+                    _write_round(results, round_dir)
+
+                    # one summary fold over the materialized result blocks
+                    # — replaces the old count()/min() probe executions
+                    summ = results.map_batches(
+                        _summarize, batch_format="pyarrow").take_all()
+                    n_active = sum(s["n_active"] for s in summ)
+                    n_cand = sum(s["n_cand"] for s in summ)
+                    dues = [s["min_due"] for s in summ
+                            if s["min_due"] is not None]
+                    min_due = min(dues) if dues else None
+
+                    arrivals_scheduled = False
+                    n_arr = 0
+                    if n_cand:
+                        # round barrier: merge external candidates per
+                        # shard (kind=cand rows carry shard id in `seq`);
+                        # candidates stream result-blocks → shard-groupby
+                        # → Parquet, never through the driver
+                        cand_ds = _read_kind_ds(round_dir, "cand")
+                        arrivals = cand_ds.groupby("seq").map_groups(
+                            MergeStep(cfg_blob, pool.actors),
+                            batch_format="pandas",
+                            num_cpus=0.5,
+                            max_retries=0,
+                        )
+                        # Arrival rows only SCHEDULE when the active
+                        # crawler has external=True — simulate_rounds
+                        # gates new_hosts the same way, and the reference
+                        # pops pending hosts only under LM_CRFLAG_EXTERNAL
+                        # (worker.c:255).  The merge itself always runs:
+                        # its ordered seen/registry adds are part of the
+                        # seen-set semantics.
+                        sub = ("arrivals" if ext_on
+                               else "arrivals_unscheduled")
+                        arrivals = arrivals.materialize()
+                        arrivals.write_parquet(os.path.join(round_dir, sub))
+                        n_arr = arrivals.count()
+                        arrivals_scheduled = ext_on and n_arr > 0
             except Exception:
-                if attempt == 2:
+                err_tries += 1
+                if err_tries >= 3:
                     pool.shutdown()
                     raise
                 pool.restore(pre_round_seen)
+                continue
+
+            if serialize:
+                break  # sorted one-at-a-time execution IS the sim order
+            forced, converged = _reconcile_claims(pool.round_claims(), forced)
+            if converged:
+                break
+            replays += 1
+            pool.restore(pre_round_seen)
+            if replays >= MAX_ROUND_REPLAYS:
+                if not small:
+                    pool.shutdown()
+                    raise RuntimeError(
+                        "same-round seen-claim replay did not converge")
+                serialize = True
+                forced = [dict() for _ in range(num_shards)]
 
         # snapshot seen shards (resume lineage) — shard-parallel writes
         pool.snapshot_to_dir(round_dir)

@@ -671,9 +671,12 @@ class CrawlKernel:
                 # into a no-op.  A URL already crawled/queued by another
                 # host is dropped here like inline's dedup removal.
                 # (Two hosts reaching the same ignore_host URL in the SAME
-                # round race for the add; exactly one wins — the winner is
-                # deterministic sequentially, actor-arrival-order under
-                # Ray.  SETS are stable either way.)
+                # round race for this add; the winner must be the
+                # sequential model's sorted-smallest host.  Under Ray the
+                # natural winner is actor-arrival order, so the rounds
+                # driver logs per-round claims on the shards and REPLAYS
+                # conflicted rounds with the deterministic winner forced —
+                # crawl.py "same-round seen-claim reconciliation".)
                 cand = self.log.ext_candidates[row.ext_cand]
                 cand.seen_check = False
                 cand.park = False

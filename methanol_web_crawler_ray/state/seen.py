@@ -258,11 +258,70 @@ def make_seen_pool(num_shards: int = 8, mode: str = "exact",
 
     @ray.remote(num_cpus=num_cpus)
     class SeenShardActor:
+        """One shard.  Beyond plain membership it supports DETERMINISTIC
+        same-round conflict resolution for the rounds engine: turn-time
+        adds carry a ``claimant`` (the crawling host); the shard logs
+        which hosts claimed each ROUND-LOCAL key (keys already seen
+        before the round can't conflict — everyone deterministically
+        gets False).  When two distinct hosts claim the same key in the
+        same round the natural winner is RPC-arrival order — racy — so
+        the driver detects it via ``round_claims()``, restores the
+        round-start snapshot, and replays the round with a ``forced``
+        verdict table (key → winner host, the sequential model's
+        sorted-host order, simulator.py:284).  Conflict-free rounds (the
+        overwhelming case) pay one extra no-op RPC per shard."""
+
         def __init__(self, mode: str, cuckoo_buckets: int):
             self.state = SeenShardState(mode, cuckoo_buckets)
+            self.claim1: Dict[str, str] = {}        # round-local key → first claimant
+            self.claimN: Dict[str, List[str]] = {}  # keys with ≥2 distinct claimants
+            self.forced: Dict[str, str] = {}        # key → replay winner host
 
-        def try_add_batch(self, keys: Sequence[str]) -> List[bool]:
-            return self.state.try_add_batch(keys)
+        def try_add_batch(self, keys: Sequence[str],
+                          claimant: str = None) -> List[bool]:
+            if claimant is None:
+                return self.state.try_add_batch(keys)
+            out = []
+            for k in keys:
+                w = self.forced.get(k)
+                if w is not None:
+                    # forced keys are round-local by construction — log
+                    # EVERY claim attempt (winners and losers) so the
+                    # driver can verify the forced map is still the
+                    # fixpoint for this replay's claim sets
+                    lst = self.claimN.setdefault(k, [])
+                    if claimant not in lst:
+                        lst.append(claimant)
+                    ok = claimant == w and self.state.try_add_batch([k])[0]
+                else:
+                    ok = self.state.try_add_batch([k])[0]
+                    lst = self.claimN.get(k)
+                    if lst is not None:
+                        if claimant not in lst:
+                            lst.append(claimant)
+                    elif k in self.claim1:
+                        if self.claim1[k] != claimant:
+                            self.claimN[k] = [self.claim1.pop(k), claimant]
+                    elif ok:
+                        self.claim1[k] = claimant
+                out.append(ok)
+            return out
+
+        def begin_round(self, forced: Dict[str, str]) -> None:
+            self.claim1.clear()
+            self.claimN.clear()
+            self.forced = dict(forced)
+
+        def round_claims(self) -> Dict[str, List[str]]:
+            """Keys needing driver reconciliation: multi-claimant keys
+            plus forced keys (even single/zero-claimant — the driver
+            drops stale entries)."""
+            out = dict(self.claimN)
+            for k in self.forced:
+                if k not in out:
+                    c = self.claim1.get(k)
+                    out[k] = [c] if c is not None else []
+            return out
 
         def try_add_grouped(self, groups: Dict[str, List[str]]) -> Dict[str, List[bool]]:
             """Batched variant: {host: keys} in one RPC (round-end external
@@ -280,12 +339,21 @@ def make_seen_pool(num_shards: int = 8, mode: str = "exact",
 
         def restore(self, blob: bytes) -> None:
             self.state = SeenShardState.restore(blob)
+            # a restore is a round replay/retry reset — stale claims and
+            # forced verdicts must not leak into the re-run (the driver
+            # re-sends forced via begin_round)
+            self.claim1.clear()
+            self.claimN.clear()
+            self.forced.clear()
 
         def snapshot_to(self, path: str) -> None:
             self.state.snapshot_to(path)
 
         def restore_from(self, path: str) -> None:
             self.state = SeenShardState.restore_from(path)
+            self.claim1.clear()
+            self.claimN.clear()
+            self.forced.clear()
 
     class RaySeenPool:
         def __init__(self):
@@ -331,6 +399,19 @@ def make_seen_pool(num_shards: int = 8, mode: str = "exact",
                 for i, ok in zip(idxs, ray.get(futs[s])):
                     out[i] = ok
             return out
+
+        def begin_round(self, forced_by_shard: List[Dict[str, str]] = None) -> None:
+            """Clear per-round claim logs on every shard and install the
+            replay's forced-verdict maps (empty maps on a fresh round)."""
+            fb = forced_by_shard or [{} for _ in self.actors]
+            ray.get([
+                a.begin_round.remote(f) for a, f in zip(self.actors, fb)
+            ])
+
+        def round_claims(self) -> List[Dict[str, List[str]]]:
+            """Per-shard {key: distinct claimant hosts} for keys needing
+            reconciliation (one RPC per shard)."""
+            return ray.get([a.round_claims.remote() for a in self.actors])
 
         def size(self) -> int:
             return sum(ray.get([a.size.remote() for a in self.actors]))

@@ -144,8 +144,14 @@ def test_ignore_host_rounds_parity(ray_session):
                            dynamic_url="@html", unknown_url="discard"),
     }
     cfg = EngineConfig(crawlers=crawlers, filetypes=filetypes)
-    # budget 2 transfers/round: a.x reaches b.x/p.html in round 0, c.x only
-    # in round 1 — no same-round race, outcome fully deterministic
+    # budget 2 transfers/round.  NOTE: both hosts issue their synchronous
+    # seen VERDICT for b.x/p.html in round 0 (a.x at its transfer-1 parse,
+    # c.x at its transfer-2 parse of c1.html) even though c.x would only
+    # CRAWL it in round 1 — so this IS a same-round cross-host claim race,
+    # resolved deterministically by the engine's claim-replay machinery
+    # (winner = sorted-host order, matching simulate_rounds).  This test
+    # flaked before round 4 precisely because the verdict was
+    # RPC-arrival-ordered.
     cfg.mode = "friendly"
     cfg.round_seconds = 20
 
@@ -203,6 +209,93 @@ def test_external_peek_ray_parity(ray_session):
     assert sorted((v[0], v[3], v[4]) for v in r_ray.visits) == \
         sorted((v[0], v[3], v[4]) for v in r_sim.visits)
     assert r_sim.texts == r_ray.texts
+
+
+def test_same_round_claim_race_deterministic(ray_session):
+    """Stress the same-round cross-host sync-claim race: 8 hosts all link
+    the SAME 4 ignore_host URLs in round 0 (aggressive mode → everything
+    happens in one round, maximum contention).  The racy pre-round-4
+    engine gave the shared URLs to whichever host's shard RPC landed
+    first; the claim-replay machinery must award every contested URL to
+    the sorted-smallest claimant — exactly simulate_rounds — on every
+    run.  3 repeats to catch scheduling-order dependence."""
+    from _pagetools import html, write_pages
+
+    from methanol_web_crawler_ray.config import EngineConfig
+    from methanol_web_crawler_ray.functions.matchkit import Crawler, Filetype
+
+    filetypes = {
+        "html": Filetype(name="html", extensions=("html",),
+                         mimetypes=("text/html",),
+                         parser="html, utf8conv, entityconv",
+                         ignore_host=True),
+    }
+    crawlers = {
+        "default": Crawler(name="default", filetypes=("html",),
+                           depth_limit=4, robotstxt=False, external=False,
+                           dir_url="@html", extless_url="@html",
+                           dynamic_url="@html", unknown_url="discard"),
+    }
+    cfg = EngineConfig(crawlers=crawlers, filetypes=filetypes)
+    cfg.mode = "aggressive"  # unbounded budget: one round, all races live
+
+    shared = [f"http://shared.x/s{i}.html" for i in range(4)]
+    pages = []
+    hosts = [f"h{i:02d}.x" for i in range(8)]
+    for h in hosts:
+        links = " ".join(f'<a href="{u}">s</a>' for u in shared)
+        pages.append({"url": f"http://{h}/",
+                      "body": html(links + ' <a href="/own.html">o</a>')})
+        pages.append({"url": f"http://{h}/own.html", "body": html("leaf")})
+    for i, u in enumerate(shared):
+        # shared pages chain onward to a second tier of contested URLs
+        pages.append({"url": u, "body": html(
+            f'<a href="http://shared.x/t{i}.html">t</a>')})
+        pages.append({"url": f"http://shared.x/t{i}.html",
+                      "body": html("deep")})
+
+    d = write_pages("/tmp/mwc_test_claimrace_pages", pages)
+    seeds = [f"http://{h}/" for h in hosts]
+    fetch = DictFetcher(pagegen.load_fetch_dict(d))
+    r_sim = sim.simulate_rounds(cfg, fetch, seeds)
+    winner_visits = [v for v in r_sim.visits if v[0] in shared]
+    assert len(winner_visits) == len(shared)
+    assert all(v[1] == "h00.x" for v in winner_visits), \
+        "sequential model awards every contested URL to the smallest host"
+
+    for rep in range(3):
+        ck = f"/tmp/mwc_test_claimrace_{rep}"
+        shutil.rmtree(ck, ignore_errors=True)
+        crawl.crawl_rounds(cfg, d, seeds, ckpt_dir=ck, concurrency=4,
+                           num_shards=2)
+        r_ray = crawl.collect_result(ck)
+        assert sorted((v[0], v[1], v[3], v[4]) for v in r_ray.visits) == \
+            sorted((v[0], v[1], v[3], v[4]) for v in r_sim.visits), \
+            f"run {rep} diverged from the sequential model"
+        assert r_sim.texts == r_ray.texts
+
+
+def test_reconcile_claims_fixpoint():
+    """Unit: _reconcile_claims awards min-claimant, detects non-fixpoint
+    runs, and drops stale forced keys."""
+    from methanol_web_crawler_ray.pipelines.crawl import _reconcile_claims
+
+    # fresh conflict: two claimants, no forced map yet → replay needed
+    nf, conv = _reconcile_claims([{"k1": ["c.x", "a.x"]}], [{}])
+    assert not conv and nf == [{"k1": "a.x"}]
+    # fixpoint: forced winner equals min claimant of this run → accept
+    nf2, conv2 = _reconcile_claims([{"k1": ["c.x", "a.x"]}], nf)
+    assert conv2 and nf2 == [{"k1": "a.x"}]
+    # claim set changed: a smaller host now claims the forced key
+    nf3, conv3 = _reconcile_claims([{"k1": ["c.x", "a.x", "0.x"]}], nf)
+    assert not conv3 and nf3 == [{"k1": "0.x"}]
+    # stale forced key nobody claims anymore → dropped, still converged
+    nf4, conv4 = _reconcile_claims([{"k1": []}], nf)
+    assert conv4 and nf4 == [{}]
+    # forced key with a single (different) claimant: the denied host is
+    # now the rightful winner → replay
+    nf5, conv5 = _reconcile_claims([{"k1": ["b.x"]}], [{"k1": "a.x"}])
+    assert not conv5 and nf5 == [{"k1": "b.x"}]
 
 
 def test_cuckoo_mode_smoke(ray_session):
