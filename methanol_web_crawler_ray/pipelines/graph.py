@@ -8,16 +8,27 @@ Everything is decided in FIXED-POINT INTEGERS (scores scaled by
 result independent of summation order and the DuckDB oracle replays
 every iteration bit-for-bit — no float-reduction ambiguity.
 
-Scale shape: the EDGE table is the big side and never leaves the
-cluster — one ``map_batches`` (per-edge contributions from a broadcast
-score/degree map) + one ``groupby(dst).sum`` per iteration; edges are
-materialized once into the object store and re-streamed per iteration
-(spillable).  The node-sized score vector is the small side (|V| ≪ |E|
-on the web); at 10^10 nodes the driver fold/broadcast becomes a
-co-partitioned join on src — the same documented small-side gate as
-``relops.segment_revenue``.  Dangling nodes (no outlinks) receive rank
-but emit none (their mass is dropped, the simple-PageRank convention,
-identical on both sides).
+Scale shape — TWO paths gated on edge count, same integer semantics:
+
+* **small** (≤ ``GRAPH_DRIVER_GATE`` edges): per-iteration map-side
+  partials folded into a driver dict and re-broadcast.  This is the
+  latency path — Ray's sort-based string-key groupby costs ~25 s per
+  iteration on 600 k rows where the fold costs <1 s (the same gate
+  precedent as textops.hot_keys).  The driver holds one node-sized
+  dict, fine below the gate by definition.
+* **large** (> gate, the 10^10-node shape): NOTHING node- or
+  edge-sized ever lives on the driver.  Scores/labels are themselves
+  Datasets; each power iteration is ``edges ⋈ scores`` on src (hash
+  join, co-partitioned) → per-edge contribution map → ``groupby(dst)
+  .sum`` → ``nodes ⟕ inflow`` — three all-to-all exchanges per
+  iteration, the standard BSP shape.  The static ``edges ⋈ deg`` side
+  is materialized once and re-streamed per iteration (spillable).
+  The closed-graph restriction (dst must exist in the page store) is
+  a distributed ``left_semi`` join against the pages table above the
+  gate, a broadcast ``pc.is_in`` filter below it.
+
+Dangling nodes (no outlinks) receive rank but emit none (their mass
+is dropped, the simple-PageRank convention, identical on both sides).
 """
 
 from __future__ import annotations
@@ -31,21 +42,30 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85, exact in integers
 PR_ITERS = 3
 PR_BASE = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
 
-# below this many edge rows the per-iteration fold runs map-side
-# partials + a driver pandas combine instead of Ray's sort-based
-# string-key groupby (measured ~25 s/iteration on 600 k string-keyed
-# rows vs <1 s for the fold — the same gate precedent as
-# textops.hot_keys); above it the distributed groupby takes over (the
-# 10^10-edge shape, where partial rows no longer fit one driver)
+# driver-fold / broadcast gate (rows): below it the per-iteration fold
+# runs map-side partials + a driver pandas combine and the closed-graph
+# filter broadcasts the page-URL set; above it everything stays
+# Dataset-shaped (hash joins + distributed groupby) and the driver
+# holds only scalars
 GRAPH_DRIVER_GATE = 5_000_000
 
 
+def _num_partitions(n_rows: int) -> int:
+    """Hash-join partition count: enough that one partition's build side
+    fits a worker heap at scale, bounded for small inputs."""
+    return int(max(8, min(256, n_rows // 2_000_000 + 8)))
+
+
 def _fold_agg(ds, key: str, col: str, how: str, n_rows: int) -> dict:
-    """key → aggregate(col) over ``ds``: in-batch partial aggregation
-    always; combine on the driver below GRAPH_DRIVER_GATE (partial rows
-    are ≤ touched-nodes × batches), distributed groupby above it.
-    ``how`` is 'sum' or 'min' — both associative, so partial+combine is
-    exact."""
+    """key → aggregate(col) over ``ds`` as a DRIVER DICT: in-batch
+    partial aggregation, then combine on the driver.  ``how`` is 'sum'
+    or 'min' — both associative, so partial+combine is exact.
+
+    SMALL-PATH ONLY: callers must be behind a ≤GRAPH_DRIVER_GATE (or
+    equivalent) size gate — the result is node-sized driver state by
+    construction.  The >gate pipelines (_pagerank_large /
+    _components_large) never call this; they keep aggregates as
+    Datasets."""
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return pd.DataFrame({key: df[key] if key in df
@@ -56,49 +76,70 @@ def _fold_agg(ds, key: str, col: str, how: str, n_rows: int) -> dict:
         return pd.DataFrame({key: g.index, col: g.values})
 
     pre = ds.map_batches(partial, batch_format="pandas")
-    if n_rows <= GRAPH_DRIVER_GATE:
-        parts = pre.to_pandas()
-        g = parts.groupby(key, sort=False)[col].agg(how)
-        return dict(zip(g.index, g.values))
-    agg = pre.groupby(key).sum(col) if how == "sum" \
-        else pre.groupby(key).min(col)
-    df = agg.to_pandas()
-    return dict(zip(df[key], df[f"{how}({col})"]))
+    parts = pre.to_pandas()
+    g = parts.groupby(key, sort=False)[col].agg(how)
+    return dict(zip(g.index, g.values))
 
 
 def _edges_ds(sf_dir: str):
     """Distinct (src, dst) edges: the live extract→canonicalize chain
     (M5-M7 + M1-M4, independently oracled as page_canonicalize),
-    restricted to dst pages that exist in the store (a closed graph)."""
+    restricted to dst pages that exist in the store (a closed graph).
+
+    The closed-graph membership test is size-gated: ≤gate pages →
+    broadcast the URL column once (``ray.put``) and filter batches with
+    ``pc.is_in`` (zero shuffle); >gate → distributed ``left_semi`` hash
+    join against the pages table (never driver-resident)."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import ray
+    import ray.data
 
     from ..sources import pagegen
     from ..stages.extract import page_canonicalize_links
 
     pdir = pagegen.pages_dir_for(sf_dir)
-    page_urls = frozenset(
-        pq.read_table(f"{pdir}/pages.parquet", columns=["url"])
-        .column("url").to_pylist())
-    pset_ref = ray.put(page_urls)
+    pages_path = f"{pdir}/pages.parquet"
+    n_pages = pq.ParquetFile(pages_path).metadata.num_rows
 
-    def edges_fn(batch: pa.Table, _r=pset_ref) -> pa.Table:
-        ps = ray.get(_r)
-        pairs = sorted({
-            (s, d) for s, d in zip(batch.column("url").to_pylist(),
-                                   batch.column("canon").to_pylist())
-            if d is not None and d in ps})
-        return pa.table({
-            "src": pa.array([p[0] for p in pairs], pa.string()),
-            "dst": pa.array([p[1] for p in pairs], pa.string()),
-        })
+    def pair_fn(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("canon")))
+        t = pa.table({"src": t.column("src" if "src" in t.column_names
+                                      else "url"),
+                      "dst": t.column("canon")})
+        # in-batch dedup keeps the shuffle rows minimal
+        return t.group_by(["src", "dst"]).aggregate([])
 
-    # global distinct via one two-key groupby (the in-batch dedup above
-    # keeps the shuffle rows minimal)
-    return (page_canonicalize_links(pdir)
-            .map_batches(edges_fn, batch_format="pyarrow")
-            .groupby(["src", "dst"]).count()
+    pairs = page_canonicalize_links(pdir).map_batches(
+        pair_fn, batch_format="pyarrow")
+
+    if n_pages <= GRAPH_DRIVER_GATE:
+        urls = pq.read_table(pages_path, columns=["url"]) \
+            .column("url").combine_chunks()
+        ref = ray.put(urls)
+
+        def closed_fn(batch: pa.Table, _r=ref) -> pa.Table:
+            return batch.filter(
+                pc.is_in(batch.column("dst"), value_set=ray.get(_r)))
+
+        closed = pairs.map_batches(closed_fn, batch_format="pyarrow")
+    else:
+        pages = ray.data.read_parquet(pages_path, columns=["url"])
+        closed = pairs.join(pages, "left_semi", _num_partitions(n_pages),
+                            on=("dst",), right_on=("url",))
+
+    # global distinct via one two-key groupby (cheap after in-batch dedup)
+    return (closed.groupby(["src", "dst"]).count()
             .select_columns(["src", "dst"]))
+
+
+def _nodes_ds(edges):
+    """Distinct node URLs (src ∪ dst) as a Dataset."""
+    from ._util import rename
+
+    s = rename(edges.select_columns(["src"]), {"src": "url"})
+    d = rename(edges.select_columns(["dst"]), {"dst": "url"})
+    return s.union(d).groupby("url").count().select_columns(["url"])
 
 
 def link_pagerank(sf_dir: str, iters: int = PR_ITERS):
@@ -106,11 +147,19 @@ def link_pagerank(sf_dir: str, iters: int = PR_ITERS):
     iterations over the page link graph.  score_0 = PR_SCALE for every
     node; score_{t+1}(n) = PR_BASE + (85 · Σ_{src→n} score_t(src) //
     deg(src)) // 100."""
-    import ray
-    import ray.data
-
     edges = _edges_ds(sf_dir).materialize()
     n_edges = edges.count()  # metadata on a materialized dataset
+    if n_edges <= GRAPH_DRIVER_GATE:
+        return _pagerank_small(edges, n_edges, iters)
+    return _pagerank_large(edges, n_edges, iters)
+
+
+def _pagerank_small(edges, n_edges: int, iters: int):
+    """≤gate: driver-folded score/degree dicts re-broadcast per
+    iteration (one ray.put per iteration, freed by replacing the ref —
+    one live copy)."""
+    import ray
+    import ray.data
 
     def ones(col):
         def f(df: pd.DataFrame) -> pd.DataFrame:
@@ -127,6 +176,7 @@ def link_pagerank(sf_dir: str, iters: int = PR_ITERS):
     nodes = sorted(set(deg) | set(indeg))
     scores = {n: PR_SCALE for n in nodes}
 
+    ref = None
     for _ in range(iters):
         ref = ray.put((scores, deg))
 
@@ -143,11 +193,64 @@ def link_pagerank(sf_dir: str, iters: int = PR_ITERS):
         scores = {n: PR_BASE
                   + (PR_DAMP_NUM * int(inc.get(n, 0))) // PR_DAMP_DEN
                   for n in nodes}
+        del ref  # single live broadcast copy across iterations
 
     return ray.data.from_arrow(pa.table({
         "url": pa.array(nodes, pa.string()),
         "score": pa.array([scores[n] for n in nodes], pa.int64()),
     }))
+
+
+def _pagerank_large(edges, n_edges: int, iters: int):
+    """>gate: scores stay a DATASET; each iteration is
+    edges⋈deg⋈scores (hash join on src) → contribution map →
+    groupby(dst).sum → nodes⟕inflow.  No node-sized driver structure,
+    no whole-graph broadcast."""
+    import pyarrow.compute as pc
+
+    from ._util import rename
+
+    npart = _num_partitions(n_edges)
+    deg = rename(edges.groupby("src").count(), {"count()": "deg"})
+    # static per-edge (src, dst, deg) side, materialized once and
+    # re-streamed every iteration
+    edges_deg = edges.join(deg, "inner", npart, on=("src",)).materialize()
+    nodes = _nodes_ds(edges).materialize()
+
+    def init_fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t.column("url"),
+            "score": pa.array([PR_SCALE] * len(t), pa.int64()),
+        })
+
+    scores = nodes.map_batches(init_fn, batch_format="pyarrow").materialize()
+
+    def contrib_fn(t: pa.Table) -> pa.Table:
+        # ints are non-negative → arrow trunc-division == python floor
+        return pa.table({
+            "dst": t.column("dst"),
+            "c": pc.divide(t.column("score"), t.column("deg")),
+        })
+
+    def newscore_fn(t: pa.Table) -> pa.Table:
+        inc = pc.fill_null(t.column("sum(c)"), 0)
+        sc = pc.add(PR_BASE,
+                    pc.divide(pc.multiply(inc, PR_DAMP_NUM), PR_DAMP_DEN))
+        return pa.table({"url": t.column("url"),
+                         "score": pc.cast(sc, pa.int64())})
+
+    for _ in range(iters):
+        contrib = (edges_deg
+                   .join(scores, "inner", npart,
+                         on=("src",), right_on=("url",))
+                   .map_batches(contrib_fn, batch_format="pyarrow"))
+        inflow = contrib.groupby("dst").sum("c")
+        scores = (nodes
+                  .join(inflow, "left_outer", npart,
+                        on=("url",), right_on=("dst",))
+                  .map_batches(newscore_fn, batch_format="pyarrow")
+                  .materialize())
+    return scores
 
 
 def pagerank_oracle_sql(pdir: str, iters: int = PR_ITERS) -> str:
@@ -191,11 +294,17 @@ def link_components(sf_dir: str, iters: int = CC_ITERS):
     changed-label counter as the stop condition — same per-round shape).
     Per round: one map over edges (emitting both directions) + one
     groupby-min — the standard BSP components step."""
-    import ray
-    import ray.data
-
     edges = _edges_ds(sf_dir).materialize()
     n_edges = edges.count()
+    if n_edges <= GRAPH_DRIVER_GATE:
+        return _components_small(edges, n_edges, iters)
+    return _components_large(edges, n_edges, iters)
+
+
+def _components_small(edges, n_edges: int, iters: int):
+    """≤gate: driver-folded label dict re-broadcast per iteration."""
+    import ray
+    import ray.data
 
     def ones(col):
         def f(df: pd.DataFrame) -> pd.DataFrame:
@@ -212,6 +321,7 @@ def link_components(sf_dir: str, iters: int = CC_ITERS):
     nodes = sorted(set(srcs) | set(dsts))
     labels = {n: n for n in nodes}
 
+    ref = None
     for _ in range(iters):
         ref = ray.put(labels)
 
@@ -228,11 +338,46 @@ def link_components(sf_dir: str, iters: int = CC_ITERS):
             "n", "l", "min", 2 * n_edges)
         labels = {n: min(labels[n], inflow.get(n, labels[n]))
                   for n in nodes}
+        del ref  # single live broadcast copy across iterations
 
     return ray.data.from_arrow(pa.table({
         "url": pa.array(nodes, pa.string()),
         "comp": pa.array([labels[n] for n in nodes], pa.string()),
     }))
+
+
+def _components_large(edges, n_edges: int, iters: int):
+    """>gate: labels stay a DATASET; each iteration joins the
+    undirected edge list with labels on the message source, then takes
+    groupby(url).min over messages ∪ self-labels."""
+    import pyarrow.compute as pc  # noqa: F401 (parallel structure)
+
+    from ._util import rename
+
+    npart = _num_partitions(2 * n_edges)
+    ue = (rename(edges, {"src": "a", "dst": "b"}).select_columns(["a", "b"])
+          .union(rename(edges, {"src": "b", "dst": "a"})
+                 .select_columns(["a", "b"]))
+          ).materialize()
+
+    def init_fn(t: pa.Table) -> pa.Table:
+        return pa.table({"url": t.column("url"), "lab": t.column("url")})
+
+    labels = (_nodes_ds(edges)
+              .map_batches(init_fn, batch_format="pyarrow").materialize())
+
+    def msg_fn(t: pa.Table) -> pa.Table:
+        return pa.table({"url": t.column("b"), "lab": t.column("lab")})
+
+    for _ in range(iters):
+        msgs = (ue.join(labels, "inner", npart,
+                        on=("a",), right_on=("url",))
+                .map_batches(msg_fn, batch_format="pyarrow"))
+        labels = (rename(labels.union(msgs).groupby("url").min("lab"),
+                         {"min(lab)": "lab"})
+                  .select_columns(["url", "lab"])
+                  .materialize())
+    return rename(labels, {"lab": "comp"}).select_columns(["url", "comp"])
 
 
 def components_oracle_sql(pdir: str, iters: int = CC_ITERS) -> str:

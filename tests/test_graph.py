@@ -36,6 +36,32 @@ def test_pagerank_deterministic(ray_session, sf_dir):
     assert a == b
 
 
+def test_large_path_parity_no_driver_state(ray_session, sf_dir, monkeypatch):
+    """>GRAPH_DRIVER_GATE smoke: with the gate forced to 0 the engine
+    must take the Dataset-native path everywhere — closed-graph
+    left_semi join (no corpus-URL broadcast), co-partitioned score/label
+    joins (no _fold_agg driver dict) — and produce EXACTLY the small
+    path's fixed-point results."""
+    small_pr = sorted(graph.link_pagerank(sf_dir).take_all(),
+                      key=lambda r: r["url"])
+    small_cc = sorted(graph.link_components(sf_dir).take_all(),
+                      key=lambda r: r["url"])
+
+    def no_fold(*a, **k):
+        raise AssertionError("large path must not fold node state "
+                             "onto the driver")
+
+    monkeypatch.setattr(graph, "GRAPH_DRIVER_GATE", 0)
+    monkeypatch.setattr(graph, "_fold_agg", no_fold)
+
+    large_pr = sorted(graph.link_pagerank(sf_dir).take_all(),
+                      key=lambda r: r["url"])
+    assert large_pr == small_pr
+    large_cc = sorted(graph.link_components(sf_dir).take_all(),
+                      key=lambda r: r["url"])
+    assert large_cc == small_cc
+
+
 def test_components_vs_bruteforce(ray_session, sf_dir):
     out = {r["url"]: r["comp"]
            for r in graph.link_components(sf_dir).take_all()}
