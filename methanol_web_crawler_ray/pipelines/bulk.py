@@ -853,6 +853,10 @@ def crawl_bfs_pipelined(
     max_inflight: Optional[int] = None,
     prewarm_buckets: bool = False,
     start_gate=None,
+    buf_cap_rows: Optional[int] = None,
+    ckpt_every_tasks: Optional[int] = None,
+    resume: bool = False,
+    _fail_after_tasks: Optional[int] = None,
 ) -> Dict[str, float]:
     """Barrier-free frontier-queue crawl — the wave engine minus the
     per-wave ``ray.get`` barrier.
@@ -876,11 +880,25 @@ def crawl_bfs_pipelined(
     external gating and MIME binding are all inside the shared kernel —
     pipelined vs wave outputs are set-equal (pinned by test).
 
-    Tradeoff vs the wave engine: no wave checkpoints — the frontier is
-    ephemeral plasma, so a killed run restarts (use the wave engine
-    when resumability matters; at 100 TB, quiesce-and-snapshot every
-    N tasks would slot into the drain loop).  max_retries=0 for the
-    same reason as waves: seen adds are not idempotent.
+    Driver memory is BOUNDED: the link buffer is capped at
+    ``buf_cap_rows`` (default 64×batch_size); overflow tables spill as
+    frontier-schema Parquet under ``out_dir/frontier_spill`` (the wave
+    engine's durable-frontier convention; at cluster scale you would
+    additionally partition the spill by host bucket for locality) and
+    stream back FIFO as the buffer drains — a fast-expanding frontier
+    costs disk, never driver heap.
+
+    Resumability: with ``ckpt_every_tasks=N`` the drain loop QUIESCES
+    every N completed tasks (stops cutting, drains in-flight tasks),
+    flushes the whole buffer to the spill dir, snapshots the seen
+    shards, and atomically writes a manifest (task seq, live spill
+    files, counters) under ``out_dir/ckpt``.  ``resume=True`` restores
+    seen + frontier + counters from the manifest and deletes output
+    fragments written by post-checkpoint tasks (basenames carry the
+    task seq), so an interrupted run continues to the exact outcome an
+    uninterrupted run produces (pinned by test).  Checkpoints off
+    (default) = the benchmark configuration; max_retries=0 either way:
+    seen adds are not idempotent, the recovery unit is the checkpoint.
 
     Semantics note: when ``depth_limit`` actually BINDS (a URL first
     reached via a path at/over the limit is seen-added but never
@@ -908,38 +926,68 @@ def crawl_bfs_pipelined(
         robots_ref = ray.put(load_robots_map(store_dir))
 
     os.makedirs(out_dir, exist_ok=True)
-    # a previous run's task-indexed fragments would otherwise mix with
-    # this run's (basenames carry the task seq, not a run id)
+    import json as _json
     import shutil as _sh
 
-    for sub in os.listdir(out_dir):
-        if sub.startswith("kind="):
-            _sh.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+    ckpt_dir = os.path.join(out_dir, "ckpt")
+    spill_dir = os.path.join(out_dir, "frontier_spill")
+    manifest_path = os.path.join(ckpt_dir, "manifest.json")
+    manifest = None
+    if resume:
+        with open(manifest_path) as f:
+            manifest = _json.load(f)
+        pool.restore_from_dir(ckpt_dir)
+        # discard fragments written by post-checkpoint tasks — their
+        # seen adds were rolled back with the snapshot restore, so the
+        # resumed run regenerates that work (basenames carry task seq)
+        for sub in os.listdir(out_dir):
+            if not sub.startswith("kind="):
+                continue
+            for root, _dirs, files in os.walk(os.path.join(out_dir, sub)):
+                for fn in files:
+                    try:
+                        tidx = int(fn.split("-")[1])
+                    except (IndexError, ValueError):
+                        continue
+                    if tidx >= manifest["seq"]:
+                        os.remove(os.path.join(root, fn))
+    else:
+        # a previous run's task-indexed fragments would otherwise mix
+        # with this run's (basenames carry the task seq, not a run id)
+        for sub in os.listdir(out_dir):
+            if sub.startswith("kind="):
+                _sh.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+        _sh.rmtree(ckpt_dir, ignore_errors=True)
+        _sh.rmtree(spill_dir, ignore_errors=True)
     bucket_dir = make_bucket_directory(store_dir)
     wave_fn = make_bucket_wave_fn(cfg_blob, crawler, bucket_dir,
                                   robots_ref, pool.actors, cr.external,
                                   depth_limit, num_buckets, emit_text)
     wave_fn_ref = ray.put(wave_fn)
 
-    # seed frontier (seen-added exactly like the wave engine)
+    # seed frontier (seen-added exactly like the wave engine); a resumed
+    # run's frontier comes from the checkpoint spill files instead
+    seed_tbl = None
     seed_rows = []
-    grouped: Dict[str, List[str]] = {}
-    for h, urls in plan_seed_hosts(cfg, seeds, crawler).items():
-        for u in urls:
-            parsed = url_set(u if "://" in u else "http://" + u)
-            if parsed is not None:
-                seed_rows.append(parsed)
-                grouped.setdefault(parsed.host_norm, []).append(
-                    parsed.seen_key)
-    pool.try_add_grouped(grouped)
-    seed_tbl = pa.table({
-        "bucket": pa.array(
-            [stable_hash64(p.host_norm) % num_buckets for p in seed_rows],
-            pa.int32()),
-        "url": pa.array([p.s for p in seed_rows], pa.string()),
-        "depth": pa.array([0] * len(seed_rows), pa.int32()),
-        "is_external": pa.array([False] * len(seed_rows), pa.bool_()),
-    }, schema=FRONTIER_SCHEMA)
+    if manifest is None:
+        grouped: Dict[str, List[str]] = {}
+        for h, urls in plan_seed_hosts(cfg, seeds, crawler).items():
+            for u in urls:
+                parsed = url_set(u if "://" in u else "http://" + u)
+                if parsed is not None:
+                    seed_rows.append(parsed)
+                    grouped.setdefault(parsed.host_norm, []).append(
+                        parsed.seen_key)
+        pool.try_add_grouped(grouped)
+        seed_tbl = pa.table({
+            "bucket": pa.array(
+                [stable_hash64(p.host_norm) % num_buckets
+                 for p in seed_rows],
+                pa.int32()),
+            "url": pa.array([p.s for p in seed_rows], pa.string()),
+            "depth": pa.array([0] * len(seed_rows), pa.int32()),
+            "is_external": pa.array([False] * len(seed_rows), pa.bool_()),
+        }, schema=FRONTIER_SCHEMA)
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
     max_inflight = max_inflight or cpus * 3
@@ -977,9 +1025,12 @@ def crawl_bfs_pipelined(
         ray.get(ray.get(
             bucket_dir.get_refs.remote(list(range(num_buckets)))))
 
-    stats = {"pages_parsed": 0, "links_extracted": 0,
-             "frontier_urls": len(seed_rows), "task_busy_sec": 0.0,
-             "n_tasks": 0}
+    if manifest is not None:
+        stats = dict(manifest["counters"])
+    else:
+        stats = {"pages_parsed": 0, "links_extracted": 0,
+                 "frontier_urls": len(seed_rows), "task_busy_sec": 0.0,
+                 "n_tasks": 0}
     stats["setup_sec"] = time.time() - t0
     if start_gate is not None:
         # benchmark rendezvous: see crawl_bfs
@@ -989,7 +1040,14 @@ def crawl_bfs_pipelined(
     pending: Dict = {}
     buf: List[pa.Table] = []
     buf_rows = 0
-    seq = 0
+    seq = manifest["seq"] if manifest is not None else 0
+    spill_seq = manifest["spill_seq"] if manifest is not None else 0
+    spill_q: List[str] = (
+        [os.path.join(spill_dir, f) for f in manifest["files"]]
+        if manifest is not None else [])
+    consumed_spill: List[str] = []
+    buf_cap = buf_cap_rows or batch_size * 64
+    last_ckpt_tasks = stats["n_tasks"]
 
     def cut(force: bool) -> None:
         nonlocal buf, buf_rows, seq
@@ -1014,27 +1072,118 @@ def crawl_bfs_pipelined(
             pending[ref] = None
             seq += 1
 
-    buf.append(seed_tbl)
-    buf_rows = seed_tbl.num_rows
-    cut(force=True)
-    while pending:
-        done, _ = ray.wait(list(pending), num_returns=1)
-        for ref in done:
-            del pending[ref]
-            links, n_pages, n_links, busy = ray.get(ref)
-            stats["pages_parsed"] += n_pages
-            stats["links_extracted"] += n_links
-            stats["frontier_urls"] += n_links
-            stats["task_busy_sec"] += busy
-            stats["n_tasks"] += 1
-            if links is not None:
-                buf.append(links)
-                buf_rows += links.num_rows
-        # keep the pool committed: full tasks first, then force partial
-        # tasks whenever fewer tasks than cores remain
-        cut(force=False)
-        if buf_rows and len(pending) < cpus:
-            cut(force=True)
+    def _absorb(ref) -> None:
+        nonlocal buf_rows
+        links, n_pages, n_links, busy = ray.get(ref)
+        stats["pages_parsed"] += n_pages
+        stats["links_extracted"] += n_links
+        stats["frontier_urls"] += n_links
+        stats["task_busy_sec"] += busy
+        stats["n_tasks"] += 1
+        if links is not None:
+            buf.append(links)
+            buf_rows += links.num_rows
+
+    def spill_overflow() -> None:
+        # bound the driver heap: oldest link tables spill to Parquet
+        # (FIFO — order-free semantics, FIFO keeps progress fair)
+        nonlocal buf_rows, spill_seq
+        while buf_rows > buf_cap and len(buf) > 1:
+            t = buf.pop(0)
+            buf_rows -= t.num_rows
+            os.makedirs(spill_dir, exist_ok=True)
+            p = os.path.join(spill_dir, f"spill-{spill_seq:06d}.parquet")
+            pq.write_table(t, p)
+            spill_q.append(p)
+            spill_seq += 1
+
+    def refill() -> None:
+        # spilled files are only DELETED at the next checkpoint (they
+        # may belong to the last durable manifest); consumed ones are
+        # remembered so a new manifest never lists them again
+        nonlocal buf_rows
+        while spill_q and buf_rows < batch_size * 2:
+            p = spill_q.pop(0)
+            buf.append(pq.read_table(p))
+            buf_rows += buf[-1].num_rows
+            consumed_spill.append(p)
+
+    def checkpoint() -> None:
+        # QUIESCE: no new cuts, absorb every in-flight task, flush the
+        # whole buffer to the spill dir (the spill files ARE the durable
+        # frontier), snapshot seen shards, then atomically publish the
+        # manifest — the recovery point
+        nonlocal buf_rows, spill_seq, last_ckpt_tasks
+        while pending:
+            done, _ = ray.wait(list(pending), num_returns=1)
+            for ref in done:
+                del pending[ref]
+                _absorb(ref)
+        os.makedirs(spill_dir, exist_ok=True)
+        while buf:
+            t = buf.pop(0)
+            p = os.path.join(spill_dir, f"spill-{spill_seq:06d}.parquet")
+            pq.write_table(t, p)
+            spill_q.append(p)
+            spill_seq += 1
+        buf_rows = 0
+        os.makedirs(ckpt_dir, exist_ok=True)
+        pool.snapshot_to_dir(ckpt_dir)
+        m = {"seq": seq, "spill_seq": spill_seq,
+             "files": [os.path.basename(p) for p in spill_q],
+             "counters": {k: stats[k] for k in (
+                 "pages_parsed", "links_extracted", "frontier_urls",
+                 "task_busy_sec", "n_tasks")}}
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(m, f)
+        os.replace(tmp, manifest_path)
+        for p in consumed_spill:  # superseded by the new manifest
+            if os.path.exists(p):
+                os.remove(p)
+        consumed_spill.clear()
+        last_ckpt_tasks = stats["n_tasks"]
+
+    if seed_tbl is not None and seed_tbl.num_rows:
+        buf.append(seed_tbl)
+        buf_rows = seed_tbl.num_rows
+    try:
+        refill()
+        cut(force=True)
+        while pending or buf_rows or spill_q:
+            if not pending:
+                refill()
+                cut(force=True)
+                if not pending:
+                    break
+            done, _ = ray.wait(list(pending), num_returns=1)
+            for ref in done:
+                del pending[ref]
+                _absorb(ref)
+            spill_overflow()
+            if (ckpt_every_tasks
+                    and stats["n_tasks"] - last_ckpt_tasks
+                    >= ckpt_every_tasks):
+                checkpoint()
+            if (_fail_after_tasks is not None
+                    and stats["n_tasks"] >= _fail_after_tasks):
+                # kill in-flight tasks so the "crash" leaves no write
+                # racing the subsequent resume (test determinism)
+                for ref in pending:
+                    ray.cancel(ref, force=True)
+                if pending:
+                    ray.wait(list(pending), num_returns=len(pending),
+                             timeout=30)
+                raise RuntimeError("injected failure (test hook)")
+            refill()
+            # keep the pool committed: full tasks first, then force
+            # partial tasks whenever fewer tasks than cores remain
+            cut(force=False)
+            if buf_rows and len(pending) < cpus:
+                cut(force=True)
+    except BaseException:
+        pool.shutdown()
+        raise
 
     stats["crawl_sec"] = time.time() - t_loop
     stats["elapsed_sec"] = time.time() - t0
@@ -1046,4 +1195,8 @@ def crawl_bfs_pipelined(
         stats["crawl_sec"] * cpus, 1e-9)
     stats["seen_size"] = pool.size()
     pool.shutdown()
+    # a completed run needs no recovery point; stale manifests must not
+    # offer resume into a finished crawl
+    _sh.rmtree(ckpt_dir, ignore_errors=True)
+    _sh.rmtree(spill_dir, ignore_errors=True)
     return stats

@@ -194,3 +194,70 @@ def test_pipelined_matches_wave_engine_sets(ray_session):
                         ["url", "url_hash", "filetype"])
     pipe_targets = rows(out_p, "target", ["url", "url_hash", "filetype"])
     assert wave_targets == pipe_targets
+
+
+def test_pipelined_kill_and_resume(ray_session):
+    """Quiesce-checkpoint every 2 tasks, inject a crash after 5, resume
+    → identical final page/target sets, texts and seen size as an
+    uninterrupted run (north rule: per-partition lineage, resumable)."""
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+    cfg = default_config(depth_limit=30, external=True)
+    seeds = ["http://host-0001.example/", "http://host-0002.example/"]
+
+    out_a = "/tmp/mwc_test_pipe_uninterrupted"
+    out_b = "/tmp/mwc_test_pipe_killed"
+    shutil.rmtree(out_a, ignore_errors=True)
+    shutil.rmtree(out_b, ignore_errors=True)
+    sa = bulk.crawl_bfs_pipelined(cfg, d, seeds, out_dir=out_a,
+                                  num_shards=4, batch_size=64)
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        bulk.crawl_bfs_pipelined(cfg, d, seeds, out_dir=out_b,
+                                 num_shards=4, batch_size=64,
+                                 ckpt_every_tasks=2, _fail_after_tasks=5)
+    assert os.path.exists(os.path.join(out_b, "ckpt", "manifest.json"))
+    sb = bulk.crawl_bfs_pipelined(cfg, d, seeds, out_dir=out_b,
+                                  num_shards=4, batch_size=64,
+                                  ckpt_every_tasks=2, resume=True)
+
+    def rows(root, kind, cols):
+        tbl = pads.dataset(root, partitioning="hive").to_table(
+            filter=pc.field("kind") == kind, columns=cols)
+        return sorted(zip(*[tbl.column(c).to_pylist() for c in cols]))
+
+    cols = ["url", "url_hash", "filetype", "text"]
+    assert rows(out_b, "page", cols) == rows(out_a, "page", cols)
+    assert rows(out_b, "target", ["url", "url_hash", "filetype"]) == \
+        rows(out_a, "target", ["url", "url_hash", "filetype"])
+    assert sb["pages_parsed"] == sa["pages_parsed"]
+    assert sb["seen_size"] == sa["seen_size"]
+    # a completed run leaves no stale recovery point behind
+    assert not os.path.exists(os.path.join(out_b, "ckpt"))
+    assert not os.path.exists(os.path.join(out_b, "frontier_spill"))
+
+
+def test_pipelined_spill_bounds_driver_buffer(ray_session):
+    """A tiny buf_cap forces the overflow→spill→refill path; outputs
+    must match an unconstrained run exactly."""
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+    cfg = default_config(depth_limit=30, external=True)
+    seeds = ["http://host-0001.example/", "http://host-0002.example/"]
+
+    out_a = "/tmp/mwc_test_pipe_nospill"
+    out_b = "/tmp/mwc_test_pipe_spill"
+    shutil.rmtree(out_a, ignore_errors=True)
+    shutil.rmtree(out_b, ignore_errors=True)
+    sa = bulk.crawl_bfs_pipelined(cfg, d, seeds, out_dir=out_a,
+                                  num_shards=4, batch_size=64)
+    sb = bulk.crawl_bfs_pipelined(cfg, d, seeds, out_dir=out_b,
+                                  num_shards=4, batch_size=64,
+                                  buf_cap_rows=64)
+
+    def rows(root, kind, cols):
+        tbl = pads.dataset(root, partitioning="hive").to_table(
+            filter=pc.field("kind") == kind, columns=cols)
+        return sorted(zip(*[tbl.column(c).to_pylist() for c in cols]))
+
+    cols = ["url", "url_hash", "filetype", "text"]
+    assert rows(out_b, "page", cols) == rows(out_a, "page", cols)
+    assert sb["seen_size"] == sa["seen_size"]
