@@ -600,7 +600,10 @@ def oracle_sql() -> dict[str, str]:
             "2147483647::UBIGINT AS BIGINT) AS x "
             "FROM g0, UNNEST(grams) AS u(g)), "
             f"model AS (SELECT x FROM gx GROUP BY x "
-            f"HAVING count(*) >= {textops.LM_MIN_COUNT}), "
+            f"HAVING count(*) >= {textops.LM_MIN_COUNT} "
+            # top-V vocabulary cap, ties by key ascending (exactly the
+            # Ray side's sort_values([c desc, x asc]).head(top_v))
+            f"ORDER BY count(*) DESC, x LIMIT {textops.LM_TOP_V}), "
             "per AS (SELECT gx.doc_id, count(*)::BIGINT AS nb, "
             "count(m.x)::BIGINT AS nk FROM gx "
             "LEFT JOIN model m USING (x) GROUP BY gx.doc_id) "
@@ -611,13 +614,15 @@ def oracle_sql() -> dict[str, str]:
             "AS coverage_permille "
             "FROM documents d LEFT JOIN per USING (doc_id)"
         ),
-        # shard packing: exclusive global byte offset in (length, doc_id)
-        # order → fixed-size shard assignment (window-cumsum replay; the
-        # (length, doc_id) key is unique so RANGE framing == ROWS)
+        # shard packing: exclusive global byte offset in (byte-length,
+        # doc_id) order → fixed-size shard assignment (window-cumsum
+        # replay; strlen = UTF-8 BYTES exactly like the Ray side's
+        # pc.binary_length; the (length, doc_id) key is unique so RANGE
+        # framing == ROWS)
         "doc_pack_shards": (
             "WITH o AS (SELECT doc_id, "
-            "(sum(length(text)) OVER (ORDER BY length(text), doc_id) "
-            "- length(text))::BIGINT AS offset_bytes FROM documents) "
+            "(sum(strlen(text)) OVER (ORDER BY strlen(text), doc_id) "
+            "- strlen(text))::BIGINT AS offset_bytes FROM documents) "
             f"SELECT doc_id, offset_bytes, "
             f"(offset_bytes // {textops.SHARD_BYTES})::BIGINT AS shard_id "
             "FROM o"

@@ -1478,12 +1478,18 @@ def dup_clusters(sf_dir: str, iters: int = DUP_CC_ITERS):
     min-label propagation over the verified minhash near-dup pair graph
     (the grouping step a dedup job runs after pair verification: keep
     one representative per cluster, so transitive dups a~b~c collapse
-    together instead of surviving as two independent pairs).  cluster =
-    smallest doc_id reachable within ``iters`` hops; non-dup docs are
-    singleton clusters of themselves.  Fixed iteration count keeps the
-    op exactly oracle-replayable (the graph.link_components convention;
-    at production scale you loop on a changed-label counter — same
-    per-round shape).
+    together instead of surviving as two independent pairs).
+
+    OUTPUT CONTRACT: cluster = smallest doc_id reachable within
+    ``iters`` hops — NOT necessarily a full connected-component
+    partition: members of one component more than ``iters`` hops from
+    its minimum get a different (still deterministic) label.  Real
+    near-dup clusters are dense (diameter ~2: most members pair with
+    the representative directly), so DUP_CC_ITERS=3 converges there;
+    a pathological long chain does not (pinned by test).  The fixed
+    iteration count keeps the op exactly oracle-replayable (the
+    graph.link_components convention; at production scale you loop on
+    a changed-label counter — same per-round shape).
 
     Scale shape: the pair set is the output of the fully-sharded
     minhash pipeline (verified dup pairs ≪ corpus); per round one
@@ -1536,8 +1542,10 @@ def dup_clusters(sf_dir: str, iters: int = DUP_CC_ITERS):
             "n", "l", "min", 2 * n_pairs)
         labels = {n: min(labels[n], int(inflow.get(n, labels[n])))
                   for n in labels}
+        del ref  # single live broadcast copy across rounds
 
-    lref = ray.put(labels)
+    lref = ray.put(labels)  # outlives the function: the lazy assign
+    # dataset below captures it; earlier per-round refs are already free
 
     def assign(df: pd.DataFrame, _r=lref) -> pd.DataFrame:
         lb = ray.get(_r)
@@ -2078,57 +2086,61 @@ SHARD_BYTES = 64_000
 def pack_shards(sf_dir: str, shard_bytes: int = SHARD_BYTES,
                 hist_gate: int = 2_000_000):
     """(doc_id, offset_bytes, shard_id): deterministic training-shard
-    packing — docs in (n_chars, doc_id) total order, each assigned its
+    packing — docs in (n_bytes, doc_id) total order, each assigned its
     exclusive global byte offset and the fixed-size output shard that
     offset falls in (offset // shard_bytes).  The assignment a 100 TB
     tokenize-and-pack job needs: stable under reruns, resumable per
     shard, no coordinator.
 
+    Lengths are ENCODED UTF-8 BYTES (``pc.binary_length``; the oracle's
+    ``strlen``), not unicode chars — offsets are real file offsets on
+    any corpus, ASCII or not.
+
     Distributed construction (no global sort, same histogram machinery
     as ``global_rank``): the length histogram gives every distinct
-    n_chars its exclusive cumulative BYTE offset (lengths below it x
+    n_bytes its exclusive cumulative byte offset (lengths below it x
     their counts); within a group all docs share one length, so a doc's
-    global offset is group_offset + local_index * n_chars after the
-    group's local doc_id sort.  Only (doc_id, n_chars) rows shuffle,
-    keyed by n_chars."""
+    global offset is group_offset + local_index * n_bytes after the
+    group's local doc_id sort.  Only (doc_id, n_bytes) rows shuffle,
+    keyed by n_bytes."""
     import ray
     import ray.data
 
     def keyed(t: pa.Table) -> pa.Table:
         return pa.table({
             "doc_id": t.column("doc_id").cast(pa.int64()),
-            "n_chars": pc.utf8_length(t.column("text")).cast(pa.int64())})
+            "n_bytes": pc.binary_length(t.column("text")).cast(pa.int64())})
 
     pre = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         keyed, batch_format="pyarrow").materialize()
 
     def partial(t: pa.Table) -> pa.Table:
-        vc = pc.value_counts(t.column("n_chars"))
-        return pa.table({"n_chars": vc.field("values").cast(pa.int64()),
+        vc = pc.value_counts(t.column("n_bytes"))
+        return pa.table({"n_bytes": vc.field("values").cast(pa.int64()),
                          "c": vc.field("counts").cast(pa.int64())})
 
     parts = pre.map_batches(partial, batch_format="pyarrow").materialize()
     if parts.count() > hist_gate:
-        hist = collect_df(parts.groupby("n_chars").sum("c")) \
+        hist = collect_df(parts.groupby("n_bytes").sum("c")) \
             .rename(columns={"sum(c)": "c"})
     else:
         hist = collect_df(parts).groupby(
-            "n_chars", as_index=False)["c"].sum()
-    hist = hist.sort_values("n_chars").reset_index(drop=True)
-    nbytes = (hist["n_chars"] * hist["c"]).to_numpy(dtype=np.int64)
+            "n_bytes", as_index=False)["c"].sum()
+    hist = hist.sort_values("n_bytes").reset_index(drop=True)
+    nbytes = (hist["n_bytes"] * hist["c"]).to_numpy(dtype=np.int64)
     cumb = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
-    byte_off = {int(v): int(o) for v, o in zip(hist["n_chars"], cumb)}
+    byte_off = {int(v): int(o) for v, o in zip(hist["n_bytes"], cumb)}
     oref = ray.put(byte_off)
 
     def pack_group(g: pd.DataFrame) -> pd.DataFrame:
-        ln = int(g["n_chars"].iloc[0])
+        ln = int(g["n_bytes"].iloc[0])
         base = ray.get(oref)[ln]
         ids = np.sort(g["doc_id"].to_numpy(dtype=np.int64))
         offs = base + np.arange(len(ids), dtype=np.int64) * ln
         return pd.DataFrame({"doc_id": ids, "offset_bytes": offs,
                              "shard_id": offs // shard_bytes})
 
-    return pre.groupby("n_chars").map_groups(
+    return pre.groupby("n_bytes").map_groups(
         pack_group, batch_format="pandas")
 
 
@@ -2138,11 +2150,17 @@ def pack_shards(sf_dir: str, shard_bytes: int = SHARD_BYTES,
 LM_MIN_COUNT = 3  # a bigram is "in the model" iff corpus count >= this
 
 
+_BIGRAM_HASH_CACHE: Dict[str, int] = {}
+
+
 def _bigram_keys(text: str) -> np.ndarray:
     """POSITIONAL word-bigram keys (md5-31-bit, the shingle key family)
     — unlike ``shingle_hashes`` this keeps duplicates: coverage counts
     positions, not types.  Short-doc rule matches the shingle family
-    (one whole-text gram below w tokens)."""
+    (one whole-text gram below w tokens).  Bigram hashes are memoized
+    per worker process (the ``_tok_hash64_batch`` pattern: web-text
+    bigrams are Zipfian, so the cache absorbs most of the md5 cost —
+    lm_coverage hashes every doc twice, model pass + score pass)."""
     toks = _TOKEN_RE.findall(text.lower())
     if len(toks) < 2:
         grams = [" ".join(toks)] if toks else []
@@ -2150,12 +2168,24 @@ def _bigram_keys(text: str) -> np.ndarray:
         grams = [f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)]
     if not grams:
         return np.array([], dtype=np.int64)
-    return np.array(
-        [int.from_bytes(hashlib.md5(g.encode()).digest()[8:], "little")
-         & 0x7FFFFFFF for g in grams], dtype=np.int64)
+    c = _BIGRAM_HASH_CACHE
+    out = np.empty(len(grams), dtype=np.int64)
+    for i, g in enumerate(grams):
+        h = c.get(g)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(g.encode()).digest()[8:],
+                               "little") & 0x7FFFFFFF
+            if len(c) < 4_000_000:
+                c[g] = h
+        out[i] = h
+    return out
+
+
+LM_TOP_V = 2_000_000  # model vocabulary cap (most-frequent bigrams)
 
 
 def lm_coverage(sf_dir: str, min_count: int = LM_MIN_COUNT,
+                top_v: int = LM_TOP_V,
                 driver_limit: int = 2_000_000):
     """(doc_id, n_bigrams, n_known, coverage_permille): score every
     document against a bigram model TRAINED ON THE CORPUS ITSELF — the
@@ -2167,13 +2197,15 @@ def lm_coverage(sf_dir: str, min_count: int = LM_MIN_COUNT,
     positional-bigram count partials — (key, c) rows, never text —
     merged by a size-gated fold (driver below ``driver_limit`` partial
     rows, distributed groupby-sum above); keys with total count >=
-    ``min_count`` form the model.  Pass 2 is map-only: the model ships
-    once via ``ray.put`` as a sorted int64 array and every batch probes
-    it with vectorized ``np.isin``.  At 100 TB the model is capped by
-    the min-count cut (production would add a top-V cap); keys are the
-    md5-31-bit shingle family shared with the minhash/decontaminate
-    oracles, so the DuckDB replay is exact (hash collisions conflate
-    bigrams identically on both sides)."""
+    ``min_count`` form the model, capped at the ``top_v`` MOST FREQUENT
+    bigrams (ties broken by key ascending — deterministic, replicated
+    in the oracle), so the broadcast model is bounded regardless of
+    corpus size.  Pass 2 is map-only: the model ships once via
+    ``ray.put`` as a sorted int64 array and every batch probes it with
+    vectorized ``np.isin``.  Keys are the md5-31-bit shingle family
+    shared with the minhash/decontaminate oracles, so the DuckDB
+    replay is exact (hash collisions conflate bigrams identically on
+    both sides)."""
     import ray
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -2193,8 +2225,11 @@ def lm_coverage(sf_dir: str, min_count: int = LM_MIN_COUNT,
             .rename(columns={"sum(c)": "c"})
     else:
         agg = collect_df(parts).groupby("x", as_index=False)["c"].sum()
-    model = np.sort(agg.loc[agg["c"] >= min_count, "x"]
-                    .to_numpy(np.int64))
+    agg = agg.loc[agg["c"] >= min_count]
+    if len(agg) > top_v:
+        agg = agg.sort_values(["c", "x"],
+                              ascending=[False, True]).head(top_v)
+    model = np.sort(agg["x"].to_numpy(np.int64))
     mref = ray.put(model)
 
     def score(df: pd.DataFrame, _r=mref) -> pd.DataFrame:

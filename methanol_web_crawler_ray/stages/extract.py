@@ -180,8 +180,12 @@ def host_stats(pages_dir: str, batch_size: int = 1024):
     import ray.data
 
     def partial(batch: pa.Table) -> pa.Table:
-        host = pc.list_element(
-            pc.split_pattern(batch.column("url"), "/"), 2)
+        # list_slice+binary_join instead of list_element: a schemeless /
+        # relative URL has <3 '/'-segments — list_element would CRASH
+        # the pipeline where the oracle's split_part returns '' (the
+        # join of the ≤1-element slice reproduces '' exactly)
+        host = pc.binary_join(pc.list_slice(
+            pc.split_pattern(batch.column("url"), "/"), 2, 3), "")
         t = pa.table({
             "host": host,
             "n_pages": pa.array(np.ones(len(batch), dtype=np.int64)),

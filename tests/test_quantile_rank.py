@@ -120,3 +120,55 @@ def test_lm_coverage_gate_parity(ray_session, sf_dir):
     b = sorted(map(tuple, (r.values() for r in textops.lm_coverage(
         sf_dir, driver_limit=-1).take_all())))
     assert a == b
+
+
+def test_pack_shards_non_ascii_bytes(ray_session, tmp_path):
+    """Offsets are ENCODED UTF-8 BYTES, not unicode chars — a non-ASCII
+    corpus must pack by real byte length (ADVICE r3: char-counted
+    'byte' offsets were wrong for any non-ASCII text)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["héllo wörld", "plain ascii", "日本語のテキスト", "x"]
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), f"{d}/documents.parquet")
+
+    order = sorted((len(t.encode()), i) for i, t in enumerate(texts))
+    off, want = 0, {}
+    for nb, doc_id in order:
+        want[doc_id] = (off, off // textops.SHARD_BYTES)
+        off += nb
+    got = {r["doc_id"]: (r["offset_bytes"], r["shard_id"])
+           for r in textops.pack_shards(d).take_all()}
+    assert got == want
+    assert max(o for o, _ in got.values()) > max(
+        (len(t), i) for i, t in enumerate(texts))[0] - 1  # bytes > chars
+
+
+def test_lm_coverage_top_v_cap(ray_session, sf_dir, docs):
+    """A binding top-V cap keeps only the V most frequent bigrams
+    (ties: key ascending), exactly as the brute-force replay."""
+    from collections import Counter
+
+    per_doc = {d["doc_id"]: textops._bigram_keys(d["text"]) for d in docs}
+    counts = Counter()
+    for xs in per_doc.values():
+        counts.update(xs.tolist())
+    eligible = [(c, x) for x, c in counts.items()
+                if c >= textops.LM_MIN_COUNT]
+    top_v = max(1, len(eligible) // 2)  # force the cap to bind
+    model = {x for c, x in sorted(eligible,
+                                  key=lambda t: (-t[0], t[1]))[:top_v]}
+    assert len(eligible) > top_v  # the cap actually binds here
+    want = {}
+    for doc_id, xs in per_doc.items():
+        nb = len(xs)
+        nk = sum(1 for x in xs.tolist() if x in model)
+        want[doc_id] = (nb, nk, (nk * 1000) // nb if nb else 0)
+    got = {r["doc_id"]: (r["n_bigrams"], r["n_known"],
+                         r["coverage_permille"])
+           for r in textops.lm_coverage(sf_dir, top_v=top_v).take_all()}
+    assert got == want

@@ -624,3 +624,53 @@ def test_postings_direct_vs_dataset(ray_session, sf_dir):
     b = sorted((r["token"], r["df"], r["postings_md5"])
                for r in textops.postings(sf_dir, direct_gate=-1).take_all())
     assert a == b
+
+
+def test_dup_clusters_chain_beyond_iters_hops(ray_session, tmp_path):
+    """Pin the documented K-hop contract: cluster = min doc_id within
+    DUP_CC_ITERS hops, NOT a full connected-component partition.  A
+    6-node pair CHAIN 0-1-2-3-4-5 (consecutive docs J>=0.8, skip pairs
+    below the verify threshold) leaves nodes >3 hops from the minimum
+    with a different label — exactly min-label propagation unrolled
+    DUP_CC_ITERS times."""
+    import pyarrow as pa
+
+    base = [f"tok{i:03d}" for i in range(100)]
+    docs = [list(base)]
+    for step in range(5):
+        nxt = list(docs[-1])
+        lo = 10 + 15 * step
+        for j in range(lo, lo + 5):  # replace a distinct 5-token block
+            nxt[j] = f"new{step}{j}"
+        docs.append(nxt)
+    texts = [" ".join(d) for d in docs]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["t"] * len(texts), pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    pairs = sorted(
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in textops.minhash_dedup(
+            str(tmp_path), return_pairs=True).take_all())
+    assert pairs == [(i, i + 1) for i in range(5)], \
+        "construction must yield exactly the consecutive-pair chain"
+
+    # brute min-label propagation, DUP_CC_ITERS rounds
+    labels = {i: i for i in range(6)}
+    nbrs = {i: set() for i in range(6)}
+    for a, b in pairs:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    for _ in range(textops.DUP_CC_ITERS):
+        labels = {n: min([labels[n]] + [labels[m] for m in nbrs[n]])
+                  for n in labels}
+    out = {r["doc_id"]: r["cluster"]
+           for r in textops.dup_clusters(str(tmp_path)).take_all()}
+    assert out == labels
+    # and the contract really is NOT a full partition on this chain:
+    assert len(set(out.values())) > 1
+    assert out[0] == 0 and out[5] != 0
