@@ -110,6 +110,12 @@ class LocalJobBoard:
             s["state"] = "interrupted"
             s["latest"] = int(now)
 
+    def set_count(self, session_id: int, name: str, count: int) -> None:
+        """COUNT <filetype> <n>: the session's per-filetype statistics
+        column (``UPDATE nol_session SET count_<ft>``, mn-slaved/
+        client.c:752-791)."""
+        self._session(session_id)[f"count_{name}"] = int(count)
+
     # -- introspection / persistence ---------------------------------
     def jobs_table(self) -> List[Tuple[int, str, str, int]]:
         return sorted((j[0], j[1], j[2], j[3]) for j in self.jobs.values())
@@ -177,6 +183,9 @@ def make_job_board(jobs: List[Tuple[int, str, str, int]]):
         def interrupt(self, session_id, now):
             self.b.interrupt(session_id, now)
 
+        def set_count(self, session_id, name, count):
+            self.b.set_count(session_id, name, count)
+
         def jobs_table(self):
             return self.b.jobs_table()
 
@@ -201,6 +210,9 @@ def make_job_board(jobs: List[Tuple[int, str, str, int]]):
 
         def interrupt(self, session_id, now):
             ray.get(self.actor.interrupt.remote(session_id, now))
+
+        def set_count(self, session_id, name, count):
+            ray.get(self.actor.set_count.remote(session_id, name, count))
 
         def jobs_table(self):
             return ray.get(self.actor.jobs_table.remote())
