@@ -165,17 +165,63 @@ class FakeCodec:
 
 
 class RealCodec:
-    """Where PIL / torchaudio / ffmpeg would plug in (not in container)."""
+    """The real decode kernel.  Images go through PIL when it is
+    installed (detected at construction — once per actor, the expensive
+    import/codec load); audio/video remain an honest documented seam
+    (ffmpeg/torchaudio are not import-detectable cheaply and are never
+    present in this container).  Same interface as FakeCodec, so every
+    Ray stage takes ``codec="real"`` unchanged."""
+
+    def __init__(self):
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "RealCodec requires PIL (pillow) — not available in this "
+                "environment; use FakeCodec (same interface)"
+            ) from e
+        from PIL import Image as _Image
+
+        self._Image = _Image
+
+    def _open(self, payload: bytes):
+        import io
+
+        try:
+            img = self._Image.open(io.BytesIO(payload))
+            img.load()
+            return img
+        except Exception as e:
+            raise NotImplementedError(
+                "RealCodec decodes images only (PIL); audio/video decode "
+                "requires ffmpeg — not available in this environment"
+            ) from e
 
     def decode_meta(self, payload: bytes):
+        img = self._open(payload)
+        return "image", int(img.width), int(img.height), len(payload)
+
+    def resize_image(self, payload: bytes, w: int, h: int) -> bytes:
+        import io
+
+        img = self._open(payload).resize((int(w), int(h)))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    def sample_frames(self, payload: bytes, every: int):
         raise NotImplementedError(
-            "real media decoding requires PIL/ffmpeg — not available in "
+            "video frame sampling requires ffmpeg — not available in "
             "this environment; use FakeCodec (same interface)"
         )
 
-    resize_image = decode_meta
-    sample_frames = decode_meta
-    extract_features = decode_meta
+    def extract_features(self, payload: bytes, dim: int):
+        """Grayscale pixel-value histogram folded to ``dim`` buckets —
+        the deterministic integer analog of FakeCodec's byte histogram,
+        over DECODED pixels instead of raw body bytes."""
+        img = self._open(payload).convert("L")
+        px = np.asarray(img, dtype=np.uint8).ravel()
+        return np.bincount(px % dim, minlength=dim).astype(np.int64)
 
 
 class DecodeMeta:
@@ -330,7 +376,7 @@ class ResizeImages:
 
 
 def media_resize(out_dir: str, media_dir: Optional[str] = None,
-                 w: int = 32, h: int = 32):
+                 w: int = 32, h: int = 32, codec: str = "fake"):
     """Payload-rewriting stage → partitioned Parquet sink (payloads never
     return to the driver)."""
     import ray.data
@@ -338,7 +384,8 @@ def media_resize(out_dir: str, media_dir: Optional[str] = None,
     media_dir = media_dir or media_dir_for()
     ds = ray.data.read_parquet(os.path.join(media_dir, "media.parquet"))
     out = ds.map_batches(
-        ResizeImages, fn_constructor_args=(w, h), batch_format="pyarrow",
+        ResizeImages, fn_constructor_args=(w, h, codec),
+        batch_format="pyarrow",
         batch_size=16, concurrency=(2, 16),
     )
     out.write_parquet(out_dir)

@@ -11,9 +11,70 @@ def test_fake_roundtrip():
     assert (kind, a, b, body) == ("image", 64, 48, b"abc")
 
 
-def test_real_codec_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        mm.RealCodec().decode_meta(b"x")
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_has_pil(), reason="PIL installed: real codec active")
+def test_real_codec_stub_without_pil():
+    """Without pillow the RealCodec constructor is the documented seam."""
+    with pytest.raises(NotImplementedError, match="PIL"):
+        mm.RealCodec()
+
+
+@pytest.mark.skipif(not _has_pil(), reason="pillow not installed")
+def test_real_codec_pil_images(ray_session, tmp_path):
+    """With pillow present the SAME Ray stages run codec='real' over a
+    PNG media table: decode_meta dims, resize round-trip, and the
+    decoded-pixel histogram features."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from PIL import Image
+
+    ids, kinds, payloads, dims = [], [], [], []
+    for i in range(6):
+        w, h = 8 + i * 4, 6 + i * 2
+        img = Image.new("L", (w, h), color=(i * 37) % 255)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        ids.append(i)
+        kinds.append("image")
+        payloads.append(buf.getvalue())
+        dims.append((w, h))
+    d = str(tmp_path)
+    pq.write_table(pa.table(
+        {"media_id": ids, "kind": kinds, "payload": payloads},
+        schema=mm.MEDIA_SCHEMA), f"{d}/media.parquet")
+
+    meta = {int(r["media_id"]): (r["dim_a"], r["dim_b"])
+            for r in mm.media_decode(d, codec="real").take_all()}
+    assert meta == {i: (w, h) for i, (w, h) in enumerate(dims)}
+
+    out = str(tmp_path / "resized")
+    mm.media_resize(out, d, w=5, h=4, codec="real")
+    import pyarrow.dataset as pads
+
+    for p in pads.dataset(out).to_table().column("payload").to_pylist():
+        img = Image.open(io.BytesIO(p))
+        assert (img.width, img.height) == (5, 4)
+
+    feats = mm.media_features(d, codec="real").take_all()
+    per = {}
+    for r in feats:
+        per.setdefault(int(r["media_id"]), 0)
+        per[int(r["media_id"])] += int(r["cnt"])
+    # histogram mass == pixel count, per image
+    assert per == {i: w * h for i, (w, h) in enumerate(dims)}
+
+    with pytest.raises(Exception):  # ffmpeg seam stays honest
+        mm.RealCodec().sample_frames(payloads[0], 4)
 
 
 def test_media_decode_pipeline(ray_session):
