@@ -219,7 +219,16 @@ def run_scaling_job(num_cpus: int, n_pages: int, tag: str = "",
 
             open(f"{barrier}.{tag}", "w").close()
             t_dead = time.time() + 600
-            while len(glob.glob(barrier + ".*")) < barrier_n:
+            while True:
+                # the parent writes .ABORT when any sibling dies during
+                # setup — fail fast instead of hanging out the deadline
+                if os.path.exists(barrier + ".ABORT"):
+                    raise RuntimeError(
+                        "scaling barrier aborted: a sibling job died")
+                ready = [p for p in glob.glob(barrier + ".*")
+                         if not p.endswith(".ABORT")]
+                if len(ready) >= barrier_n:
+                    return
                 if time.time() > t_dead:
                     raise RuntimeError("scaling barrier timed out")
                 time.sleep(0.05)
@@ -336,6 +345,24 @@ def main() -> None:
                             barrier=bar, barrier_n=4),
                     stdout=subprocess.PIPE, text=True)
                  for i in range(4)]
+        # liveness watch until the rendezvous completes: a child dying
+        # during setup would otherwise hang its three siblings for the
+        # barrier's full 600 s deadline before the campaign failed
+        while len([p for p in _glob.glob(bar + ".*")
+                   if not p.endswith(".ABORT")]) < 4:
+            dead = [pr for pr in procs if pr.poll() is not None]
+            if dead:
+                open(bar + ".ABORT", "w").close()
+                for pr in procs:
+                    if pr.poll() is None:
+                        try:
+                            pr.wait(timeout=60)
+                        except subprocess.TimeoutExpired:
+                            pr.kill()
+                raise SystemExit(
+                    "weak-scaling job died before the barrier "
+                    f"(rc={dead[0].returncode})")
+            time.sleep(0.2)
         weak_tputs = []
         for pr in procs:
             out_s, _ = pr.communicate(timeout=3600)
