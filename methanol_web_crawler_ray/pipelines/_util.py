@@ -39,6 +39,59 @@ def task_udf(cls, *args):
     return fn
 
 
+_NONEMPTY_TASK = None
+
+
+def materialize_clean(ds, schema):
+    """``materialize()`` that DROPS schema-less empty blocks.
+
+    Ray's hash aggregate and hash join emit one block per partition;
+    empty partitions yield 0-column blocks that ``map_batches`` SKIPS
+    (so ensure_schema cannot rewrite them) and that later hash joins
+    choke on ("No match for key field reference ... on right side").
+    Emptiness is checked by a colocated zero-copy task per block —
+    surviving blocks keep their original object refs (no copy)."""
+    import ray
+    import ray.data
+
+    global _NONEMPTY_TASK
+    if _NONEMPTY_TASK is None:
+        @ray.remote(num_cpus=0)
+        def _nonempty(t) -> bool:
+            return t.num_columns > 0
+
+        _NONEMPTY_TASK = _nonempty
+
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(schema.empty_table())
+    keep = ray.get([_NONEMPTY_TASK.remote(r) for r in refs])
+    if all(keep):
+        return mat
+    kept = [r for r, ok in zip(refs, keep) if ok]
+    if not kept:
+        return ray.data.from_arrow(schema.empty_table())
+    return ray.data.from_arrow_refs(kept)
+
+
+def ensure_schema(ds, schema):
+    """Pin every block to ``schema`` (a pyarrow.Schema).  Ray's hash
+    aggregate can emit EMPTY blocks with an EMPTY schema; a downstream
+    hash join then fails with "No match for key field reference" when
+    such a block reaches its build side.  Non-empty blocks are cast
+    column-by-column, empty ones synthesized from the schema."""
+    import pyarrow as pa
+
+    def _f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return schema.empty_table()
+        return pa.table({f.name: t.column(f.name).cast(f.type)
+                         for f in schema})
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
 def rename(ds, mapping: Dict[str, str]):
     """Dataset.rename_columns chokes on pandas-formatted blocks coming out
     of groupby().aggregate() (ray 2.49); renaming via an Arrow map_batches

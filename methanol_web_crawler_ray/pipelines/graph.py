@@ -50,6 +50,9 @@ PR_BASE = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
 GRAPH_DRIVER_GATE = 5_000_000
 
 
+EDGE_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string())])
+
+
 def _num_partitions(n_rows: int) -> int:
     """Hash-join partition count: enough that one partition's build side
     fits a worker heap at scale, bounded for small inputs."""
@@ -128,18 +131,26 @@ def _edges_ds(sf_dir: str):
         closed = pairs.join(pages, "left_semi", _num_partitions(n_pages),
                             on=("dst",), right_on=("url",))
 
-    # global distinct via one two-key groupby (cheap after in-batch dedup)
-    return (closed.groupby(["src", "dst"]).count()
-            .select_columns(["src", "dst"]))
+    # global distinct via one two-key groupby (cheap after in-batch
+    # dedup); ensure_schema pins empty aggregate blocks so downstream
+    # hash joins always see the key columns
+    from ._util import ensure_schema
+
+    return ensure_schema(
+        closed.groupby(["src", "dst"]).count().select_columns(
+            ["src", "dst"]),
+        pa.schema([("src", pa.string()), ("dst", pa.string())]))
 
 
 def _nodes_ds(edges):
     """Distinct node URLs (src ∪ dst) as a Dataset."""
-    from ._util import rename
+    from ._util import ensure_schema, rename
 
     s = rename(edges.select_columns(["src"]), {"src": "url"})
     d = rename(edges.select_columns(["dst"]), {"dst": "url"})
-    return s.union(d).groupby("url").count().select_columns(["url"])
+    return ensure_schema(
+        s.union(d).groupby("url").count().select_columns(["url"]),
+        pa.schema([("url", pa.string())]))
 
 
 def link_pagerank(sf_dir: str, iters: int = PR_ITERS):
@@ -147,7 +158,9 @@ def link_pagerank(sf_dir: str, iters: int = PR_ITERS):
     iterations over the page link graph.  score_0 = PR_SCALE for every
     node; score_{t+1}(n) = PR_BASE + (85 · Σ_{src→n} score_t(src) //
     deg(src)) // 100."""
-    edges = _edges_ds(sf_dir).materialize()
+    from ._util import materialize_clean
+
+    edges = materialize_clean(_edges_ds(sf_dir), EDGE_SCHEMA)
     n_edges = edges.count()  # metadata on a materialized dataset
     if n_edges <= GRAPH_DRIVER_GATE:
         return _pagerank_small(edges, n_edges, iters)
@@ -208,14 +221,25 @@ def _pagerank_large(edges, n_edges: int, iters: int):
     no whole-graph broadcast."""
     import pyarrow.compute as pc
 
-    from ._util import rename
+    from ._util import ensure_schema, materialize_clean, rename
 
     npart = _num_partitions(n_edges)
-    deg = rename(edges.groupby("src").count(), {"count()": "deg"})
+    deg_schema = pa.schema([("src", pa.string()), ("deg", pa.int64())])
+    deg = materialize_clean(
+        ensure_schema(
+            rename(edges.groupby("src").count(), {"count()": "deg"}),
+            deg_schema),
+        deg_schema)
     # static per-edge (src, dst, deg) side, materialized once and
-    # re-streamed every iteration
-    edges_deg = edges.join(deg, "inner", npart, on=("src",)).materialize()
-    nodes = _nodes_ds(edges).materialize()
+    # re-streamed every iteration (materialize_clean: hash join/agg
+    # outputs can carry schema-less empty blocks that poison the next
+    # join — see _util.materialize_clean)
+    ed_schema = pa.schema([("src", pa.string()), ("dst", pa.string()),
+                           ("deg", pa.int64())])
+    edges_deg = materialize_clean(
+        edges.join(deg, "inner", npart, on=("src",)), ed_schema)
+    nodes = materialize_clean(_nodes_ds(edges),
+                              pa.schema([("url", pa.string())]))
 
     def init_fn(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -223,7 +247,10 @@ def _pagerank_large(edges, n_edges: int, iters: int):
             "score": pa.array([PR_SCALE] * len(t), pa.int64()),
         })
 
-    scores = nodes.map_batches(init_fn, batch_format="pyarrow").materialize()
+    score_schema = pa.schema([("url", pa.string()),
+                              ("score", pa.int64())])
+    scores = materialize_clean(
+        nodes.map_batches(init_fn, batch_format="pyarrow"), score_schema)
 
     def contrib_fn(t: pa.Table) -> pa.Table:
         # ints are non-negative → arrow trunc-division == python floor
@@ -239,17 +266,21 @@ def _pagerank_large(edges, n_edges: int, iters: int):
         return pa.table({"url": t.column("url"),
                          "score": pc.cast(sc, pa.int64())})
 
+    inflow_schema = pa.schema([("dst", pa.string()),
+                               ("sum(c)", pa.int64())])
     for _ in range(iters):
         contrib = (edges_deg
                    .join(scores, "inner", npart,
                          on=("src",), right_on=("url",))
                    .map_batches(contrib_fn, batch_format="pyarrow"))
-        inflow = contrib.groupby("dst").sum("c")
-        scores = (nodes
-                  .join(inflow, "left_outer", npart,
-                        on=("url",), right_on=("dst",))
-                  .map_batches(newscore_fn, batch_format="pyarrow")
-                  .materialize())
+        inflow = materialize_clean(
+            ensure_schema(contrib.groupby("dst").sum("c"), inflow_schema),
+            inflow_schema)
+        scores = materialize_clean(
+            nodes.join(inflow, "left_outer", npart,
+                       on=("url",), right_on=("dst",))
+            .map_batches(newscore_fn, batch_format="pyarrow"),
+            score_schema)
     return scores
 
 
@@ -294,7 +325,9 @@ def link_components(sf_dir: str, iters: int = CC_ITERS):
     changed-label counter as the stop condition — same per-round shape).
     Per round: one map over edges (emitting both directions) + one
     groupby-min — the standard BSP components step."""
-    edges = _edges_ds(sf_dir).materialize()
+    from ._util import materialize_clean
+
+    edges = materialize_clean(_edges_ds(sf_dir), EDGE_SCHEMA)
     n_edges = edges.count()
     if n_edges <= GRAPH_DRIVER_GATE:
         return _components_small(edges, n_edges, iters)
@@ -350,9 +383,7 @@ def _components_large(edges, n_edges: int, iters: int):
     """>gate: labels stay a DATASET; each iteration joins the
     undirected edge list with labels on the message source, then takes
     groupby(url).min over messages ∪ self-labels."""
-    import pyarrow.compute as pc  # noqa: F401 (parallel structure)
-
-    from ._util import rename
+    from ._util import ensure_schema, materialize_clean, rename
 
     npart = _num_partitions(2 * n_edges)
     ue = (rename(edges, {"src": "a", "dst": "b"}).select_columns(["a", "b"])
@@ -363,8 +394,10 @@ def _components_large(edges, n_edges: int, iters: int):
     def init_fn(t: pa.Table) -> pa.Table:
         return pa.table({"url": t.column("url"), "lab": t.column("url")})
 
-    labels = (_nodes_ds(edges)
-              .map_batches(init_fn, batch_format="pyarrow").materialize())
+    lab_schema = pa.schema([("url", pa.string()), ("lab", pa.string())])
+    labels = materialize_clean(
+        _nodes_ds(edges).map_batches(init_fn, batch_format="pyarrow"),
+        lab_schema)
 
     def msg_fn(t: pa.Table) -> pa.Table:
         return pa.table({"url": t.column("b"), "lab": t.column("lab")})
@@ -373,10 +406,12 @@ def _components_large(edges, n_edges: int, iters: int):
         msgs = (ue.join(labels, "inner", npart,
                         on=("a",), right_on=("url",))
                 .map_batches(msg_fn, batch_format="pyarrow"))
-        labels = (rename(labels.union(msgs).groupby("url").min("lab"),
-                         {"min(lab)": "lab"})
-                  .select_columns(["url", "lab"])
-                  .materialize())
+        labels = materialize_clean(
+            ensure_schema(
+                rename(labels.union(msgs).groupby("url").min("lab"),
+                       {"min(lab)": "lab"}).select_columns(["url", "lab"]),
+                lab_schema),
+            lab_schema)
     return rename(labels, {"lab": "comp"}).select_columns(["url", "comp"])
 
 

@@ -1493,15 +1493,17 @@ def dup_clusters(sf_dir: str, iters: int = DUP_CC_ITERS):
 
     Scale shape: the pair set is the output of the fully-sharded
     minhash pipeline (verified dup pairs ≪ corpus); per round one
-    both-direction edge map + a min fold (graph._fold_agg — driver fold
-    below GRAPH_DRIVER_GATE partial rows, distributed groupby-min
-    above).  The final labelling is a map-only pass over the documents
-    table against the broadcast label dict, which holds PAIR-
-    PARTICIPATING nodes only (the small side by construction)."""
+    both-direction edge map + a min fold: a DRIVER fold below
+    graph.GRAPH_DRIVER_GATE pair rows (labels dict broadcast per round),
+    the graph family's labels-as-Dataset co-partitioned join iteration
+    above it (nothing node-sized on the driver — parity pinned by
+    test).  The final labelling joins/probes the documents table
+    against pair-PARTICIPATING nodes only (≪ corpus by construction in
+    the small path; a hash join in the large path)."""
     import ray
     import ray.data
 
-    from .graph import _fold_agg
+    from .graph import GRAPH_DRIVER_GATE, _fold_agg
 
     pairs = minhash_dedup(sf_dir, return_pairs=True).materialize()
     n_pairs = pairs.count()
@@ -1513,6 +1515,8 @@ def dup_clusters(sf_dir: str, iters: int = DUP_CC_ITERS):
 
     if n_pairs == 0:
         return docs.map_batches(identity, batch_format="pandas")
+    if n_pairs > GRAPH_DRIVER_GATE:
+        return _dup_clusters_large(pairs, docs, n_pairs, iters)
 
     def nodes_fn(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -1556,6 +1560,63 @@ def dup_clusters(sf_dir: str, iters: int = DUP_CC_ITERS):
             .astype("int64")})
 
     return docs.map_batches(assign, batch_format="pandas")
+
+
+def _dup_clusters_large(pairs, docs, n_pairs: int, iters: int):
+    """>GRAPH_DRIVER_GATE pair rows: labels stay a DATASET (the
+    graph._components_large shape on int64 doc ids).  Per round one
+    hash join of the undirected pair edges with the label table + one
+    groupby-min; the final labelling is docs ⟕ labels with
+    coalesce(label, doc_id).  No node-sized driver structure."""
+    import pyarrow.compute as pc
+
+    from ._util import ensure_schema, materialize_clean, rename
+    from .graph import _num_partitions
+
+    lab_schema = pa.schema([("n", pa.int64()), ("lab", pa.int64())])
+    npart = _num_partitions(2 * n_pairs)
+    ue = (rename(pairs, {"id_a": "a", "id_b": "b"})
+          .select_columns(["a", "b"])
+          .union(rename(pairs, {"id_b": "a", "id_a": "b"})
+                 .select_columns(["a", "b"]))).materialize()
+
+    nodes = ensure_schema(
+        rename(ue.select_columns(["a"]), {"a": "n"})
+        .groupby("n").count().select_columns(["n"]),
+        pa.schema([("n", pa.int64())]))
+
+    def init_fn(t: pa.Table) -> pa.Table:
+        return pa.table({"n": t.column("n").cast(pa.int64()),
+                         "lab": t.column("n").cast(pa.int64())})
+
+    labels = materialize_clean(
+        nodes.map_batches(init_fn, batch_format="pyarrow"), lab_schema)
+
+    def msg_fn(t: pa.Table) -> pa.Table:
+        return pa.table({"n": t.column("b").cast(pa.int64()),
+                         "lab": t.column("lab").cast(pa.int64())})
+
+    for _ in range(iters):
+        msgs = (ue.join(labels, "inner", npart, on=("a",), right_on=("n",))
+                .map_batches(msg_fn, batch_format="pyarrow"))
+        # ensure_schema casts; materialize_clean drops the hash
+        # aggregate/join's schema-less empty blocks, which would break
+        # the next round's join (see _util.materialize_clean)
+        labels = materialize_clean(
+            ensure_schema(
+                rename(labels.union(msgs).groupby("n").min("lab"),
+                       {"min(lab)": "lab"}).select_columns(["n", "lab"]),
+                lab_schema),
+            lab_schema)
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64())
+        lab = pc.coalesce(t.column("lab").cast(pa.int64()), ids)
+        return pa.table({"doc_id": ids, "cluster": lab})
+
+    return (docs.join(labels, "left_outer", npart,
+                      on=("doc_id",), right_on=("n",))
+            .map_batches(final_fn, batch_format="pyarrow"))
 
 
 def minhash_cte_prefix(mhparams_path: str) -> str:

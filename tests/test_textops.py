@@ -674,3 +674,40 @@ def test_dup_clusters_chain_beyond_iters_hops(ray_session, tmp_path):
     # and the contract really is NOT a full partition on this chain:
     assert len(set(out.values())) > 1
     assert out[0] == 0 and out[5] != 0
+
+
+def test_dup_clusters_large_path_parity(ray_session, tmp_path, monkeypatch):
+    """>GRAPH_DRIVER_GATE pairs: the labels-as-Dataset join path must
+    produce exactly the driver-fold path's clusters, with no driver
+    label fold."""
+    import pyarrow as pa
+
+    from methanol_web_crawler_ray.pipelines import graph
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon " * 4).split()
+    a = " ".join(base)
+    b = " ".join(base[:-1] + ["CHANGED1"])
+    c = " ".join(base[:-2] + ["CHANGED1", "CHANGED2"])
+    texts = [a, b, c, "a completely different tiny document here",
+             "another unrelated document with its own words entirely"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["t"] * len(texts), pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    small = sorted((r["doc_id"], r["cluster"]) for r in
+                   textops.dup_clusters(str(tmp_path)).take_all())
+
+    def no_fold(*a, **k):
+        raise AssertionError("large path must not fold labels on driver")
+
+    monkeypatch.setattr(graph, "GRAPH_DRIVER_GATE", 0)
+    monkeypatch.setattr(graph, "_fold_agg", no_fold)
+    large = sorted((r["doc_id"], r["cluster"]) for r in
+                   textops.dup_clusters(str(tmp_path)).take_all())
+    assert large == small
+    assert small[0] == (0, 0) and small[1] == (1, 0) and small[2] == (2, 0)
