@@ -880,13 +880,22 @@ def crawl_bfs_pipelined(
     external gating and MIME binding are all inside the shared kernel —
     pipelined vs wave outputs are set-equal (pinned by test).
 
-    Driver memory is BOUNDED: the link buffer is capped at
-    ``buf_cap_rows`` (default 64×batch_size); overflow tables spill as
+    Driver memory is BOUNDED structurally: the driver never holds link
+    TABLES, only ``(ObjectRef, offset, rows)`` bookkeeping — each
+    task's link table stays in the object store (returned as its own
+    object via ``num_returns=2``; the driver ``ray.get``s only the
+    few-int stats tuple) and the next task dereferences the ref
+    worker-side, so frontier bytes flow plasma→plasma and Ray's object
+    store spills to disk under pressure instead of the driver heap
+    growing.  ``buf_cap_rows`` additionally opts into DURABLE overflow:
+    above the cap the oldest buffered tables are written as
     frontier-schema Parquet under ``out_dir/frontier_spill`` (the wave
     engine's durable-frontier convention; at cluster scale you would
-    additionally partition the spill by host bucket for locality) and
-    stream back FIFO as the buffer drains — a fast-expanding frontier
-    costs disk, never driver heap.
+    partition the spill by host bucket for locality) and stream back
+    FIFO as the buffer drains.  Default is no cap: hot-path frontier
+    I/O is zero-disk and Parquet is written only at checkpoints
+    (measured: the old always-on Parquet overflow cost 2.4× crawl
+    wall-time at sf0.1/batch=128).
 
     Resumability: with ``ckpt_every_tasks=N`` the drain loop QUIESCES
     every N completed tasks (stops cutting, drains in-flight tasks),
@@ -992,16 +1001,21 @@ def crawl_bfs_pipelined(
     cpus = int(ray.cluster_resources().get("CPU", 8))
     max_inflight = max_inflight or cpus * 3
 
-    @ray.remote(num_cpus=1, max_retries=0)
-    def _stream_task(slices, odir, task_idx, wfn, bsz):
+    @ray.remote(num_cpus=1, max_retries=0, num_returns=2)
+    def _stream_task(specs, odir, task_idx, wfn, bsz):
+        # specs: [(ObjectRef[frontier table], offset, rows), ...] —
+        # dereferenced HERE (plasma→worker, zero driver copy); the
+        # first return (the link table) likewise never visits the
+        # driver: the next task that consumes it gets the raw ref
         t_busy0 = time.time()
-        tbl = slices[0] if len(slices) == 1 else pa.concat_tables(slices)
+        parts = [ray.get(r).slice(o, n) for r, o, n in specs]
+        tbl = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
         outs = []
         for o in range(0, tbl.num_rows, bsz):
             outs.append(wfn(tbl.slice(o, bsz)))
         outs = [o for o in outs if o.num_rows]
         if not outs:
-            return None, 0, 0, time.time() - t_busy0
+            return None, (0, 0, time.time() - t_busy0)
         res = pa.concat_tables(outs)
         is_link = pc.equal(res.column("kind"), "link")
         links = res.filter(is_link).select(
@@ -1017,8 +1031,8 @@ def crawl_bfs_pipelined(
                 existing_data_behavior="overwrite_or_ignore")
         n_pages = pc.sum(pc.equal(res.column("kind"), "page")).as_py() or 0
         links = links.combine_chunks()
-        return (links if links.num_rows else None, n_pages,
-                links.num_rows, time.time() - t_busy0)
+        return (links if links.num_rows else None,
+                (n_pages, links.num_rows, time.time() - t_busy0))
 
     if prewarm_buckets:
         # benchmark opt-in, same rationale as the wave engine's
@@ -1037,8 +1051,8 @@ def crawl_bfs_pipelined(
         start_gate()
     t_loop = time.time()
 
-    pending: Dict = {}
-    buf: List[pa.Table] = []
+    pending: Dict = {}  # meta ObjectRef -> link-table ObjectRef
+    buf: List[List] = []  # [link-table ObjectRef, offset, rows-left]
     buf_rows = 0
     seq = manifest["seq"] if manifest is not None else 0
     spill_seq = manifest["spill_seq"] if manifest is not None else 0
@@ -1046,54 +1060,64 @@ def crawl_bfs_pipelined(
         [os.path.join(spill_dir, f) for f in manifest["files"]]
         if manifest is not None else [])
     consumed_spill: List[str] = []
-    buf_cap = buf_cap_rows or batch_size * 64
+    buf_cap = buf_cap_rows  # None = object store is the bound
     last_ckpt_tasks = stats["n_tasks"]
+
+    def _entry_table(e) -> pa.Table:
+        # only the durable paths (cap overflow, checkpoint) materialize
+        # an entry on the driver; the hot path ships refs
+        return ray.get(e[0]).slice(e[1], e[2])
 
     def cut(force: bool) -> None:
         nonlocal buf, buf_rows, seq
         while ((buf_rows >= batch_size or (force and buf_rows > 0))
                and len(pending) < max_inflight):
             need = min(batch_size, buf_rows)
-            take: List[pa.Table] = []
+            specs: List[tuple] = []
             taken = 0
             while taken < need:
-                t = buf[0]
+                e = buf[0]
                 room = need - taken
-                if t.num_rows <= room:
-                    take.append(buf.pop(0))
-                    taken += t.num_rows
+                if e[2] <= room:
+                    specs.append((e[0], e[1], e[2]))
+                    taken += e[2]
+                    buf.pop(0)
                 else:
-                    take.append(t.slice(0, room))
-                    buf[0] = t.slice(room)
+                    specs.append((e[0], e[1], room))
+                    e[1] += room
+                    e[2] -= room
                     taken += room
             buf_rows -= taken
-            ref = _stream_task.remote(take, out_dir, seq, wave_fn_ref,
-                                      batch_size)
-            pending[ref] = None
+            links_ref, meta_ref = _stream_task.remote(
+                specs, out_dir, seq, wave_fn_ref, batch_size)
+            pending[meta_ref] = links_ref
             seq += 1
 
-    def _absorb(ref) -> None:
+    def _absorb(meta_ref, links_ref) -> None:
         nonlocal buf_rows
-        links, n_pages, n_links, busy = ray.get(ref)
+        n_pages, n_links, busy = ray.get(meta_ref)
         stats["pages_parsed"] += n_pages
         stats["links_extracted"] += n_links
         stats["frontier_urls"] += n_links
         stats["task_busy_sec"] += busy
         stats["n_tasks"] += 1
-        if links is not None:
-            buf.append(links)
-            buf_rows += links.num_rows
+        if n_links:
+            buf.append([links_ref, 0, n_links])
+            buf_rows += n_links
 
     def spill_overflow() -> None:
-        # bound the driver heap: oldest link tables spill to Parquet
-        # (FIFO — order-free semantics, FIFO keeps progress fair)
+        # opt-in durable overflow: oldest link tables leave the object
+        # store for Parquet (FIFO — order-free semantics, FIFO keeps
+        # progress fair)
         nonlocal buf_rows, spill_seq
+        if buf_cap is None:
+            return
         while buf_rows > buf_cap and len(buf) > 1:
-            t = buf.pop(0)
-            buf_rows -= t.num_rows
+            e = buf.pop(0)
+            buf_rows -= e[2]
             os.makedirs(spill_dir, exist_ok=True)
             p = os.path.join(spill_dir, f"spill-{spill_seq:06d}.parquet")
-            pq.write_table(t, p)
+            pq.write_table(_entry_table(e), p)
             spill_q.append(p)
             spill_seq += 1
 
@@ -1104,8 +1128,9 @@ def crawl_bfs_pipelined(
         nonlocal buf_rows
         while spill_q and buf_rows < batch_size * 2:
             p = spill_q.pop(0)
-            buf.append(pq.read_table(p))
-            buf_rows += buf[-1].num_rows
+            t = pq.read_table(p)
+            buf.append([ray.put(t), 0, t.num_rows])
+            buf_rows += t.num_rows
             consumed_spill.append(p)
 
     def checkpoint() -> None:
@@ -1117,13 +1142,12 @@ def crawl_bfs_pipelined(
         while pending:
             done, _ = ray.wait(list(pending), num_returns=1)
             for ref in done:
-                del pending[ref]
-                _absorb(ref)
+                _absorb(ref, pending.pop(ref))
         os.makedirs(spill_dir, exist_ok=True)
         while buf:
-            t = buf.pop(0)
+            e = buf.pop(0)
             p = os.path.join(spill_dir, f"spill-{spill_seq:06d}.parquet")
-            pq.write_table(t, p)
+            pq.write_table(_entry_table(e), p)
             spill_q.append(p)
             spill_seq += 1
         buf_rows = 0
@@ -1145,7 +1169,7 @@ def crawl_bfs_pipelined(
         last_ckpt_tasks = stats["n_tasks"]
 
     if seed_tbl is not None and seed_tbl.num_rows:
-        buf.append(seed_tbl)
+        buf.append([ray.put(seed_tbl), 0, seed_tbl.num_rows])
         buf_rows = seed_tbl.num_rows
     try:
         refill()
@@ -1158,8 +1182,7 @@ def crawl_bfs_pipelined(
                     break
             done, _ = ray.wait(list(pending), num_returns=1)
             for ref in done:
-                del pending[ref]
-                _absorb(ref)
+                _absorb(ref, pending.pop(ref))
             spill_overflow()
             if (ckpt_every_tasks
                     and stats["n_tasks"] - last_ckpt_tasks
