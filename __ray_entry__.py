@@ -304,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_clusters": textops.dup_clusters,
         "doc_tfidf": textops.tfidf_top_terms,
         "doc_simhash_pairs": textops.simhash_pairs,
+        "doc_ngram_jaccard": textops.ngram_jaccard_pairs,
         "doc_corpus_clean": textops.corpus_clean,
         "doc_top_tokens": textops.top_tokens,
         "doc_substring_overlap": textops.substring_overlap,
@@ -528,6 +529,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT idb AS doc_id, min(ida)::BIGINT AS dup_of "
             "FROM pairs GROUP BY idb"
         ),
+        # exact n-gram Jaccard join: prefix filtering over value-sorted
+        # shingle sets (recall 1.0 by construction modulo the shared
+        # NJ_BUCKET_CAP degenerate guard), identical integer verify
+        "doc_ngram_jaccard": textops.ngram_jaccard_oracle_sql(),
         # winnowing fingerprints (SIGMOD'03 Fig.5): k-gram md5-hex hashes,
         # window-min with rightmost tie — replayed with a window function
         # + position-of-min join; short docs (< w grams / < k chars) take

@@ -750,6 +750,234 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
 
 
 # ---------------------------------------------------------------------------
+# exact n-gram Jaccard similarity join (prefix filtering)
+
+NJ_BUCKET_CAP = 1000  # degenerate-shingle guard, replicated in the oracle
+
+
+def _nj_prefix_len(n: int, num: int, den: int) -> int:
+    """Prefix-filter length for threshold num/den over an n-element
+    sorted set: n - ceil(num*n/den) + 1 (Chaudhuri-Ganti-Kaushik
+    SSJoin'06 prefix principle — two sets with overlap >= ceil(tau*n)
+    must collide within these prefixes under any shared total order)."""
+    return n - (num * n + den - 1) // den + 1
+
+
+def ngram_jaccard_pairs(sf_dir: str, thresh_num: int = THRESH_NUM,
+                        thresh_den: int = THRESH_DEN,
+                        bucket_cap: int = NJ_BUCKET_CAP,
+                        num_partitions: int = 8,
+                        members_gate: int = 500_000,
+                        pairs_gate: int = 200_000):
+    """(id_a, id_b, inter, un): every UNORDERED doc pair whose exact
+    word-3-gram-set Jaccard >= thresh_num/thresh_den, with the integer
+    intersection/union sizes.  Unlike minhash_dedup (probabilistic
+    banding, recall < 1) this join is EXACT: candidate generation is
+    prefix filtering over the value-sorted distinct shingle sets — a
+    pair at Jaccard >= tau MUST share a shingle within both docs'
+    (1-tau)-fraction prefixes — so recall is 1.0 by construction, except
+    prefix-shingle buckets over ``bucket_cap`` members, which are
+    dropped on both sides (degenerate corpora: one boilerplate gram in
+    every doc would otherwise go quadratic; the oracle replays the same
+    cap).  Empty/shingle-less docs never pair (Jaccard undefined;
+    ``un > 0`` on both sides).
+
+    Scale shape: one map pass emits only PREFIX shingles (~(1-tau)
+    of each doc's grams, 12 bytes/row), collision detection is
+    aggregate-then-probe via ``hot_keys`` (map-side partials, no
+    shuffle under the driver limit), pair generation runs in
+    ``map_groups`` over hot buckets only, and verification ships packed
+    shingle sets for CANDIDATE docs only (broadcast under the small
+    gate, two hash joins above it) — the corpus never leaves the
+    cluster and nothing corpus-sized lands on the driver."""
+    import ray
+    import ray.data
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    empty = ray.data.from_arrow(pa.table(
+        {"id_a": pa.array([], pa.int64()),
+         "id_b": pa.array([], pa.int64()),
+         "inter": pa.array([], pa.int64()),
+         "un": pa.array([], pa.int64())}))
+
+    def prefix_fn(df: pd.DataFrame) -> pd.DataFrame:
+        xs, ids = [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            sh = shingle_hashes(text)  # distinct, value-sorted
+            if sh.size == 0:
+                continue
+            p = _nj_prefix_len(sh.size, thresh_num, thresh_den)
+            xs.append(sh[:p])
+            ids.append(np.full(p, int(doc_id), dtype=np.int64))
+        if not xs:
+            return pd.DataFrame({"x": pd.Series([], dtype="int64"),
+                                 "doc_id": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"x": np.concatenate(xs),
+                             "doc_id": np.concatenate(ids)})
+
+    pre = docs.map_batches(prefix_fn, batch_format="pandas").materialize()
+    hotset = hot_keys(pre, ["x"], max_count=bucket_cap)
+    if not hotset:
+        return empty
+    hot_arr = pa.array(sorted(int(x) for x in hotset), pa.int64())
+    members = pre.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("x"), value_set=hot_arr)),
+        batch_format="pyarrow",
+    )
+
+    def pairgen(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(df["doc_id"].to_numpy())
+        iu, ju = np.triu_indices(ids.shape[0], k=1)
+        return pd.DataFrame({"id_a": ids[iu].astype(np.int64),
+                             "id_b": ids[ju].astype(np.int64)})
+
+    if members.count() <= members_gate:
+        # driver-small hot members: local per-bucket pairgen (the same
+        # size-gated pattern as minhash_dedup/simhash_pairs)
+        mdf = collect_df(members)
+        frames = [pairgen(g) for _k, g in mdf.groupby("x")]
+        pdf = (pd.concat(frames, ignore_index=True).drop_duplicates()
+               if frames else
+               pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64")}))
+        if pdf.empty:
+            return empty
+        pairs = ray.data.from_pandas(pdf.reset_index(drop=True))
+        n_pairs = len(pdf)
+    else:
+        pairs = members.groupby("x").map_groups(
+            pairgen, batch_format="pandas").materialize()
+        pairs = pairs.groupby(["id_a", "id_b"]).count() \
+            .drop_columns(["count()"]).materialize()
+        n_pairs = pairs.count()
+    if n_pairs == 0:
+        return empty
+
+    def to_shingles(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "sh": [shingle_hashes(t).astype("<i8").tobytes()
+                   for t in df["text"]],
+        })
+
+    def jstats(sa_b: bytes, sb_b: bytes):
+        sa = np.frombuffer(sa_b, dtype="<i8")
+        sb = np.frombuffer(sb_b, dtype="<i8")
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        return inter, sa.size + sb.size - inter
+
+    if n_pairs <= pairs_gate:
+        # small-candidate path: broadcast candidate ids, compute packed
+        # shingles for candidate docs DISTRIBUTED, broadcast, verify
+        pdf = collect_df(pairs)
+        plist = sorted(zip(pdf["id_a"].astype(int), pdf["id_b"].astype(int)))
+        cand_ref = ray.put({i for p in plist for i in p})
+        sh_df = collect_df(docs.map_batches(
+            lambda df, ref=cand_ref: to_shingles(
+                df[df["doc_id"].isin(ray.get(ref))]),
+            batch_format="pandas",
+        ))  # candidate-bounded, not corpus-bounded
+        sh_ref = ray.put({int(r.doc_id): r.sh
+                          for r in sh_df.itertuples(index=False)})
+        pair_ds = ray.data.from_arrow(pa.table({
+            "id_a": pa.array([p[0] for p in plist], pa.int64()),
+            "id_b": pa.array([p[1] for p in plist], pa.int64())}))
+
+        def verify_bc(df: pd.DataFrame, ref=sh_ref) -> pd.DataFrame:
+            sh = ray.get(ref)
+            out = {"id_a": [], "id_b": [], "inter": [], "un": []}
+            for a_id, b_id in zip(df["id_a"], df["id_b"]):
+                inter, un = jstats(sh[int(a_id)], sh[int(b_id)])
+                if un > 0 and inter * thresh_den >= un * thresh_num:
+                    out["id_a"].append(int(a_id))
+                    out["id_b"].append(int(b_id))
+                    out["inter"].append(inter)
+                    out["un"].append(un)
+            return pd.DataFrame({k: pd.Series(v, dtype="int64")
+                                 for k, v in out.items()})
+
+        vdf = collect_df(pair_ds.map_batches(verify_bc,
+                                             batch_format="pandas"))
+        if vdf.empty:
+            return empty
+        return ray.data.from_pandas(vdf.reset_index(drop=True))
+
+    # large path: candidate ids semi-join the docs table, then
+    # pairs |><| shingles |><| shingles, vectorized verification
+    cand_ids = pairs.select_columns(["id_a"]).union(
+        _rename(pairs.select_columns(["id_b"]), {"id_b": "id_a"})
+    ).groupby("id_a").count().drop_columns(["count()"])
+    cand_docs = docs.join(_rename(cand_ids, {"id_a": "doc_id"}),
+                          join_type="inner",
+                          num_partitions=num_partitions, on=("doc_id",))
+    shingles = cand_docs.map_batches(
+        to_shingles, batch_format="pandas").materialize()
+    both = pairs.join(
+        _rename(shingles, {"doc_id": "id_a", "sh": "sh_a"}),
+        join_type="inner", num_partitions=num_partitions, on=("id_a",),
+    ).join(
+        _rename(shingles, {"doc_id": "id_b", "sh": "sh_b"}),
+        join_type="inner", num_partitions=num_partitions, on=("id_b",),
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"id_a": [], "id_b": [], "inter": [], "un": []}
+        for a_id, b_id, sa, sb in zip(df["id_a"], df["id_b"],
+                                      df["sh_a"], df["sh_b"]):
+            inter, un = jstats(sa, sb)
+            if un > 0 and inter * thresh_den >= un * thresh_num:
+                out["id_a"].append(int(a_id))
+                out["id_b"].append(int(b_id))
+                out["inter"].append(inter)
+                out["un"].append(un)
+        return pd.DataFrame({k: pd.Series(v, dtype="int64")
+                             for k, v in out.items()})
+
+    verified = pairs_empty_guard(
+        both.map_batches(verify, batch_format="pandas").materialize())
+    return verified if verified is not None else empty
+
+
+def ngram_jaccard_oracle_sql(thresh_num: int = THRESH_NUM,
+                             thresh_den: int = THRESH_DEN,
+                             bucket_cap: int = NJ_BUCKET_CAP) -> str:
+    """DuckDB replay of the prefix-filter join: the same gram/shingle
+    definition as the minhash CTEs, value-sorted, prefix length
+    n - ceil(num*n/den) + 1, the same bucket cap, and the identical
+    integer verify inter*den >= un*num AND un > 0."""
+    num, den = thresh_num, thresh_den
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '\\S+') AS toks FROM documents), "
+        "sh0 AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+        "list_transform(range(1, len(toks) - 1), i -> "
+        "toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' "
+        "|| toks[CAST(i AS INT) + 2]) "
+        "WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] "
+        "ELSE [] END AS grams FROM t), "
+        "sh AS (SELECT doc_id, list_sort(list_distinct(list_transform("
+        "grams, g -> CAST(md5_number_lower(g) & 2147483647::UBIGINT "
+        "AS BIGINT)))) AS xs FROM sh0), "
+        f"pre AS (SELECT doc_id, unnest(list_slice(xs, 1, "
+        f"len(xs) - (({num} * len(xs) + {den} - 1) // {den}) + 1)) AS x "
+        "FROM sh WHERE len(xs) > 0), "
+        "hot AS (SELECT x FROM pre GROUP BY x "
+        f"HAVING count(*) >= 2 AND count(*) <= {bucket_cap}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb "
+        "FROM pre a JOIN hot h ON a.x = h.x "
+        "JOIN pre b ON b.x = a.x AND a.doc_id < b.doc_id), "
+        "j AS (SELECT c.ida, c.idb, "
+        "len(list_intersect(sa.xs, sb.xs)) AS inter, "
+        "len(sa.xs) + len(sb.xs) - len(list_intersect(sa.xs, sb.xs)) "
+        "AS un FROM cand c JOIN sh sa ON sa.doc_id = c.ida "
+        "JOIN sh sb ON sb.doc_id = c.idb) "
+        "SELECT ida AS id_a, idb AS id_b, inter::BIGINT AS inter, "
+        "un::BIGINT AS un FROM j "
+        f"WHERE un > 0 AND inter * {den} >= un * {num}"
+    )
+
+
+# ---------------------------------------------------------------------------
 # language ID (n-gram heuristic; rows-only oracle)
 
 _LANG_SAMPLES = {

@@ -711,3 +711,74 @@ def test_dup_clusters_large_path_parity(ray_session, tmp_path, monkeypatch):
                    textops.dup_clusters(str(tmp_path)).take_all())
     assert large == small
     assert small[0] == (0, 0) and small[1] == (1, 0) and small[2] == (2, 0)
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(ray_session, sf_dir, docs):
+    """Prefix filtering is EXACT (recall 1.0, precision 1.0): the found
+    pair set must EQUAL brute-force integer Jaccard >= 4/5 over the full
+    corpus (no bucket cap triggers at this scale)."""
+    shingles = {d["doc_id"]: textops.shingle_hashes(d["text"])
+                for d in docs}
+    brute = {}
+    ids = sorted(shingles)
+    for a, b in itertools.combinations(ids, 2):
+        sa, sb = shingles[a], shingles[b]
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        un = sa.size + sb.size - inter
+        if un > 0 and inter * textops.THRESH_DEN >= un * textops.THRESH_NUM:
+            brute[(a, b)] = (inter, un)
+    found = {(int(r["id_a"]), int(r["id_b"])): (int(r["inter"]),
+                                                int(r["un"]))
+             for r in textops.ngram_jaccard_pairs(sf_dir).take_all()}
+    assert found == brute
+
+
+def test_ngram_jaccard_paths_parity(ray_session, sf_dir):
+    """The driver-small and fully-sharded (join) verification paths make
+    identical decisions."""
+    small = sorted((int(r["id_a"]), int(r["id_b"]), int(r["inter"]),
+                    int(r["un"]))
+                   for r in textops.ngram_jaccard_pairs(sf_dir).take_all())
+    large = sorted((int(r["id_a"]), int(r["id_b"]), int(r["inter"]),
+                    int(r["un"]))
+                   for r in textops.ngram_jaccard_pairs(
+                       sf_dir, members_gate=-1, pairs_gate=-1).take_all())
+    assert small == large
+
+
+def test_ngram_jaccard_bucket_cap(ray_session, tmp_path):
+    """Prefix buckets above the cap are dropped on both sides: with
+    cap < bucket size a planted near-dup group yields no pairs; with the
+    default cap every pair of the group is found, and an empty doc never
+    pairs (Jaccard undefined)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon " * 3).split()
+    texts = [" ".join(base),
+             " ".join(base[:-1] + ["CHANGEDX"]),
+             " ".join(base[:-1] + ["CHANGEDY"]),
+             "", "   "]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["t"] * len(texts), pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    full = sorted((int(r["id_a"]), int(r["id_b"])) for r in
+                  textops.ngram_jaccard_pairs(str(tmp_path)).take_all())
+    assert full == [(0, 1), (0, 2), (1, 2)]
+    # cap=2 drops every bucket shared by all three docs; a pair survives
+    # only via a bucket of exactly 2 members (the cap NEVER adds pairs —
+    # the capped result is a strict subset).  Deterministically that is
+    # (0, 1): doc 2's CHANGEDY gram hashes LOW (263705538), enters its
+    # prefix and displaces the shared shingle 750985224, which therefore
+    # sits in docs 0+1's prefixes only — a 2-member bucket.
+    capped = sorted(
+        (int(r["id_a"]), int(r["id_b"])) for r in
+        textops.ngram_jaccard_pairs(str(tmp_path), bucket_cap=2).take_all())
+    assert set(capped) < set(full)
+    assert capped == [(0, 1)]
