@@ -65,6 +65,36 @@ def warm_workers(num_cpus: int) -> float:
     return time.time() - t0
 
 
+def cpu_probe(mb: int = 192) -> float:
+    """Single-thread fixed-work calibration: seconds to md5 ``mb`` MB in
+    64 KB chunks (hashlib releases no work to BLAS/OpenMP — guaranteed
+    one core).  Recorded per scaling PHASE so a host-throttled phase is
+    self-evident inside the artifact itself: the r4/2 reading (weak_seq
+    1.499, physically impossible) was only diagnosable by cross-
+    referencing campaign load logs; with per-phase probes the corrupted
+    phase identifies itself (its probe runs slow) and the validity call
+    needs no out-of-band evidence."""
+    import hashlib
+
+    buf = b"\xa5" * 65536
+    t0 = time.perf_counter()
+    for _ in range(mb * 16):
+        buf = hashlib.md5(buf).digest() * 4096  # 64 KB again
+    return round(time.perf_counter() - t0, 3)
+
+
+def cpu_stat() -> dict:
+    """Box-wide /proc/stat counters (USER_HZ ticks): steal separates a
+    hypervisor taking the vCPUs away from in-session contention — the
+    one signal that conclusively attributes a collapsed phase to the
+    host rather than the engine."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    names = ("user", "nice", "system", "idle", "iowait",
+             "irq", "softirq", "steal")
+    return {n: int(v) for n, v in zip(names, parts[1:9])}
+
+
 def run_suite(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -202,6 +232,8 @@ def run_scaling_job(num_cpus: int, n_pages: int, tag: str = "",
     out = f"/tmp/mwc_scaling_{num_cpus}{tag}"
     shutil.rmtree(out, ignore_errors=True)
     warmup_sec = warm_workers(num_cpus)
+    probe_sec = cpu_probe()  # phase-validity calibration (see cpu_probe)
+    stat0 = cpu_stat()
     # prewarm: store ingest belongs to setup in the scaling measurement
     # (a cluster's nodes ingest from distributed storage in parallel; on
     # one box it is a fixed cost that corrupts the CPU-scaling signal)
@@ -243,10 +275,14 @@ def run_scaling_job(num_cpus: int, n_pages: int, tag: str = "",
         stats = bulk.crawl_bfs(cfg, pdir, seeds, out_dir=out, num_shards=8,
                                prewarm_buckets=True, start_gate=gate)
     el = stats["crawl_sec"]
+    stat1 = cpu_stat()
+    dstat = {k: stat1[k] - stat0[k] for k in stat0}
+    busy_ticks = sum(v for k, v in dstat.items() if k != "idle")
     out = {
         "queries": {"crawl_bulk_heavy": round(el, 3)},
         "engine": engine,
         "warmup_sec": round(warmup_sec, 3),
+        "probe_sec": probe_sec,
         "setup_sec": round(stats["setup_sec"], 3),
         "crawl_sec": round(el, 3),
         "pages_parsed": stats["pages_parsed"],
@@ -256,6 +292,10 @@ def run_scaling_job(num_cpus: int, n_pages: int, tag: str = "",
         # utilization (direct-path waves; ~all waves at this corpus size)
         "cpu_busy_frac": round(
             stats.get("task_busy_sec", 0.0) / (el * num_cpus), 3),
+        # box-wide ticks over the timed section: steal_frac > 0 is the
+        # hypervisor taking the vCPUs; iowait_frac marks disk stalls
+        "steal_frac": round(dstat["steal"] / max(1, busy_ticks), 4),
+        "iowait_frac": round(dstat["iowait"] / max(1, busy_ticks), 4),
     }
     ray.shutdown()
     return out
@@ -418,6 +458,20 @@ def main() -> None:
                 "pages_per_sec_4x8cpu_aggregate": round(sum(weak_tputs), 1),
                 "cpu_busy_frac_8cpu": r8.get("cpu_busy_frac"),
                 "cpu_busy_frac_32cpu": r32.get("cpu_busy_frac"),
+                # per-phase single-thread calibration probes: equal
+                # probes = comparable phases; a slow probe marks which
+                # phase a shared-VM throttle corrupted (see cpu_probe)
+                "probe_sec_8cpu": r8.get("probe_sec"),
+                "probe_sec_8cpu_quarter": r8s.get("probe_sec"),
+                "probe_sec_32cpu": r32.get("probe_sec"),
+                "probe_sec_8cpu_post": r8b.get("probe_sec"),
+                # box-wide steal/iowait fraction of busy ticks per phase
+                # (cpu_stat): steal > 0 = hypervisor throttling, the
+                # conclusive host-vs-engine attribution for a collapse
+                "steal_frac_8cpu": r8.get("steal_frac"),
+                "steal_frac_32cpu": r32.get("steal_frac"),
+                "steal_frac_8cpu_post": r8b.get("steal_frac"),
+                "iowait_frac_32cpu": r32.get("iowait_frac"),
                 "crawl_sec_8cpu_quarter": r8s["crawl_sec"],
                 "crawl_sec_32cpu_full": r32["crawl_sec"],
                 "scaling_pages": n_pages,
