@@ -259,6 +259,14 @@ def _q_page_host_freshness(sf_dir: str):
     return host_freshness(_pages_dir(sf_dir))
 
 
+def _q_page_change_rate(sf_dir: str):
+    """Per-URL content drift over the captures table: captures vs
+    distinct md5 text versions — the adaptive-revisit signal."""
+    from methanol_web_crawler_ray.stages.extract import snapshot_change_rate
+
+    return snapshot_change_rate(_pages_dir(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # DICT ORDER IS THE GATING ORDER: the round-3 driver recorded exactly
     # the FIRST 50 entries, so the 6 tail queries never reached
@@ -283,6 +291,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # coverage — the captures table is the multi-snapshot history)
         "page_snapshot_latest": _q_page_snapshot_latest,
         "page_host_freshness": _q_page_host_freshness,
+        "page_change_rate": _q_page_change_rate,
+        # CCNet head/middle/tail corpus split by LM-coverage terciles
+        "doc_lm_buckets": textops.lm_buckets,
         # crawl engine (SURVEY §2 / §3) — oracled vs the sequential
         # reference simulator's golden parquet
         "crawl_visits": _q_crawl_visits,
@@ -332,12 +343,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_by_type": relops.events_by_type,
         "rel_events_window": relops.events_window,
         "rel_events_asof": relops.events_asof,
+        # ---- r3-green queries with independent pytest oracles:
+        # sacrificed to the driver's 50-row gating cap (doc_langid /
+        # doc_pii_scrub joined the tail to gate the warc_ts operators;
+        # rel_events_range_join / rel_price_band_join to gate
+        # page_change_rate / doc_lm_buckets — all four r3-green)
         "rel_events_range_join": relops.events_range_join,
         "rel_price_band_join": relops.price_band_join,
-        # ---- twice-green (r2+r3) queries with independent pytest
-        # oracles: sacrificed to the driver's 50-row gating cap
-        # (doc_langid / doc_pii_scrub joined the tail in round 4 to gate
-        # the two new warc_ts operators; both r3-green + pytest-oracled)
         "page_links": _q_page_links,
         "page_canonicalize": _q_page_canonicalize,
         "doc_quality": textops.quality,
@@ -372,6 +384,38 @@ def oracle_sql() -> dict[str, str]:
     media_dir = _mm.media_dir_for()
     _ftp_dir = _ftp.ftp_dir_for()
     cap = captures_path(pdir)
+    # corpus bigram-LM coverage (shared by doc_lm_coverage and, as a
+    # subquery, doc_lm_buckets): positional md5-31-bit bigram keys (the
+    # shingle key family), model = keys with corpus count >=
+    # LM_MIN_COUNT capped at the LM_TOP_V most frequent, coverage
+    # decided in integer permille
+    lm_cov_sql = (
+        "WITH t AS (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '\\S+') AS toks "
+        "FROM documents), "
+        "g0 AS (SELECT doc_id, CASE WHEN len(toks) >= 2 THEN "
+        "list_transform(range(1, len(toks)), i -> "
+        "toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]) "
+        "WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] "
+        "ELSE [] END AS grams FROM t), "
+        "gx AS (SELECT doc_id, CAST(md5_number_lower(g) & "
+        "2147483647::UBIGINT AS BIGINT) AS x "
+        "FROM g0, UNNEST(grams) AS u(g)), "
+        f"model AS (SELECT x FROM gx GROUP BY x "
+        f"HAVING count(*) >= {textops.LM_MIN_COUNT} "
+        # top-V vocabulary cap, ties by key ascending (exactly the
+        # Ray side's sort_values([c desc, x asc]).head(top_v))
+        f"ORDER BY count(*) DESC, x LIMIT {textops.LM_TOP_V}), "
+        "per AS (SELECT gx.doc_id, count(*)::BIGINT AS nb, "
+        "count(m.x)::BIGINT AS nk FROM gx "
+        "LEFT JOIN model m USING (x) GROUP BY gx.doc_id) "
+        "SELECT d.doc_id, COALESCE(per.nb, 0)::BIGINT AS n_bigrams, "
+        "COALESCE(per.nk, 0)::BIGINT AS n_known, "
+        "(CASE WHEN COALESCE(per.nb, 0) > 0 "
+        "THEN (per.nk * 1000) // per.nb ELSE 0 END)::BIGINT "
+        "AS coverage_permille "
+        "FROM documents d LEFT JOIN per USING (doc_id)"
+    )
     return {
         "crawl_visits": (
             f"SELECT url, host, depth, round_num, seq FROM "
@@ -613,35 +657,28 @@ def oracle_sql() -> dict[str, str]:
             "(ORDER BY length(text), doc_id)::BIGINT AS rank "
             "FROM documents"
         ),
-        # corpus bigram-LM coverage: positional md5-31-bit bigram keys
-        # (the shingle key family), model = keys with corpus count >=
-        # LM_MIN_COUNT, coverage decided in integer permille
-        "doc_lm_coverage": (
-            "WITH t AS (SELECT doc_id, "
-            "regexp_extract_all(lower(text), '\\S+') AS toks "
-            "FROM documents), "
-            "g0 AS (SELECT doc_id, CASE WHEN len(toks) >= 2 THEN "
-            "list_transform(range(1, len(toks)), i -> "
-            "toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]) "
-            "WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] "
-            "ELSE [] END AS grams FROM t), "
-            "gx AS (SELECT doc_id, CAST(md5_number_lower(g) & "
-            "2147483647::UBIGINT AS BIGINT) AS x "
-            "FROM g0, UNNEST(grams) AS u(g)), "
-            f"model AS (SELECT x FROM gx GROUP BY x "
-            f"HAVING count(*) >= {textops.LM_MIN_COUNT} "
-            # top-V vocabulary cap, ties by key ascending (exactly the
-            # Ray side's sort_values([c desc, x asc]).head(top_v))
-            f"ORDER BY count(*) DESC, x LIMIT {textops.LM_TOP_V}), "
-            "per AS (SELECT gx.doc_id, count(*)::BIGINT AS nb, "
-            "count(m.x)::BIGINT AS nk FROM gx "
-            "LEFT JOIN model m USING (x) GROUP BY gx.doc_id) "
-            "SELECT d.doc_id, COALESCE(per.nb, 0)::BIGINT AS n_bigrams, "
-            "COALESCE(per.nk, 0)::BIGINT AS n_known, "
-            "(CASE WHEN COALESCE(per.nb, 0) > 0 "
-            "THEN (per.nk * 1000) // per.nb ELSE 0 END)::BIGINT "
-            "AS coverage_permille "
-            "FROM documents d LEFT JOIN per USING (doc_id)"
+        # corpus bigram-LM coverage (the shared CTE hoisted above the
+        # dict so doc_lm_buckets can replay it as a subquery)
+        "doc_lm_coverage": lm_cov_sql,
+        # CCNet head/middle/tail split: descending-percentile value
+        # thresholds — t_q = the LARGEST score v with count(scores >=
+        # v) x 1000 >= q x total; head = score >= t_333, middle =
+        # score >= t_667, else tail (ties land in the better bucket)
+        "doc_lm_buckets": (
+            f"WITH cov AS (SELECT * FROM ({lm_cov_sql})), "
+            "h AS (SELECT coverage_permille AS v, count(*)::BIGINT AS c "
+            "FROM cov GROUP BY v), "
+            "tot AS (SELECT count(*)::BIGINT AS n FROM cov), "
+            "cum AS (SELECT v, sum(c) OVER (ORDER BY v DESC)::BIGINT "
+            "AS cc FROM h), "
+            f"th AS (SELECT max(v) AS t FROM cum, tot "
+            f"WHERE cc * 1000 >= {textops.LM_BUCKET_Q[0]} * tot.n), "
+            f"tm AS (SELECT max(v) AS t FROM cum, tot "
+            f"WHERE cc * 1000 >= {textops.LM_BUCKET_Q[1]} * tot.n) "
+            "SELECT cov.doc_id, cov.coverage_permille, "
+            "CASE WHEN cov.coverage_permille >= th.t THEN 'head' "
+            "WHEN cov.coverage_permille >= tm.t THEN 'middle' "
+            "ELSE 'tail' END AS bucket FROM cov, th, tm"
         ),
         # shard packing: exclusive global byte offset in (byte-length,
         # doc_id) order → fixed-size shard assignment (window-cumsum
@@ -882,6 +919,13 @@ def oracle_sql() -> dict[str, str]:
             "sum(n_captures)::BIGINT AS n_captures, "
             "min(f)::BIGINT AS first_ts_us, max(l)::BIGINT AS last_ts_us "
             "FROM u GROUP BY host"
+        ),
+        # per-URL content drift: captures vs distinct md5 text versions
+        "page_change_rate": (
+            "SELECT url, count(*)::BIGINT AS n_captures, "
+            "count(DISTINCT md5(text))::BIGINT AS n_versions, "
+            "(count(DISTINCT md5(text)) > 1)::BIGINT AS changed "
+            f"FROM read_parquet('{cap}') GROUP BY url"
         ),
         "page_host_stats": (
             "SELECT split_part(url, '/', 3) AS host, "

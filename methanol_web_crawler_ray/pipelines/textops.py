@@ -2538,3 +2538,71 @@ def lm_coverage(sf_dir: str, min_count: int = LM_MIN_COUNT,
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pandas")
+
+
+LM_BUCKET_Q = (333, 667)  # tercile thresholds, permille
+
+
+def lm_buckets(sf_dir: str, hist_gate: int = 2_000_000):
+    """(doc_id, coverage_permille, bucket): the CCNet head/middle/tail
+    corpus split — every document assigned to a quality tercile by its
+    ``lm_coverage`` score (CCNet trains downstream on the "head" third;
+    Wenzek et al. '20 §4.3).  Bucket boundaries are VALUE thresholds,
+    not rank thirds: t_q = the LARGEST score v such that at least q
+    permille of the corpus scores >= v (percentile_disc on the
+    DESCENDING score order, q in ``LM_BUCKET_Q``); head = score >=
+    t_333, middle = score >= t_667, else tail.  Equal scores always
+    land in the same bucket, a tie group straddling a boundary lands
+    whole in the BETTER bucket, and a saturated distribution (every
+    doc at the max score) collapses to head — everything really is
+    top-tercile — not tail.  Deterministic + oracle-replayable; tied
+    scores make the thirds approximate (the corpus-correct behavior
+    for a value rule).
+
+    Scale shape: coverage scores come from the already-scale-shaped
+    ``lm_coverage`` (one bounded shuffle + map-only probe); the tercile
+    thresholds need only a histogram of the PERMILLE DOMAIN (<= 1001
+    distinct values — per-batch ``value_counts`` partials, size-gated
+    merge like ``global_rank``), two ints broadcast by closure; the
+    assignment pass is map-only."""
+    import ray.data
+
+    scored = lm_coverage(sf_dir).materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t.column("coverage_permille"))
+        return pa.table({"v": vc.field("values").cast(pa.int64()),
+                         "c": vc.field("counts").cast(pa.int64())})
+
+    parts = scored.map_batches(partial, batch_format="pyarrow") \
+        .materialize()
+    if parts.count() > hist_gate:
+        hist = collect_df(parts.groupby("v").sum("c")) \
+            .rename(columns={"sum(c)": "c"})
+    else:
+        hist = collect_df(parts).groupby("v", as_index=False)["c"].sum()
+    hist = hist.sort_values("v").reset_index(drop=True)
+    total = int(hist["c"].sum())
+    if total == 0:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "coverage_permille": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.string())}))
+    # descending-percentile thresholds: walk values high→low, take the
+    # first (largest) v where the from-the-top cumulative count reaches
+    # q permille of the corpus
+    vals_desc = hist["v"].to_numpy(dtype=np.int64)[::-1]
+    rcum1000 = hist["c"].to_numpy(dtype=np.int64)[::-1].cumsum() * 1000
+    idx = np.searchsorted(rcum1000, np.asarray(LM_BUCKET_Q, np.int64)
+                          * total, side="left")
+    t_head, t_mid = int(vals_desc[idx[0]]), int(vals_desc[idx[1]])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        cov = df["coverage_permille"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "coverage_permille": cov,
+            "bucket": np.where(cov >= t_head, "head",
+                               np.where(cov >= t_mid, "middle", "tail"))})
+
+    return scored.map_batches(assign, batch_format="pandas")

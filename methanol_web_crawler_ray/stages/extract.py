@@ -320,3 +320,51 @@ def host_freshness(pages_dir: str, batch_size: int = 2048):
         merge_url, batch_format="pandas")
     return per_url.groupby("host").map_groups(
         merge_host, batch_format="pandas")
+
+
+def snapshot_change_rate(pages_dir: str, batch_size: int = 2048):
+    """(url, n_captures, n_versions, changed): per-URL content DRIFT
+    across the recrawl history — how many captures exist vs how many
+    DISTINCT text versions (md5-keyed) they contain.  The recrawl
+    scheduler's other input besides freshness (``host_freshness``): a
+    URL whose captures are all byte-identical is static — deprioritize
+    it; one that changes every crawl deserves budget (the adaptive
+    revisit policy of Cho-Garcia-Molina '03, decided here in exact
+    integers).
+
+    Scale shape: page text never shuffles — the per-batch partial
+    reduces to DISTINCT (url, md5) rows with a capture count, so the
+    groupby(url) merge moves at most one ~50-byte row per (url,
+    version, block); version cardinality per URL is bounded by its
+    capture count (~monthly crawls), never corpus-sized.  ``changed``
+    travels as int64 0/1 (the driver gate's hashable form)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ..sources.captures import captures_path
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "url": df["url"],
+            "k": [hashlib.md5(t.encode()).hexdigest()
+                  for t in df["text"]],
+            "c": np.int64(1)})
+        agg = g.groupby(["url", "k"], sort=False)["c"].sum().reset_index()
+        return agg.astype({"c": "int64"})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        nv = int(df["k"].nunique())
+        return pd.DataFrame({
+            "url": [df["url"].iloc[0]],
+            "n_captures": [int(df["c"].sum())],
+            "n_versions": [nv],
+            "changed": [np.int64(1 if nv > 1 else 0)]})
+
+    ds = ray.data.read_parquet(
+        captures_path(pages_dir),
+        columns=["url", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=batch_size)
+    return ds.groupby("url").map_groups(merge, batch_format="pandas")

@@ -113,6 +113,44 @@ def test_lm_coverage(ray_session, sf_dir, docs):
     assert got == want
 
 
+def test_lm_buckets(ray_session, sf_dir, docs):
+    """CCNet head/middle/tail split vs brute-force descending-
+    percentile thresholds computed from the lm_coverage scores."""
+    cov = {r["doc_id"]: r["coverage_permille"]
+           for r in textops.lm_coverage(sf_dir).take_all()}
+    s = sorted(cov.values(), reverse=True)
+    n = len(s)
+
+    def thresh(q):
+        for i, v in enumerate(s, start=1):
+            if i * 1000 >= q * n:
+                return v
+        return s[-1]
+
+    t_head, t_mid = (thresh(q) for q in textops.LM_BUCKET_Q)
+    want = {d: (c, "head" if c >= t_head
+                else "middle" if c >= t_mid else "tail")
+            for d, c in cov.items()}
+    got = {r["doc_id"]: (r["coverage_permille"], r["bucket"])
+           for r in textops.lm_buckets(sf_dir).take_all()}
+    assert got == want
+    # head is never empty and holds the best scores (>= every other
+    # bucket's max) — the saturated-distribution direction is pinned
+    heads = [c for c, b in got.values() if b == "head"]
+    rest = [c for c, b in got.values() if b != "head"]
+    assert heads
+    assert not rest or min(heads) >= max(rest)
+
+
+def test_lm_buckets_gate_parity(ray_session, sf_dir):
+    """Driver-fold and distributed-groupby histogram merges agree."""
+    a = sorted(map(tuple, (r.values() for r in
+                           textops.lm_buckets(sf_dir).take_all())))
+    b = sorted(map(tuple, (r.values() for r in textops.lm_buckets(
+        sf_dir, hist_gate=-1).take_all())))
+    assert a == b
+
+
 def test_lm_coverage_gate_parity(ray_session, sf_dir):
     """Driver-fold and distributed-groupby model merges agree."""
     a = sorted(map(tuple, (r.values() for r in

@@ -151,6 +151,36 @@ def test_snapshot_latest(ray_session, sf_dir):
             (t, cnt[u], tc), u
 
 
+def test_snapshot_change_rate(ray_session, sf_dir):
+    """Captures-vs-distinct-text-versions drift vs a brute-force pass."""
+    import collections
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from methanol_web_crawler_ray.sources.captures import captures_path
+    from methanol_web_crawler_ray.stages.extract import snapshot_change_rate
+
+    pdir = pagegen.pages_dir_for(sf_dir)
+    cap = pq.read_table(captures_path(pdir), columns=["url", "text"])
+    n = collections.Counter()
+    vers = collections.defaultdict(set)
+    for u, x in zip(cap.column("url").to_pylist(),
+                    cap.column("text").to_pylist()):
+        n[u] += 1
+        vers[u].add(hashlib.md5(x.encode()).hexdigest())
+    rows = {r["url"]: r for r in snapshot_change_rate(pdir).take_all()}
+    assert len(rows) == len(n)
+    for u in n:
+        r = rows[u]
+        assert (r["n_captures"], r["n_versions"], r["changed"]) == \
+            (n[u], len(vers[u]), int(len(vers[u]) > 1)), u
+    # the fixture's recrawls drift, so some URL must register as changed
+    assert any(r["changed"] == 1 for r in rows.values())
+    # and single-capture URLs must not
+    assert all(rows[u]["changed"] == 0 for u in n if n[u] == 1)
+
+
 def test_host_freshness(ray_session, sf_dir):
     """Per-host freshness rollup vs a brute-force pass."""
     import collections
