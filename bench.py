@@ -83,6 +83,26 @@ def cpu_probe(mb: int = 192) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def mem_probe(mb: int = 256, reps: int = 4) -> float:
+    """Single-thread fixed-work memory-BANDWIDTH calibration: seconds to
+    copy an ``mb``-MB numpy array ``reps`` times (pure memcpy, streams
+    through DRAM).  Complements ``cpu_probe``: the r4f campaign showed
+    phases with steal < 1 % and normal md5 probes (64 KB working set —
+    cache-resident, bandwidth-blind) still degraded 10–20 % while
+    foreign tenants' 15-min load sat at 9–16 — their memory traffic
+    contends with the crawl's Arrow scans but not with an in-cache
+    hash.  Recorded per scaling phase so ambient bandwidth contention
+    is in-artifact measurable, like steal and the cpu probe."""
+    import numpy as np
+
+    a = np.ones(mb * 131072, dtype=np.float64)  # mb MB
+    a = a.copy()  # untimed: fault in the buffers / warm the allocator
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        a = a.copy()
+    return round(time.perf_counter() - t0, 3)
+
+
 def cpu_stat() -> dict:
     """Box-wide /proc/stat counters (USER_HZ ticks): steal separates a
     hypervisor taking the vCPUs away from in-session contention — the
@@ -233,6 +253,7 @@ def run_scaling_job(num_cpus: int, n_pages: int, tag: str = "",
     shutil.rmtree(out, ignore_errors=True)
     warmup_sec = warm_workers(num_cpus)
     probe_sec = cpu_probe()  # phase-validity calibration (see cpu_probe)
+    mem_probe_sec = mem_probe()  # bandwidth calibration (see mem_probe)
     stat0 = cpu_stat()
     # prewarm: store ingest belongs to setup in the scaling measurement
     # (a cluster's nodes ingest from distributed storage in parallel; on
@@ -283,6 +304,7 @@ def run_scaling_job(num_cpus: int, n_pages: int, tag: str = "",
         "engine": engine,
         "warmup_sec": round(warmup_sec, 3),
         "probe_sec": probe_sec,
+        "mem_probe_sec": mem_probe_sec,
         "setup_sec": round(stats["setup_sec"], 3),
         "crawl_sec": round(el, 3),
         "pages_parsed": stats["pages_parsed"],
@@ -465,6 +487,13 @@ def main() -> None:
                 "probe_sec_8cpu_quarter": r8s.get("probe_sec"),
                 "probe_sec_32cpu": r32.get("probe_sec"),
                 "probe_sec_8cpu_post": r8b.get("probe_sec"),
+                # per-phase single-thread memcpy probes: ambient memory-
+                # BANDWIDTH contention from co-tenants, which the md5
+                # probe (cache-resident) and steal (cpu-only) both miss
+                "mem_probe_sec_8cpu": r8.get("mem_probe_sec"),
+                "mem_probe_sec_8cpu_quarter": r8s.get("mem_probe_sec"),
+                "mem_probe_sec_32cpu": r32.get("mem_probe_sec"),
+                "mem_probe_sec_8cpu_post": r8b.get("mem_probe_sec"),
                 # box-wide steal/iowait fraction of busy ticks per phase
                 # (cpu_stat): steal > 0 = hypervisor throttling, the
                 # conclusive host-vs-engine attribution for a collapse
