@@ -294,6 +294,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_change_rate": _q_page_change_rate,
         # CCNet head/middle/tail corpus split by LM-coverage terciles
         "doc_lm_buckets": textops.lm_buckets,
+        # C4-style corpus-wide line-level exact dedup, reported per doc
+        "doc_line_dedup": textops.line_dedup,
+        # Gopher quality rules (Rae et al. 2021 App. A), integer flags
+        "doc_gopher_rules": textops.gopher_rules,
         # crawl engine (SURVEY §2 / §3) — oracled vs the sequential
         # reference simulator's golden parquet
         "crawl_visits": _q_crawl_visits,
@@ -347,7 +351,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sacrificed to the driver's 50-row gating cap (doc_langid /
         # doc_pii_scrub joined the tail to gate the warc_ts operators;
         # rel_events_range_join / rel_price_band_join to gate
-        # page_change_rate / doc_lm_buckets — all four r3-green)
+        # page_change_rate / doc_lm_buckets — all four r3-green;
+        # doc_line_dedup / doc_gopher_rules additionally push
+        # rel_events_by_type / rel_events_window / rel_events_asof past
+        # the cap — all r3-green, all pytest-oracled in
+        # tests/test_relops.py)
         "rel_events_range_join": relops.events_range_join,
         "rel_price_band_join": relops.price_band_join,
         "page_links": _q_page_links,
@@ -679,6 +687,76 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN cov.coverage_permille >= th.t THEN 'head' "
             "WHEN cov.coverage_permille >= tm.t THEN 'middle' "
             "ELSE 'tail' END AS bucket FROM cov, th, tm"
+        ),
+        # line-level exact dedup (C4 §2.2 pass, per-doc outcome): a
+        # candidate line is any '\n'-split segment whose
+        # strip(' \t\r') is non-empty; the corpus-wide keeper per
+        # md5(stripped line) is the min (doc_id, idx) occurrence,
+        # encoded as doc_id*2^32+idx exactly like the Ray side
+        "doc_line_dedup": (
+            "WITH lines AS (SELECT doc_id, "
+            "generate_subscripts(parts, 1)::BIGINT AS idx, "
+            "unnest(parts) AS line FROM (SELECT doc_id, "
+            "string_split(text, chr(10)) AS parts FROM documents)), "
+            "cand AS (SELECT doc_id, idx, "
+            "md5(trim(line, ' ' || chr(9) || chr(13))) AS k "
+            "FROM lines WHERE trim(line, ' ' || chr(9) || chr(13)) <> ''), "
+            "keeper AS (SELECT k, min(doc_id * 4294967296 + idx) AS mo "
+            "FROM cand GROUP BY k), "
+            "kept AS (SELECT (mo // 4294967296)::BIGINT AS doc_id, "
+            "count(*)::BIGINT AS n_kept FROM keeper GROUP BY 1), "
+            "tot AS (SELECT doc_id, count(*)::BIGINT AS n_lines "
+            "FROM cand GROUP BY doc_id) "
+            "SELECT t.doc_id, t.n_lines, "
+            "(t.n_lines - coalesce(kp.n_kept, 0))::BIGINT AS n_dup "
+            "FROM tot t LEFT JOIN kept kp USING (doc_id) ORDER BY t.doc_id"
+        ),
+        # Gopher rules: every count is a per-row list expression (no
+        # unnest), every threshold an integer comparison mirroring the
+        # Ray side exactly; '\S+' token parity with doc_token_stats
+        "doc_gopher_rules": (
+            "WITH c AS (SELECT doc_id, "
+            "length(regexp_extract_all(text, '\\S+'))::BIGINT AS n_words, "
+            "length(regexp_replace(text, '\\s+', '', 'g'))::BIGINT "
+            "AS nw_chars, "
+            "len(string_split(text, chr(10)))::BIGINT AS n_lines, "
+            "(length(text) - length(replace(text, '#', '')))::BIGINT "
+            "AS n_hash, "
+            "((length(text) - length(replace(text, '...', ''))) // 3)"
+            "::BIGINT AS n_ell, "
+            "len(list_filter(string_split(text, chr(10)), x -> "
+            "starts_with(ltrim(x, ' ' || chr(9)), '-') OR "
+            "starts_with(ltrim(x, ' ' || chr(9)), '*') OR "
+            "starts_with(ltrim(x, ' ' || chr(9)), '•')))::BIGINT "
+            "AS n_bullet, "
+            "len(list_filter(string_split(text, chr(10)), x -> "
+            "ends_with(rtrim(x, ' ' || chr(9) || chr(13)), '...') OR "
+            "ends_with(rtrim(x, ' ' || chr(9) || chr(13)), '…')))::BIGINT "
+            "AS n_ell_ln, "
+            "len(list_filter(regexp_extract_all(text, '\\S+'), "
+            "x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha, "
+            "len(list_distinct(list_filter("
+            "regexp_extract_all(lower(text), '\\S+'), x -> x IN "
+            "('the','be','to','of','and','that','have','with'))))::BIGINT "
+            "AS n_stopw FROM documents) "
+            "SELECT doc_id, n_words, n_lines, "
+            f"(n_words BETWEEN {textops.GOPHER_MIN_WORDS} AND "
+            f"{textops.GOPHER_MAX_WORDS})::BIGINT AS ok_nwords, "
+            "(3 * n_words <= nw_chars AND nw_chars <= 10 * n_words)"
+            "::BIGINT AS ok_meanlen, "
+            "(10 * (n_hash + n_ell) <= n_words)::BIGINT AS ok_symbol, "
+            "(10 * n_bullet <= 9 * n_lines)::BIGINT AS ok_bullet, "
+            "(10 * n_ell_ln <= 3 * n_lines)::BIGINT AS ok_ellipsis, "
+            "(5 * n_alpha >= 4 * n_words)::BIGINT AS ok_alpha, "
+            "(n_stopw >= 2)::BIGINT AS ok_stop, "
+            f"(n_words BETWEEN {textops.GOPHER_MIN_WORDS} AND "
+            f"{textops.GOPHER_MAX_WORDS} "
+            "AND 3 * n_words <= nw_chars AND nw_chars <= 10 * n_words "
+            "AND 10 * (n_hash + n_ell) <= n_words "
+            "AND 10 * n_bullet <= 9 * n_lines "
+            "AND 10 * n_ell_ln <= 3 * n_lines "
+            "AND 5 * n_alpha >= 4 * n_words "
+            "AND n_stopw >= 2)::BIGINT AS gopher_ok FROM c"
         ),
         # shard packing: exclusive global byte offset in (byte-length,
         # doc_id) order → fixed-size shard assignment (window-cumsum

@@ -2606,3 +2606,163 @@ def lm_buckets(sf_dir: str, hist_gate: int = 2_000_000):
                                np.where(cov >= t_mid, "middle", "tail"))})
 
     return scored.map_batches(assign, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# C4/RefinedWeb-style line-level exact dedup, reported per document.
+#
+# The classic web-corpus cleaning pass (C4, Raffel et al. 2020 §2.2;
+# RefinedWeb, Penedo et al. 2023 §3.4) removes every repeated LINE
+# across the whole corpus, keeping only its first occurrence in
+# (doc_id, line-position) order.  This operator reports the per-document
+# outcome of that pass: how many candidate lines the document has and
+# how many of them the dedup would drop.  No reference counterpart —
+# libmetha has no corpus analytics; this extends the dedup family
+# (SURVEY §2.8) down to line granularity.
+
+LINE_STRIP = " \t\r"
+# composite order key (doc_id << 32 | 1-based line index): total order by
+# (doc_id, idx) as ONE int64 so the keeper per line-hash is a plain
+# min() aggregate.  Assumes doc_id < 2^31 and < 2^32 lines per doc
+# (true of the synthetic corpus by construction); at production scale
+# swap in a two-column min or a 128-bit decimal key.
+_LD_SHIFT = np.int64(32)
+
+
+def line_dedup(sf_dir: str):
+    """Per-doc line-level exact-dedup stats: ``doc_id``, ``n_lines``
+    (lines whose ``strip(' \\t\\r')`` is non-empty), ``n_dup`` (candidate
+    lines that are NOT the corpus-wide first occurrence of their text).
+
+    Scale shape: one map pass explodes docs into (md5(line), doc_id)
+    pre-aggregates (in-batch repeats collapse), ONE corpus-wide shuffle
+    on the 32-hex-char line hash finds each hash's keeper, and the
+    per-doc combine is a thin union + doc_id groupby — no join, nothing
+    corpus-sized on the driver.  The materialize() pins only the thin
+    pre-aggregate, i.e. exactly the shuffle input the groupby would
+    buffer anyway."""
+    import ray.data  # noqa: F401  (Dataset ops on the _read_docs result)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "k": pd.Series([], dtype=object),
+            "doc_id": pd.Series([], dtype="int64"),
+            "mo": pd.Series([], dtype="int64"),
+            "cnt": pd.Series([], dtype="int64")})
+        if not len(df):
+            return empty
+        parts = df["text"].str.split("\n")
+        n = parts.str.len().to_numpy(np.int64)
+        doc = np.repeat(df["doc_id"].to_numpy(np.int64), n)
+        total = int(n.sum())
+        # 1-based position of each line within its doc, fully vectorized
+        idx = np.arange(total, dtype=np.int64) \
+            - np.repeat(np.cumsum(n) - n, n) + 1
+        lines = pd.Series(parts.explode().to_numpy(), dtype=object) \
+            .str.strip(LINE_STRIP)
+        mask = (lines != "").to_numpy()
+        if not mask.any():
+            return empty
+        stripped = lines.to_numpy()[mask]
+        keys = [hashlib.md5(t.encode()).hexdigest() for t in stripped]
+        order = (doc[mask] << _LD_SHIFT) | idx[mask]
+        g = pd.DataFrame({"k": keys, "doc_id": doc[mask], "mo": order}) \
+            .groupby(["k", "doc_id"], as_index=False, sort=False) \
+            .agg(mo=("mo", "min"), cnt=("mo", "size"))
+        g["cnt"] = g["cnt"].astype("int64")
+        return g
+
+    pre = _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(explode, batch_format="pandas").materialize()
+
+    def kept_rows(df: pd.DataFrame) -> pd.DataFrame:
+        mo = df["min(mo)"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": mo >> _LD_SHIFT,
+            "n_lines": np.zeros(len(mo), np.int64),
+            "n_kept": np.ones(len(mo), np.int64)})
+
+    keeper = pre.groupby("k").min("mo") \
+        .map_batches(kept_rows, batch_format="pandas")
+
+    def tot_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_lines=("cnt", "sum"))
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "n_lines": g["n_lines"].astype("int64"),
+            "n_kept": np.zeros(len(g), np.int64)})
+
+    totals = pre.map_batches(tot_rows, batch_format="pandas")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        nl = df["sum(n_lines)"].astype("int64")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_lines": nl,
+            "n_dup": (nl - df["sum(n_kept)"]).astype("int64")})
+
+    return totals.union(keeper).groupby("doc_id") \
+        .sum(["n_lines", "n_kept"]) \
+        .map_batches(finish, batch_format="pandas").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, appendix A) — the published
+# web-corpus document filter, reported as per-doc integer flags so the
+# verdict is exactly replayable in SQL.  Thresholds are compared in
+# INTEGERS (e.g. 10*(n_hash+n_ell) <= n_words for "symbol ratio <=
+# 0.1") so Ray and DuckDB decide identically.  No reference
+# counterpart — extends the quality family (doc_quality) with the
+# line- and word-shape rules.
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+
+
+def gopher_rules(sf_dir: str):
+    """Per-doc Gopher rule flags: word count in [50, 100k]; mean word
+    length in [3, 10]; '#'/'...' symbol-to-word ratio <= 0.1; <= 90 %
+    of lines bullet-started; <= 30 % of lines ellipsis-ended; >= 80 %
+    of words contain an ASCII letter; >= 2 distinct Gopher stopwords.
+    Map-only (one vectorized regex pass per batch), no shuffle."""
+    stop_pats = [rf"(?<!\S){re.escape(w)}(?!\S)" for w in GOPHER_STOPWORDS]
+
+    def rules(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"]
+        n_words = t.str.count(r"\S+").astype("int64")
+        nw_chars = t.str.count(r"\S").astype("int64")
+        n_lines = (t.str.count(r"\n") + 1).astype("int64")
+        n_hash = t.str.count(r"#").astype("int64")
+        n_ell = t.str.count(r"\.\.\.").astype("int64")
+        n_bullet = t.str.count(r"(?m)^[ \t]*[-*•]").astype("int64")
+        n_ell_ln = t.str.count(r"(?m)(?:\.\.\.|…)[ \t\r]*$") \
+            .astype("int64")
+        # words WITHOUT any ASCII letter, subtracted from the total —
+        # one anchored pattern instead of a per-word python loop
+        n_alpha = (n_words
+                   - t.str.count(r"(?<!\S)[^\sA-Za-z]+(?!\S)")).astype("int64")
+        tl = t.str.lower()
+        n_stopw = sum(tl.str.contains(p).astype("int64")
+                      for p in stop_pats)
+        ok_nwords = ((n_words >= GOPHER_MIN_WORDS)
+                     & (n_words <= GOPHER_MAX_WORDS)).astype("int64")
+        ok_meanlen = ((3 * n_words <= nw_chars)
+                      & (nw_chars <= 10 * n_words)).astype("int64")
+        ok_symbol = (10 * (n_hash + n_ell) <= n_words).astype("int64")
+        ok_bullet = (10 * n_bullet <= 9 * n_lines).astype("int64")
+        ok_ellipsis = (10 * n_ell_ln <= 3 * n_lines).astype("int64")
+        ok_alpha = (5 * n_alpha >= 4 * n_words).astype("int64")
+        ok_stop = (n_stopw >= 2).astype("int64")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_words": n_words, "n_lines": n_lines,
+            "ok_nwords": ok_nwords, "ok_meanlen": ok_meanlen,
+            "ok_symbol": ok_symbol, "ok_bullet": ok_bullet,
+            "ok_ellipsis": ok_ellipsis, "ok_alpha": ok_alpha,
+            "ok_stop": ok_stop,
+            "gopher_ok": (ok_nwords & ok_meanlen & ok_symbol & ok_bullet
+                          & ok_ellipsis & ok_alpha & ok_stop)})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        rules, batch_format="pandas")

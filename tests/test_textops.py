@@ -782,3 +782,113 @@ def test_ngram_jaccard_bucket_cap(ray_session, tmp_path):
         textops.ngram_jaccard_pairs(str(tmp_path), bucket_cap=2).take_all())
     assert set(capped) < set(full)
     assert capped == [(0, 1)]
+
+
+def test_line_dedup(ray_session, sf_dir, docs):
+    """Corpus-wide first-occurrence line dedup vs a sequential oracle."""
+    out = {r["doc_id"]: (r["n_lines"], r["n_dup"])
+           for r in textops.line_dedup(sf_dir).take_all()}
+    seen = set()
+    exp = {}
+    for d in sorted(docs, key=lambda d: d["doc_id"]):
+        n_lines = n_dup = 0
+        for line in d["text"].split("\n"):
+            s = line.strip(" \t\r")
+            if not s:
+                continue
+            n_lines += 1
+            if s in seen:
+                n_dup += 1
+            else:
+                seen.add(s)
+        if n_lines:
+            exp[d["doc_id"]] = (n_lines, n_dup)
+    assert out == exp
+
+
+def test_line_dedup_crafted(ray_session, tmp_path):
+    """Within-doc repeats, \\r-stripping, blank-only docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "alpha\nbeta\nalpha\n  \n",   # 2nd alpha = within-doc dup
+            "beta\r\ngamma",              # beta dups doc 1 after \r strip
+            "\t\n \n",                    # blank-only doc -> no output row
+        ])})
+    _pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: (r["n_lines"], r["n_dup"])
+           for r in textops.line_dedup(str(tmp_path)).take_all()}
+    assert out == {1: (3, 1), 2: (2, 1)}
+
+
+def _gopher_expected(text):
+    import re as _re
+    words = _re.findall(r"\S+", text)
+    n_words = len(words)
+    nw_chars = sum(len(w) for w in words)
+    lines = text.split("\n")
+    n_lines = len(lines)
+    n_hash = text.count("#")
+    n_ell = text.count("...")
+    n_bullet = sum(1 for l in lines
+                   if l.lstrip(" \t")[:1] in ("-", "*", "•"))
+    n_ell_ln = sum(1 for l in lines
+                   if l.rstrip(" \t\r").endswith(("...", "…")))
+    n_alpha = sum(1 for w in words if _re.search(r"[A-Za-z]", w))
+    n_stopw = len(set(_re.findall(r"\S+", text.lower()))
+                  & set(textops.GOPHER_STOPWORDS))
+    f = {
+        "n_words": n_words, "n_lines": n_lines,
+        "ok_nwords": int(textops.GOPHER_MIN_WORDS <= n_words
+                         <= textops.GOPHER_MAX_WORDS),
+        "ok_meanlen": int(3 * n_words <= nw_chars <= 10 * n_words),
+        "ok_symbol": int(10 * (n_hash + n_ell) <= n_words),
+        "ok_bullet": int(10 * n_bullet <= 9 * n_lines),
+        "ok_ellipsis": int(10 * n_ell_ln <= 3 * n_lines),
+        "ok_alpha": int(5 * n_alpha >= 4 * n_words),
+        "ok_stop": int(n_stopw >= 2),
+    }
+    f["gopher_ok"] = int(all(f[k] for k in f if k.startswith("ok_")))
+    return f
+
+
+def test_gopher_rules(ray_session, sf_dir, docs):
+    out = {r["doc_id"]: r for r in textops.gopher_rules(sf_dir).take_all()}
+    assert len(out) == len(docs)
+    for d in docs[:80]:
+        exp = _gopher_expected(d["text"])
+        got = {k: int(out[d["doc_id"]][k]) for k in exp}
+        assert got == exp, d["doc_id"]
+
+
+def test_gopher_rules_crafted(ray_session, tmp_path):
+    """Each rule tripped by a targeted document."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    texts = [
+        "• a\n• b\n• c\n• d",        # 1: all-bullet -> ok_bullet 0
+        "a...\nb… \nc",              # 2: 2/3 ellipsis-ended -> ok_ellipsis 0
+        ("w " * 20) + "###",         # 3: 3 hashes vs 21 words -> ok_symbol 0
+        "1 2 3 4 a",                 # 4: 1/5 alpha words -> ok_alpha 0
+        "the of " * 30,              # 5: mean word length 2.5 -> ok_meanlen 0
+        "the the the",               # 6: one distinct stopword -> ok_stop 0
+    ]
+    _pq.write_table(pa.table({
+        "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+        "text": pa.array(texts)}), str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r
+           for r in textops.gopher_rules(str(tmp_path)).take_all()}
+    assert out[1]["ok_bullet"] == 0 and out[2]["ok_bullet"] == 1
+    assert out[2]["ok_ellipsis"] == 0 and out[1]["ok_ellipsis"] == 1
+    assert out[3]["ok_symbol"] == 0 and out[4]["ok_symbol"] == 1
+    assert out[4]["ok_alpha"] == 0 and out[3]["ok_alpha"] == 1
+    assert out[5]["ok_meanlen"] == 0
+    assert out[6]["ok_stop"] == 0 and out[5]["ok_stop"] == 1
+    for i, t in enumerate(texts, 1):
+        exp = _gopher_expected(t)
+        got = {k: int(out[i][k]) for k in exp}
+        assert got == exp, i
