@@ -2766,3 +2766,257 @@ def gopher_rules(sf_dir: str):
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         rules, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better") at fixed window granularity: the
+# suffix-array dedup's practical hashed-window proxy.  No reference
+# counterpart — extends the dedup family (doc_line_dedup's keeper rule
+# at token-window granularity instead of line granularity).
+
+SPAN_W = 15  # tokens per non-overlapping dedup window
+
+
+def span_dedup(sf_dir: str, w: int = SPAN_W):
+    """Per-doc repeated-span stats ``(doc_id, n_windows, n_dup)``:
+    documents are cut into NON-OVERLAPPING ``w``-token windows ('\\S+'
+    tokens, lower-cased — the doc_token_stats family; the tail < w
+    tokens is dropped) and a window is dup iff it is NOT the
+    corpus-wide first occurrence of its md5 key (first = min
+    ``(doc_id, window_idx)``, the line_dedup keeper rule).  Docs with
+    zero whole windows do not appear.
+
+    Non-overlapping windows keep the exploded volume at n_tokens / w
+    rows instead of the suffix array's n_tokens — the shape that still
+    streams at 100 TB.  Scale shape is line_dedup's: one map pass
+    explodes docs into thin (md5(window), doc_id) pre-aggregates
+    (in-doc repeats collapse in-batch), ONE corpus-wide shuffle on the
+    32-hex key picks keepers, and a union + doc_id groupby combines —
+    no join, nothing corpus-sized on the driver."""
+    import ray.data  # noqa: F401
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ks: List[str] = []
+        docs: List[int] = []
+        mos: List[int] = []
+        for did, t in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+            toks = _TOKEN_RE.findall(t.lower())
+            nw = len(toks) // w
+            for i in range(nw):
+                ks.append(hashlib.md5(
+                    " ".join(toks[i * w:(i + 1) * w]).encode()).hexdigest())
+                docs.append(int(did))
+                mos.append((int(did) << 32) | (i + 1))
+        if not ks:
+            return pd.DataFrame({
+                "k": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype="int64"),
+                "mo": pd.Series([], dtype="int64"),
+                "cnt": pd.Series([], dtype="int64")})
+        g = pd.DataFrame({"k": ks, "doc_id": docs, "mo": mos}) \
+            .groupby(["k", "doc_id"], as_index=False, sort=False) \
+            .agg(mo=("mo", "min"), cnt=("mo", "size"))
+        return g.astype({"doc_id": "int64", "mo": "int64", "cnt": "int64"})
+
+    pre = _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(explode, batch_format="pandas").materialize()
+
+    def kept_rows(df: pd.DataFrame) -> pd.DataFrame:
+        mo = df["min(mo)"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": mo >> _LD_SHIFT,
+            "n_windows": np.zeros(len(mo), np.int64),
+            "n_kept": np.ones(len(mo), np.int64)})
+
+    keeper = pre.groupby("k").min("mo") \
+        .map_batches(kept_rows, batch_format="pandas")
+
+    def tot_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_windows=("cnt", "sum"))
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "n_windows": g["n_windows"].astype("int64"),
+            "n_kept": np.zeros(len(g), np.int64)})
+
+    totals = pre.map_batches(tot_rows, batch_format="pandas")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        nw = df["sum(n_windows)"].astype("int64")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_windows": nw,
+            "n_dup": (nw - df["sum(n_kept)"]).astype("int64")})
+
+    return totals.union(keeper).groupby("doc_id") \
+        .sum(["n_windows", "n_kept"]) \
+        .map_batches(finish, batch_format="pandas").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance scoring (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): hashed-n-gram bucket
+# counts from a target domain vs the rest, probed per document.  The
+# published log-likelihood-ratio weight is replaced by the integer
+# permille ratio 1000*sum_t // (sum_t + sum_s) so DuckDB replays it
+# bit-for-bit (a float log weight would differ in the last ulp) — the
+# ordering the weight induces is what matters for selection.
+
+DSIR_BUCKETS = 4096        # hashed bigram feature buckets
+DSIR_TARGET_LANG = "zh"    # stand-in "target domain" (wiki analog)
+
+
+def dsir_weights(sf_dir: str, buckets: int = DSIR_BUCKETS,
+                 target_lang: str = DSIR_TARGET_LANG,
+                 driver_limit: int = 2_000_000):
+    """(doc_id, n_grams, sum_t, sum_s, w_permille): score every
+    document's affinity to the target domain (docs with lang =
+    ``target_lang``) by hashed-bigram bucket statistics — the DSIR
+    selection signal.  Features are the md5-31-bit positional bigram
+    keys shared with lm_coverage, folded into ``buckets`` buckets; the
+    model counts every gram occurrence (target corpus vs the rest,
+    self-inclusive).  ``sum_t`` / ``sum_s`` are the per-doc sums of its
+    grams' target / source bucket counts; ``w_permille`` =
+    1000*sum_t // (sum_t + sum_s) (0 when the doc has no grams).
+
+    Two passes, lm_coverage's shape.  Pass 1 (model build) folds
+    per-batch (bucket, t, s) partials — at most ``buckets`` rows per
+    batch, never text — with the size-gated fold (driver below
+    ``driver_limit`` partial rows, distributed groupby-sum above); the
+    model is two int64 arrays of length ``buckets`` (~64 KiB), bounded
+    regardless of corpus size.  Pass 2 is map-only: the model ships
+    once via ``ray.put`` and every batch probes it with vectorized
+    fancy indexing."""
+    import ray
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tc = np.zeros(buckets, dtype=np.int64)
+        sc = np.zeros(buckets, dtype=np.int64)
+        for lang, t in zip(df["lang"], df["text"]):
+            xs = _bigram_keys(t) % buckets
+            if xs.shape[0]:
+                np.add.at(tc if lang == target_lang else sc, xs, 1)
+        nz = np.flatnonzero(tc | sc)
+        return pd.DataFrame({"b": nz.astype("int64"),
+                             "t": tc[nz], "s": sc[nz]})
+
+    parts = _read_docs(sf_dir, ["lang", "text"]).map_batches(
+        partial, batch_format="pandas").materialize()
+    if parts.count() > driver_limit:
+        agg = collect_df(parts.groupby("b").sum(["t", "s"])) \
+            .rename(columns={"sum(t)": "t", "sum(s)": "s"})
+    else:
+        agg = collect_df(parts).groupby("b", as_index=False)[["t", "s"]] \
+            .sum()
+    tarr = np.zeros(buckets, dtype=np.int64)
+    sarr = np.zeros(buckets, dtype=np.int64)
+    if len(agg):
+        tarr[agg["b"].to_numpy(np.int64)] = agg["t"].to_numpy(np.int64)
+        sarr[agg["b"].to_numpy(np.int64)] = agg["s"].to_numpy(np.int64)
+    mref = ray.put((tarr, sarr))
+
+    def score(df: pd.DataFrame, _r=mref) -> pd.DataFrame:
+        tm, sm = ray.get(_r)
+        ng = np.zeros(len(df), dtype=np.int64)
+        st = np.zeros(len(df), dtype=np.int64)
+        ss = np.zeros(len(df), dtype=np.int64)
+        for i, t in enumerate(df["text"]):
+            xs = _bigram_keys(t) % buckets
+            ng[i] = xs.shape[0]
+            if xs.shape[0]:
+                st[i] = int(tm[xs].sum())
+                ss[i] = int(sm[xs].sum())
+        den = st + ss
+        w = np.where(den > 0, (st * 1000) // np.maximum(den, 1), 0)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_grams": ng, "sum_t": st, "sum_s": ss,
+            "w_permille": w.astype(np.int64)})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search (Robertson & Zaragoza 2009) over the corpus — the
+# retrieval twin of the ANN family for the text side.  Every factor is
+# INTEGER-exact (the doc_tfidf rule: a float idf/saturation would
+# differ in the last ulp between numpy and DuckDB): idf = (1000*N)//df,
+# length norm and tf saturation in permille with // division chains
+# written identically on both sides.
+
+BM25_TERMS = ("spark", "merge", "window")  # the fixed query
+BM25_K1M = 1200   # k1 = 1.2, permille
+BM25_BM = 750     # b = 0.75, permille
+BM25_TOPK = 20
+
+
+def bm25_topk(sf_dir: str, terms: Tuple[str, ...] = BM25_TERMS,
+              k: int = BM25_TOPK):
+    """(doc_id, score, rank): top-k documents for the fixed query
+    ``terms`` under integer BM25.  tf = whitespace-token equality
+    count ('\\S+', lower-cased), dl = token count; per matching term:
+
+        idf    = (1000 * N) // df
+        norm   = 1000 - b + (b * dl * N) // TT        (TT = corpus tokens)
+        sat    = (1000 * tf * (k1 + 1000)) // (1000*tf + (k1*norm)//1000)
+        score += (idf * sat) // 1000
+
+    ranked by (score DESC, doc_id ASC), score > 0 only.
+
+    Scale shape: pass 1 folds one tiny partial row per batch (N, TT,
+    df per term — a handful of int64s) on the driver; pass 2 is
+    map-only scoring with PER-BATCH TOP-K truncation (each batch emits
+    at most k rows), so the final sort+limit sees n_batches*k rows,
+    never the corpus."""
+    stats_cols = ["nd", "tt"] + [f"df{i}" for i in range(len(terms))]
+    pats = [rf"(?<!\S){re.escape(t)}(?!\S)" for t in terms]
+
+    def stat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        tl = df["text"].str.lower()
+        dl = tl.str.count(r"\S+").astype("int64")
+        row = {"nd": [np.int64(len(df))], "tt": [dl.sum()]}
+        for i, p in enumerate(pats):
+            row[f"df{i}"] = [np.int64(
+                (tl.str.count(p) > 0).sum())]
+        return pd.DataFrame(row)
+
+    parts = collect_df(_read_docs(sf_dir, ["text"]).map_batches(
+        stat_partial, batch_format="pandas"))
+    n = int(parts["nd"].sum())
+    tt = int(parts["tt"].sum())
+    dfs = [int(parts[f"df{i}"].sum()) for i in range(len(terms))]
+    k1, b = BM25_K1M, BM25_BM
+
+    def score_batch(df: pd.DataFrame) -> pd.DataFrame:
+        tl = df["text"].str.lower()
+        dl = tl.str.count(r"\S+").to_numpy(np.int64)
+        norm = 1000 - b + (b * dl * n) // max(tt, 1)
+        score = np.zeros(len(df), dtype=np.int64)
+        for i, p in enumerate(pats):
+            if dfs[i] == 0:
+                continue
+            tf = tl.str.count(p).to_numpy(np.int64)
+            idf = (1000 * n) // dfs[i]
+            sat = np.where(
+                tf > 0,
+                (1000 * tf * (k1 + 1000))
+                // np.maximum(1000 * tf + (k1 * norm) // 1000, 1),
+                0)
+            score += np.where(tf > 0, (idf * sat) // 1000, 0)
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "score": score})
+        out = out.loc[out["score"] > 0] \
+            .sort_values(["score", "doc_id"], ascending=[False, True]) \
+            .head(k)
+        return out.reset_index(drop=True)
+
+    top = collect_df(_read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score_batch, batch_format="pandas")) \
+        .sort_values(["score", "doc_id"], ascending=[False, True]) \
+        .head(k).reset_index(drop=True)
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top.astype({"doc_id": "int64", "score": "int64",
+                       "rank": "int64"})

@@ -368,3 +368,72 @@ def snapshot_change_rate(pages_dir: str, batch_size: int = 2048):
         columns=["url", "text"]).map_batches(
         partial, batch_format="pandas", batch_size=batch_size)
     return ds.groupby("url").map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# URL-level corpus filtering (RefinedWeb §3.1 / UT1-blocklist style):
+# domain-behavior blocklist + URL-shape penalties, the pre-fetch filter
+# every web corpus applies before spending bandwidth.  No reference
+# counterpart (extends the page_* family).
+
+FARM_MIN_PAGES = 500  # hosts contributing >= this many pages: link farms
+URL_PENALTIES = ("private", "?", "cgi-bin")  # literal URL substrings
+
+
+def url_filter(pages_dir: str, farm_min: int = FARM_MIN_PAGES,
+               batch_size: int = 2048):
+    """(url, host, is_farm, n_penalties, blocked): flag every URL by
+    (a) domain behavior — the host appears on the farm blocklist,
+    i.e. contributes >= ``farm_min`` pages (the domain-level spam
+    signal UT1-style blocklists encode) — and (b) URL shape — count of
+    ``URL_PENALTIES`` literal substrings in the lower-cased URL (query
+    strings, private trees, CGI paths; RefinedWeb's soft URL scoring).
+    ``blocked`` = farm host OR any penalty.  Host extraction is the
+    split_part-parity slice used by host_stats (schemeless URLs map to
+    host '').
+
+    Scale shape: pass 1 builds the blocklist with in-batch partial
+    counts + a hosts-sized groupby-sum and broadcasts the (small) farm
+    set once via ``ray.put``; pass 2 is map-only — vectorized substring
+    probes plus one hash-set lookup per row's host.  Nothing
+    pages-sized leaves the workers."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    import ray
+    import ray.data
+
+    def host_partial(batch: pa.Table) -> pa.Table:
+        host = pc.binary_join(pc.list_slice(
+            pc.split_pattern(batch.column("url"), "/"), 2, 3), "")
+        t = pa.table({
+            "host": host,
+            "n": pa.array(np.ones(len(batch), dtype=np.int64))})
+        return t.group_by(["host"]).aggregate([("n", "sum")]) \
+            .rename_columns(["host", "n"])
+
+    counts = ray.data.read_parquet(
+        f"{pages_dir}/pages.parquet", columns=["url"]).map_batches(
+        host_partial, batch_format="pyarrow", batch_size=batch_size) \
+        .groupby("host").sum("n")
+    cdf = counts.to_pandas()  # hosts-sized (the blocklist), never pages
+    farm_ref = ray.put(frozenset(
+        cdf.loc[cdf["sum(n)"] >= int(farm_min), "host"]))
+
+    def flag(df: pd.DataFrame, _r=farm_ref) -> pd.DataFrame:
+        farm = ray.get(_r)
+        parts = df["url"].str.split("/")
+        host = parts.map(lambda p: p[2] if len(p) > 2 else "")
+        low = df["url"].str.lower()
+        npen = sum(low.str.contains(p, regex=False).astype("int64")
+                   for p in URL_PENALTIES)
+        is_farm = host.isin(farm).astype("int64")
+        return pd.DataFrame({
+            "url": df["url"], "host": host,
+            "is_farm": is_farm, "n_penalties": npen,
+            "blocked": ((is_farm > 0) | (npen > 0)).astype("int64")})
+
+    return ray.data.read_parquet(
+        f"{pages_dir}/pages.parquet", columns=["url"]).map_batches(
+        flag, batch_format="pandas", batch_size=batch_size)

@@ -211,3 +211,55 @@ def test_host_freshness(ray_session, sf_dir):
         assert (r["n_urls"], r["n_captures"],
                 r["first_ts_us"], r["last_ts_us"]) == \
             (len(urls_per_host[h]), n, f, l), h
+
+
+def test_url_filter(ray_session, sf_dir):
+    """Farm blocklist + penalty substrings vs a sequential replay."""
+    from collections import Counter
+
+    import pyarrow.parquet as _pq
+
+    from methanol_web_crawler_ray.sources import pagegen
+    from methanol_web_crawler_ray.stages.extract import (
+        FARM_MIN_PAGES, URL_PENALTIES, url_filter)
+
+    pdir = pagegen.pages_dir_for(sf_dir)
+    urls = _pq.read_table(f"{pdir}/pages.parquet",
+                          columns=["url"]).column("url").to_pylist()
+
+    def hostof(u):
+        p = u.split("/")
+        return p[2] if len(p) > 2 else ""
+
+    cnt = Counter(hostof(u) for u in urls)
+    farm = {h for h, c in cnt.items() if c >= FARM_MIN_PAGES}
+    rows = {r["url"]: r for r in url_filter(pdir).take_all()}
+    assert len(rows) == len(set(urls))
+    for u in urls:
+        r = rows[u]
+        npen = sum(1 for w in URL_PENALTIES if w in u.lower())
+        assert r["host"] == hostof(u)
+        assert r["is_farm"] == int(hostof(u) in farm)
+        assert r["n_penalties"] == npen
+        assert r["blocked"] == int(hostof(u) in farm or npen > 0)
+    assert any(r["blocked"] for r in rows.values())
+
+
+def test_url_filter_crafted_farm(ray_session, tmp_path):
+    """A host over the farm bar is blocked even with a clean URL."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from methanol_web_crawler_ray.stages.extract import url_filter
+
+    urls = ([f"http://farm.ex/p{i}.html" for i in range(3)]
+            + ["http://tiny.ex/ok.html", "relative/path.html"])
+    _pq.write_table(pa.table({"url": pa.array(urls)}),
+                    str(tmp_path / "pages.parquet"))
+    rows = {r["url"]: r for r in url_filter(str(tmp_path),
+                                            farm_min=3).take_all()}
+    assert all(rows[u]["is_farm"] == 1 and rows[u]["blocked"] == 1
+               for u in urls[:3])
+    assert rows["http://tiny.ex/ok.html"]["blocked"] == 0
+    # schemeless URL -> host '' (split_part parity), never crashes
+    assert rows["relative/path.html"]["host"] == ""

@@ -892,3 +892,110 @@ def test_gopher_rules_crafted(ray_session, tmp_path):
         exp = _gopher_expected(t)
         got = {k: int(out[i][k]) for k in exp}
         assert got == exp, i
+
+
+def test_span_dedup(ray_session, sf_dir, docs):
+    """Non-overlapping window keeper dedup vs a sequential oracle."""
+    import re as _re
+
+    out = {r["doc_id"]: (r["n_windows"], r["n_dup"])
+           for r in textops.span_dedup(sf_dir).take_all()}
+    w = textops.SPAN_W
+    seen = set()
+    exp = {}
+    for d in sorted(docs, key=lambda d: d["doc_id"]):
+        toks = _re.findall(r"\S+", d["text"].lower())
+        nw = len(toks) // w
+        nd = 0
+        for i in range(nw):
+            key = " ".join(toks[i * w:(i + 1) * w])
+            if key in seen:
+                nd += 1
+            else:
+                seen.add(key)
+        if nw:
+            exp[d["doc_id"]] = (nw, nd)
+    assert out == exp
+
+
+def test_span_dedup_crafted(ray_session, tmp_path):
+    """Cross-doc dup, within-doc dup, case folding, sub-window docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    w = textops.SPAN_W
+    blk = " ".join(f"t{i}" for i in range(w))
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            blk,                        # window A — corpus keeper
+            blk + " tail tail",         # A again (dup); 2-token tail dropped
+            blk.upper() + " " + blk,    # lower-cased -> A twice, both dup
+            "too short",                # < w tokens -> no output row
+        ])})
+    _pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: (r["n_windows"], r["n_dup"])
+           for r in textops.span_dedup(str(tmp_path)).take_all()}
+    assert out == {1: (1, 0), 2: (1, 1), 3: (2, 2)}
+
+
+def test_dsir_weights(ray_session, sf_dir, docs):
+    """Hashed-bigram target/source sums vs a sequential fold."""
+    out = {r["doc_id"]: r for r in textops.dsir_weights(sf_dir).take_all()}
+    B = textops.DSIR_BUCKETS
+    tc, sc, per = {}, {}, {}
+    for d in sorted(docs, key=lambda d: d["doc_id"]):
+        xs = (textops._bigram_keys(d["text"]) % B).tolist()
+        per[d["doc_id"]] = xs
+        tab = tc if d["lang"] == textops.DSIR_TARGET_LANG else sc
+        for bk in xs:
+            tab[bk] = tab.get(bk, 0) + 1
+    assert set(out) == {d["doc_id"] for d in docs}
+    for d in docs:
+        xs = per[d["doc_id"]]
+        st = sum(tc.get(bk, 0) for bk in xs)
+        ss = sum(sc.get(bk, 0) for bk in xs)
+        r = out[d["doc_id"]]
+        assert (r["n_grams"], r["sum_t"], r["sum_s"]) == (len(xs), st, ss)
+        assert r["w_permille"] == ((st * 1000) // (st + ss)
+                                   if st + ss else 0)
+    # the signal separates: target-language docs weigh higher on average
+    tgt = [out[d["doc_id"]]["w_permille"] for d in docs
+           if d["lang"] == textops.DSIR_TARGET_LANG]
+    rest = [out[d["doc_id"]]["w_permille"] for d in docs
+            if d["lang"] != textops.DSIR_TARGET_LANG]
+    if tgt and rest:
+        assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+def test_bm25_topk(ray_session, sf_dir, docs):
+    """Integer BM25 ranking vs a sequential replay of the formula."""
+    import re as _re
+
+    res = textops.bm25_topk(sf_dir)
+    n = len(docs)
+    k1, b = textops.BM25_K1M, textops.BM25_BM
+    toks = {d["doc_id"]: _re.findall(r"\S+", d["text"].lower())
+            for d in docs}
+    tt = max(sum(len(t) for t in toks.values()), 1)
+    scores = {}
+    for term in textops.BM25_TERMS:
+        df = sum(1 for t in toks.values() if term in t)
+        if df == 0:
+            continue
+        idf = (1000 * n) // df
+        for did, t in toks.items():
+            tf = t.count(term)
+            if not tf:
+                continue
+            dl = len(t)
+            norm = 1000 - b + (b * dl * n) // tt
+            sat = (1000 * tf * (k1 + 1000)) \
+                // (1000 * tf + (k1 * norm) // 1000)
+            scores[did] = scores.get(did, 0) + (idf * sat) // 1000
+    exp = sorted(((s, did) for did, s in scores.items() if s > 0),
+                 key=lambda x: (-x[0], x[1]))[:textops.BM25_TOPK]
+    got = [(int(s), int(d)) for s, d in zip(res["score"], res["doc_id"])]
+    assert got == exp
+    assert list(res["rank"]) == list(range(1, len(exp) + 1))
+    assert 0 < len(res) <= textops.BM25_TOPK
