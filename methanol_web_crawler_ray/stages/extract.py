@@ -417,9 +417,20 @@ def url_filter(pages_dir: str, farm_min: int = FARM_MIN_PAGES,
         f"{pages_dir}/pages.parquet", columns=["url"]).map_batches(
         host_partial, batch_format="pyarrow", batch_size=batch_size) \
         .groupby("host").sum("n")
-    cdf = counts.to_pandas()  # hosts-sized (the blocklist), never pages
+    import pyarrow.compute as _pc
+
+    def over_bar(t: pa.Table) -> pa.Table:
+        # filter WORKER-side so only blocklist members (hosts over the
+        # farm bar — rare by construction) reach the driver, never the
+        # full host directory
+        return t.filter(_pc.greater_equal(t.column("sum(n)"),
+                                          int(farm_min)))
+
+    farm_df = counts.map_batches(
+        over_bar, batch_format="pyarrow").to_pandas()
+    # an all-filtered dataset can surface as a column-less empty frame
     farm_ref = ray.put(frozenset(
-        cdf.loc[cdf["sum(n)"] >= int(farm_min), "host"]))
+        farm_df["host"]) if "host" in farm_df.columns else frozenset())
 
     def flag(df: pd.DataFrame, _r=farm_ref) -> pd.DataFrame:
         farm = ray.get(_r)
