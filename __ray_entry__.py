@@ -382,6 +382,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir_weights": textops.dsir_weights,
         "doc_bm25_topk": textops.bm25_topk,
         "page_url_filter": _q_page_url_filter,
+        # SemDeDup (Abbas et al. 2023): kmeans-bucketed semantic near-dup
+        "emb_semdedup": ann.emb_semdedup,
+        # link-graph degree counts (inbound-link quality signal)
+        "graph_degrees": graph.link_degrees,
     }
 
 
@@ -668,6 +672,11 @@ def oracle_sql() -> dict[str, str]:
         # connected components: K min-label rounds over the undirected
         # edge set, same unrolled-CTE replay
         "graph_components": graph.components_oracle_sql(pdir),
+        # per-node in/out degree over the same closed edge set
+        "graph_degrees": graph.degrees_oracle_sql(pdir),
+        # SemDeDup: IVF integer assignment + within-cluster pairwise
+        # cosine (wide margins), cluster cap replicated
+        "emb_semdedup": ann.semdedup_oracle_sql(emb_aug, ivfc),
         # KMV distinct-count sketch, replayed exactly: k smallest md5
         # hashes of the distinct tokens; < k distinct → exact count,
         # else (k-1)·2^64 // kth in HUGEINT, clamped to int64

@@ -619,3 +619,129 @@ def emb_clusters(sf_dir: str):
     g = parts.groupby("cid", as_index=False)[["n_vecs", "sum_d2"]].sum()
     return ray.data.from_pandas(
         g.sort_values("cid").reset_index(drop=True))
+
+
+# SemDeDup configuration (shared with the oracle)
+SD_THRESHOLD = 0.95
+SD_CLUSTER_CAP = 100_000  # skip degenerate clusters (replicated in oracle)
+
+
+def emb_semdedup(sf_dir: str, threshold: float = SD_THRESHOLD):
+    """(vec_id, cid, dup_of): SemDeDup (Abbas et al. 2023,
+    arXiv:2303.09540) — semantic near-duplicates over the augmented
+    embeddings table.  Every vector is assigned to its nearest shared
+    IVF centroid (exact integer argmin over quantized vectors, ties →
+    lowest cid — bit-identical in the oracle); WITHIN each cluster,
+    vec_id is a semantic dup of the smallest-id partner whose cosine ≥
+    threshold.  The paper keeps one representative per semantic group
+    and prunes the rest; keep-lowest-id is the deterministic variant of
+    its keep-one rule (the paper keeps the member farthest from the
+    centroid / a random one).
+
+    Scale shape — the paper's own O(n²)→O(Σ s_c²) trick: assignment is
+    one vectorized map_batches with the centroid matrix broadcast once
+    via ``ray.put``; the pairwise stage is ``groupby(cid).map_groups``,
+    so CLUSTERS are the partitioning unit and a cluster must fit one
+    worker (``SD_CLUSTER_CAP`` guards degenerate centroids, replicated
+    in the oracle; at 100 TB you raise n_lists so E[cluster] stays
+    bounded — exactly the paper's regime).  Cosine verification is
+    float64 with wide margins on this data (planted near-dups ~0.995,
+    random 64-dim pairs < 0.6, threshold 0.95), so the oracle's
+    list_cosine_similarity decides every pair identically."""
+    import pyarrow.compute as pc
+
+    import ray
+    import ray.data
+
+    path = augmented_embeddings_path(sf_dir)
+    C = ivf_centroids(sf_dir)
+    ref = ray.put(C)
+
+    def assign(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
+        cents = ray.get(_r)
+        M = _to_matrix(df["embedding"])
+        if M.shape[0] == 0:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "cid": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="object")})
+        lab = _ivf_assign(_quantize(M), cents)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].astype("int64"),
+            "cid": lab.astype("int64"),
+            "v": [np.asarray(e, dtype=np.float32).tobytes()
+                  for e in df["embedding"]],
+        })
+
+    members = ray.data.read_parquet(path).map_batches(
+        assign, batch_format="pandas").materialize()
+
+    # cluster-size directory: ≤ IVF_LISTS rows, never corpus-sized
+    sizes = members.groupby("cid").count().to_pandas()
+    ok = pa.array(sizes.loc[sizes["count()"] <= SD_CLUSTER_CAP, "cid"]
+                  .astype("int64"))
+    members = members.map_batches(
+        lambda t, _ok=ok: t.filter(pc.is_in(t.column("cid"),
+                                            value_set=_ok)),
+        batch_format="pyarrow")
+
+    def pairwise(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                              "cid": pd.Series([], dtype="int64"),
+                              "dup_of": pd.Series([], dtype="int64")})
+        if len(df) < 2:
+            return empty
+        df = df.sort_values("vec_id")
+        ids = df["vec_id"].to_numpy()
+        M = _normalize(np.stack([
+            np.frombuffer(v, dtype=np.float32).astype(np.float64)
+            for v in df["v"]]))
+        iu, ju = np.triu_indices(ids.shape[0], k=1)
+        hit = (M @ M.T)[iu, ju] >= threshold
+        if not hit.any():
+            return empty
+        out = pd.DataFrame({
+            "vec_id": ids[ju[hit]].astype("int64"),
+            "cid": np.full(int(hit.sum()), int(df["cid"].iloc[0]),
+                           dtype="int64"),
+            "dup_of": ids[iu[hit]].astype("int64")})
+        return out.groupby("vec_id", as_index=False) \
+            .agg(cid=("cid", "min"), dup_of=("dup_of", "min")) \
+            [["vec_id", "cid", "dup_of"]]
+
+    from ._util import ensure_schema
+
+    return ensure_schema(
+        members.groupby("cid").map_groups(pairwise, batch_format="pandas"),
+        pa.schema([("vec_id", pa.int64()), ("cid", pa.int64()),
+                   ("dup_of", pa.int64())]))
+
+
+def semdedup_oracle_sql(emb_aug: str, ivfc: str) -> str:
+    """DuckDB replay: the IVF oracle's exact integer assignment over the
+    augmented table, the same cluster cap, then within-cluster pairwise
+    float cosine (wide margins — see emb_semdedup)."""
+    return (
+        f"WITH emb AS (SELECT * FROM read_parquet('{emb_aug}')), "
+        "qv AS (SELECT vec_id, CAST(i AS INT) AS dim, "
+        f"CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) * "
+        f"{QSCALE}) AS BIGINT) AS q "
+        "FROM emb, UNNEST(range(64)) AS d(i)), "
+        f"cent AS (SELECT * FROM read_parquet('{ivfc}')), "
+        "dist AS (SELECT qv.vec_id, c.cid, "
+        "SUM((qv.q - c.c) * (qv.q - c.c)) AS d2 "
+        "FROM qv JOIN cent c ON c.dim = qv.dim "
+        "GROUP BY qv.vec_id, c.cid), "
+        "rk AS (SELECT vec_id, cid, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dist), "
+        "lab AS (SELECT vec_id, cid FROM rk WHERE rn = 1), "
+        "sz AS (SELECT cid FROM lab GROUP BY cid "
+        f"HAVING count(*) <= {SD_CLUSTER_CAP}), "
+        "m AS (SELECT l.vec_id, l.cid FROM lab l JOIN sz USING (cid)), "
+        "p AS (SELECT x.vec_id AS ida, y.vec_id AS idb, y.cid "
+        "FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id), "
+        "v AS (SELECT p.ida, p.idb, p.cid FROM p "
+        "JOIN emb a ON a.vec_id = p.ida JOIN emb b ON b.vec_id = p.idb "
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) "
+        f">= {SD_THRESHOLD}) "
+        "SELECT idb AS vec_id, min(cid)::BIGINT AS cid, "
+        "min(ida)::BIGINT AS dup_of FROM v GROUP BY idb")

@@ -441,3 +441,52 @@ def components_oracle_sql(pdir: str, iters: int = CC_ITERS) -> str:
             "GROUP BY p.u, p.lb), ")
     return ("WITH " + "".join(cte)[:-2] + " "
             f"SELECT u AS url, lb AS comp FROM l{iters}")
+
+
+def link_degrees(sf_dir: str):
+    """(url, out_deg, in_deg): per-node degree counts of the closed link
+    graph — the raw hub/authority signal an inbound-link quality filter
+    consumes (WebText kept pages with enough inbound karma; CommonCrawl
+    curation weights by in-degree).  Reference parity: the graph is the
+    same distinct closed edge set the pagerank/components family uses
+    (extract→canonicalize chain, M1-M7).
+
+    Scale shape: one map over edges emitting (url, o, i) half-rows for
+    both endpoints, then a single groupby-sum — one shuffle keyed the
+    same way as every other node-keyed stage, nothing driver-resident
+    at any size (no gate needed: the fold IS the groupby)."""
+    from ._util import ensure_schema, materialize_clean, rename
+
+    edges = materialize_clean(_edges_ds(sf_dir), EDGE_SCHEMA)
+
+    def halves(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ones = pa.array(np.ones(n, dtype=np.int64))
+        zeros = pa.array(np.zeros(n, dtype=np.int64))
+        return pa.concat_tables([
+            pa.table({"url": t.column("src"), "o": ones, "i": zeros}),
+            pa.table({"url": t.column("dst"), "o": zeros, "i": ones}),
+        ])
+
+    deg = edges.map_batches(halves, batch_format="pyarrow") \
+        .groupby("url").sum(["o", "i"])
+    return ensure_schema(
+        rename(deg, {"sum(o)": "out_deg", "sum(i)": "in_deg"}),
+        pa.schema([("url", pa.string()), ("out_deg", pa.int64()),
+                   ("in_deg", pa.int64())]))
+
+
+def degrees_oracle_sql(pdir: str) -> str:
+    """DuckDB replay over the same golden-canon-derived closed edges."""
+    return (
+        f"WITH pl AS (SELECT url AS src, canon AS dst FROM "
+        f"read_parquet('{pdir}/golden_canon.parquet') "
+        "WHERE canon IS NOT NULL), "
+        f"pu AS (SELECT DISTINCT url FROM "
+        f"read_parquet('{pdir}/pages.parquet')), "
+        "e AS (SELECT DISTINCT pl.src, pl.dst FROM pl "
+        "JOIN pu ON pu.url = pl.dst), "
+        "b AS (SELECT src AS url, 1::BIGINT AS o, 0::BIGINT AS i FROM e "
+        "UNION ALL SELECT dst, 0::BIGINT, 1::BIGINT FROM e) "
+        "SELECT url, sum(o)::BIGINT AS out_deg, sum(i)::BIGINT AS in_deg "
+        "FROM b GROUP BY url")

@@ -140,3 +140,39 @@ def test_quantize_half_away_from_zero():
 
     x = np.array([0.0000005, -0.0000005, 0.0000015, -0.0000015])
     assert ann._quantize(x[None, :])[0].tolist() == [1, -1, 2, -2]
+
+
+def test_emb_semdedup_planted(ray_session, sf_dir):
+    """emb_semdedup equals an in-process replay (integer IVF assignment
+    + within-cluster pairwise float cosine, keep-lowest-id), and every
+    planted near-dup whose noisy copy stays in the source's cluster is
+    recalled."""
+    aug = pq.read_table(ann.augmented_embeddings_path(sf_dir)).to_pylist()
+    ids = np.array([r["vec_id"] for r in aug])
+    M = np.array([r["embedding"] for r in aug], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    lab = ann._ivf_assign(ann._quantize(M), ann.ivf_centroids(sf_dir))
+
+    exp = {}
+    for c in np.unique(lab):
+        mem = np.where(lab == c)[0]
+        mem = mem[np.argsort(ids[mem])]  # ascending vec_id
+        for ai in range(len(mem)):
+            for bi in range(ai + 1, len(mem)):
+                a, b = mem[ai], mem[bi]
+                if float(Mn[a] @ Mn[b]) >= ann.SD_THRESHOLD:
+                    # first hit = smallest-id partner (mem is sorted)
+                    exp.setdefault(int(ids[b]), (int(c), int(ids[a])))
+
+    got = {int(r["vec_id"]): (int(r["cid"]), int(r["dup_of"]))
+           for r in ann.emb_semdedup(sf_dir).take_all()}
+    assert got == exp and got
+
+    # planted recall: sigma-0.012 noise keeps the copy in-cluster
+    idx = {int(i): k for k, i in enumerate(ids)}
+    planted = [(int(i), int(i) + 1_000_000) for i in ids
+               if int(i) < 1_000_000 and int(i) % ann.ND_PLANT_EVERY == 0]
+    same = [p for p in planted if lab[idx[p[0]]] == lab[idx[p[1]]]]
+    assert same
+    for src, dup in same:
+        assert dup in got and got[dup][1] <= src

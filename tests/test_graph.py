@@ -78,3 +78,19 @@ def test_components_vs_bruteforce(ray_session, sf_dir):
     assert out == labels
     # the fixture's graph is multi-host: more than one component
     assert len(set(out.values())) > 1
+
+
+def test_degrees_vs_bruteforce(ray_session, sf_dir):
+    """(url, out_deg, in_deg) matches a direct count over the same
+    distinct closed edge set; totals each equal the edge count."""
+    out = {r["url"]: (r["out_deg"], r["in_deg"])
+           for r in graph.link_degrees(sf_dir).take_all()}
+    edges = [(r["src"], r["dst"])
+             for r in graph._edges_ds(sf_dir).take_all()]
+    exp = {}
+    for s, d in edges:
+        exp.setdefault(s, [0, 0])[0] += 1
+        exp.setdefault(d, [0, 0])[1] += 1
+    assert out == {u: (o, i) for u, (o, i) in exp.items()} and out
+    assert sum(o for o, _ in out.values()) == len(edges)
+    assert sum(i for _, i in out.values()) == len(edges)
