@@ -386,6 +386,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_semdedup": ann.emb_semdedup,
         # link-graph degree counts (inbound-link quality signal)
         "graph_degrees": graph.link_degrees,
+        # WIMBD-style corpus bigram heavy hitters (Misra-Gries + verify)
+        "doc_top_bigrams": textops.top_bigrams,
     }
 
 
@@ -556,6 +558,19 @@ def oracle_sql() -> dict[str, str]:
             "WITH t AS (SELECT unnest(regexp_extract_all(text, '\\S+')) "
             "AS token FROM documents), "
             "c AS (SELECT token, count(*)::BIGINT AS cnt FROM t "
+            "GROUP BY token), "
+            "r AS (SELECT token, cnt, row_number() OVER "
+            "(ORDER BY cnt DESC, token) AS rank FROM c) "
+            "SELECT token, cnt, rank FROM r WHERE rank <= 50"
+        ),
+        # corpus-wide bigram heavy hitters (WIMBD-style; exact top-50)
+        "doc_top_bigrams": (
+            "WITH t AS (SELECT regexp_extract_all(text, '\\S+') AS toks "
+            "FROM documents), "
+            "bg AS (SELECT toks[CAST(i AS INT)] || ' ' || "
+            "toks[CAST(i + 1 AS INT)] AS token "
+            "FROM t, UNNEST(range(1, len(toks))) AS u(i)), "
+            "c AS (SELECT token, count(*)::BIGINT AS cnt FROM bg "
             "GROUP BY token), "
             "r AS (SELECT token, cnt, row_number() OVER "
             "(ORDER BY cnt DESC, token) AS rank FROM c) "

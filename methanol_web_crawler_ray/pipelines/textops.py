@@ -1235,9 +1235,19 @@ def corpus_clean(sf_dir: str, lang: str = "en",
 MG_CAPACITY = 512  # per-block sketch size; guarantee floor is N/(cap+1)
 
 
+def _gram_findall(text: str, gram: int) -> list:
+    """Whitespace-token n-gram stream: gram=1 → tokens; gram≥2 →
+    space-joined consecutive n-grams (the WIMBD corpus-count unit)."""
+    toks = _TOKEN_RE.findall(text)
+    if gram == 1:
+        return toks
+    return [" ".join(toks[i:i + gram])
+            for i in range(len(toks) - gram + 1)]
+
+
 def top_tokens(sf_dir: str, k: int = 50, capacity: int = MG_CAPACITY,
                driver_gate: int = 2_000_000,
-               direct_gate: int = 200_000):
+               direct_gate: int = 200_000, gram: int = 1):
     """The k most frequent whitespace tokens corpus-wide, EXACT, without
     shuffling the full token stream — the vocabulary/heavy-hitter op a
     100 TB corpus needs (a naive groupby over every token is an
@@ -1292,7 +1302,7 @@ def top_tokens(sf_dir: str, k: int = 50, capacity: int = MG_CAPACITY,
 
             t = _pq.read_table(path, columns=["text"]).slice(off, cnt)
             toks = np.concatenate(
-                [_TOKEN_RE.findall(x) for x in
+                [_gram_findall(x, gram) for x in
                  t.column("text").to_pylist()] or [[]])
             if toks.shape[0] == 0:
                 return pd.DataFrame({"token": pd.Series([], dtype="str"),
@@ -1314,7 +1324,7 @@ def top_tokens(sf_dir: str, k: int = 50, capacity: int = MG_CAPACITY,
 
     def sketch(df: pd.DataFrame) -> pd.DataFrame:
         toks = np.concatenate(
-            [_TOKEN_RE.findall(t) for t in df["text"]] or [[]])
+            [_gram_findall(t, gram) for t in df["text"]] or [[]])
         total = toks.shape[0]
         if total == 0:
             return pd.DataFrame({"token": pd.Series([], dtype="string"),
@@ -1387,7 +1397,7 @@ def top_tokens(sf_dir: str, k: int = 50, capacity: int = MG_CAPACITY,
         # groupby — correct always, just pays the full-token exchange
         def cnt_all(df: pd.DataFrame) -> pd.DataFrame:
             toks = np.concatenate(
-                [_TOKEN_RE.findall(t) for t in df["text"]] or [[]])
+                [_gram_findall(t, gram) for t in df["text"]] or [[]])
             uniq, cnt = np.unique(toks, return_counts=True)
             return pd.DataFrame({"token": uniq, "cnt": cnt.astype("int64")})
 
@@ -1406,7 +1416,7 @@ def top_tokens(sf_dir: str, k: int = 50, capacity: int = MG_CAPACITY,
 
         def exact(df: pd.DataFrame, ca=cand_arr) -> pd.DataFrame:
             toks = np.concatenate(
-                [_TOKEN_RE.findall(t) for t in df["text"]] or [[]])
+                [_gram_findall(t, gram) for t in df["text"]] or [[]])
             if toks.shape[0] == 0:
                 return pd.DataFrame(
                     {"token": pd.Series([], dtype="string"),
@@ -1427,6 +1437,16 @@ def top_tokens(sf_dir: str, k: int = 50, capacity: int = MG_CAPACITY,
             top = exact_fallback()
 
     return to_out(top)
+
+
+def top_bigrams(sf_dir: str, k: int = 50):
+    """The k most frequent whitespace-token 2-grams corpus-wide, EXACT —
+    WIMBD-style corpus n-gram counting (Elazar et al. 2023,
+    arXiv:2310.20707) via the same Misra-Gries sketch + exact-verify
+    machinery as ``top_tokens`` over the bigram stream (the MG guarantee
+    is stream-agnostic: any item whose true count exceeds N/(capacity+1)
+    survives the merged sketch, N now the bigram count)."""
+    return top_tokens(sf_dir, k=k, gram=2)
 
 
 # ---------------------------------------------------------------------------

@@ -999,3 +999,45 @@ def test_bm25_topk(ray_session, sf_dir, docs):
     assert got == exp
     assert list(res["rank"]) == list(range(1, len(exp) + 1))
     assert 0 < len(res) <= textops.BM25_TOPK
+
+
+def test_top_bigrams_exact(ray_session, sf_dir, tmp_path):
+    """top_bigrams equals a brute-force corpus bigram count on the sf
+    documents table, and the MG-compressed path stays exact on a
+    crafted heavy-bigram corpus."""
+    import collections
+
+    import pyarrow as pa
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["text"]).column("text").to_pylist()
+    exact = collections.Counter()
+    for t in docs:
+        toks = t.split()
+        exact.update(" ".join(toks[i:i + 2])
+                     for i in range(len(toks) - 1))
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = [(r["token"], int(r["cnt"])) for r in sorted(
+        textops.top_bigrams(sf_dir).take_all(),
+        key=lambda r: int(r["rank"]))]
+    assert got == want and got
+
+    # crafted: vocabulary >> capacity, heavy bigram must survive MG
+    texts = [" ".join([f"u{i}_{j}" for j in range(15)]
+                      + ["the quick"] * (3 if i % 2 == 0 else 1))
+             for i in range(2000)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    brute = collections.Counter()
+    for t in texts:
+        toks = t.split()
+        brute.update(" ".join(toks[i:i + 2])
+                     for i in range(len(toks) - 1))
+    want2 = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    got2 = [(r["token"], int(r["cnt"])) for r in sorted(
+        textops.top_tokens(str(tmp_path), k=2, capacity=64,
+                           direct_gate=-1, gram=2).take_all(),
+        key=lambda r: int(r["rank"]))]
+    assert got2 == want2
