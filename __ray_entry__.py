@@ -388,6 +388,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_degrees": graph.link_degrees,
         # WIMBD-style corpus bigram heavy hitters (Misra-Gries + verify)
         "doc_top_bigrams": textops.top_bigrams,
+        # SoftDeDup-style duplication reweighting (keep + downweight)
+        "doc_dup_weights": textops.dup_weights,
     }
 
 
@@ -562,6 +564,15 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT token, cnt, row_number() OVER "
             "(ORDER BY cnt DESC, token) AS rank FROM c) "
             "SELECT token, cnt, rank FROM r WHERE rank <= 50"
+        ),
+        # SoftDeDup reweighting: exact-content cluster size + integer
+        # inverse weight per member
+        "doc_dup_weights": (
+            "WITH h AS (SELECT doc_id, md5(text) AS k FROM documents), "
+            "c AS (SELECT k, count(*)::BIGINT AS n FROM h GROUP BY k) "
+            "SELECT h.doc_id, c.n AS cluster_size, "
+            "(1000 // c.n)::BIGINT AS weight_permille "
+            "FROM h JOIN c USING (k)"
         ),
         # corpus-wide bigram heavy hitters (WIMBD-style; exact top-50)
         "doc_top_bigrams": (

@@ -227,6 +227,41 @@ def exact_dedup(sf_dir: str, direct_gate: int = 1_000_000):
     return _rename(out, {"min(doc_id)": "doc_id"}).select_columns(["doc_id"])
 
 
+def dup_weights(sf_dir: str):
+    """(doc_id, cluster_size, weight_permille): SoftDeDup-style
+    duplication reweighting (He et al. 2024, arXiv:2407.06654) — instead
+    of DROPPING exact duplicates, every document keeps a sampling weight
+    inversely proportional to its exact-content cluster size
+    (weight_permille = 1000 // n, integer-exact): the paper's
+    "commonness" downweight at the cluster grain, composable with the
+    stratified sampler.
+
+    Scale shape: the shuffle moves (md5-key, doc_id) rows only — text
+    never leaves the map stage; cluster size and the member emit happen
+    inside one ``groupby(key).map_groups``; nothing corpus-sized touches
+    the driver at any scale."""
+    from ._util import ensure_schema
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": [hashlib.md5(t.encode()).hexdigest() for t in df["text"]],
+            "doc_id": df["doc_id"].astype("int64")})
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "cluster_size": np.full(n, n, dtype="int64"),
+            "weight_permille": np.full(n, 1000 // n, dtype="int64")})
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        keyed, batch_format="pandas")
+    return ensure_schema(
+        ds.groupby("k").map_groups(expand, batch_format="pandas"),
+        pa.schema([("doc_id", pa.int64()), ("cluster_size", pa.int64()),
+                   ("weight_permille", pa.int64())]))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup (rows-only oracle; pytest brute-force check)
 

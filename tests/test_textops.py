@@ -1041,3 +1041,41 @@ def test_top_bigrams_exact(ray_session, sf_dir, tmp_path):
                            direct_gate=-1, gram=2).take_all(),
         key=lambda r: int(r["rank"]))]
     assert got2 == want2
+
+
+def test_dup_weights_bruteforce(ray_session, sf_dir):
+    """Every document appears once; cluster sizes partition the corpus;
+    weight is the exact integer inverse of the md5-cluster size."""
+    import collections
+    import hashlib as _hl
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    sizes = collections.Counter(
+        _hl.md5(t.encode()).hexdigest()
+        for t in tbl.column("text").to_pylist())
+    exp = {}
+    for i, t in zip(tbl.column("doc_id").to_pylist(),
+                    tbl.column("text").to_pylist()):
+        n = sizes[_hl.md5(t.encode()).hexdigest()]
+        exp[int(i)] = (n, 1000 // n)
+    got = {int(r["doc_id"]): (int(r["cluster_size"]),
+                              int(r["weight_permille"]))
+           for r in textops.dup_weights(sf_dir).take_all()}
+    assert got == exp and got
+
+
+def test_dup_weights_planted(ray_session, tmp_path):
+    """Crafted duplicates get 1000//n weights; uniques keep 1000."""
+    import pyarrow as pa
+
+    texts = ["same text"] * 3 + ["other text"] * 2 + ["unique one"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    got = {int(r["doc_id"]): (int(r["cluster_size"]),
+                              int(r["weight_permille"]))
+           for r in textops.dup_weights(str(tmp_path)).take_all()}
+    assert got == {0: (3, 333), 1: (3, 333), 2: (3, 333),
+                   3: (2, 500), 4: (2, 500), 5: (1, 1000)}
