@@ -390,6 +390,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_bigrams": textops.top_bigrams,
         # SoftDeDup-style duplication reweighting (keep + downweight)
         "doc_dup_weights": textops.dup_weights,
+        # host-level link graph (the crawl-scheduler / host-reputation
+        # aggregation of the closed edge set)
+        "graph_host_graph": graph.link_host_graph,
+        # mutual-link pairs (link-farm / site-boundary signal)
+        "graph_reciprocal": graph.link_reciprocal,
+        # global triangle count (Cohen MR wedge-join, no broadcast)
+        "graph_triangles": graph.link_triangles,
+        # WIMBD-style boolean AND corpus search, tf-ranked top-k
+        "doc_search": textops.search_topk,
+        # Heaps-law vocabulary growth curve (corpus saturation signal)
+        "doc_vocab_growth": textops.vocab_growth,
+        # ordered-stage product-analytics funnel per user
+        "rel_events_funnel": relops.events_funnel,
     }
 
 
@@ -1292,4 +1305,16 @@ def oracle_sql() -> dict[str, str]:
                 for w in extract.URL_PENALTIES)
             + "))::BIGINT AS blocked FROM p"
         ),
+        # host-level link graph: same closed edge set, split_part hosts
+        "graph_host_graph": graph.host_graph_oracle_sql(pdir),
+        # mutual links: closed-edge self-join, a<b
+        "graph_reciprocal": graph.reciprocal_oracle_sql(pdir),
+        # triangle count: undirected distinct edges, ordered 3-way join
+        "graph_triangles": graph.triangles_oracle_sql(pdir),
+        # boolean AND search: list_filter token tf, same ranking
+        "doc_search": textops.search_oracle_sql(),
+        # Heaps growth: min(doc_id) per token, integer-division buckets
+        "doc_vocab_growth": textops.vocab_growth_oracle_sql(),
+        # funnel: chained min-ts stage CTEs, >= semantics
+        "rel_events_funnel": relops.funnel_oracle_sql(),
     }

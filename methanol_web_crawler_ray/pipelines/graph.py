@@ -490,3 +490,185 @@ def degrees_oracle_sql(pdir: str) -> str:
         "UNION ALL SELECT dst, 0::BIGINT, 1::BIGINT FROM e) "
         "SELECT url, sum(o)::BIGINT AS out_deg, sum(i)::BIGINT AS in_deg "
         "FROM b GROUP BY url")
+
+
+# ---------------------------------------------------------------------------
+# host-level link graph
+
+_EDGE_CTE = (
+    "WITH pl AS (SELECT url AS src, canon AS dst FROM "
+    "read_parquet('{pdir}/golden_canon.parquet') "
+    "WHERE canon IS NOT NULL), "
+    "pu AS (SELECT DISTINCT url FROM "
+    "read_parquet('{pdir}/pages.parquet')), "
+    "e AS (SELECT DISTINCT pl.src, pl.dst FROM pl "
+    "JOIN pu ON pu.url = pl.dst)")
+
+
+def link_host_graph(sf_dir: str):
+    """(src_host, dst_host, n_links): host-level aggregation of the
+    closed distinct link graph — the crawl scheduler's view of the web
+    (the reference keys ALL crawl state by host, ``urlengine.c:283-338``;
+    cross-host citation counts are what frontier prioritizers and
+    host-reputation filters consume).  Host = URL authority, extracted
+    with the same guarded list_slice the oracle's split_part implies
+    (schemeless URLs → '').
+
+    Scale shape: map-side host extraction + in-batch partial count over
+    the edge stream, then ONE groupby keyed (src_host, dst_host) —
+    host-pair cardinality (quadratically smaller than edges) is all
+    that shuffles; nothing driver-resident at any size."""
+    import pyarrow.compute as pc
+
+    from ._util import ensure_schema, rename
+
+    def hostpair(t: pa.Table) -> pa.Table:
+        sh = pc.binary_join(pc.list_slice(
+            pc.split_pattern(t.column("src"), "/"), 2, 3), "")
+        dh = pc.binary_join(pc.list_slice(
+            pc.split_pattern(t.column("dst"), "/"), 2, 3), "")
+        out = pa.table({
+            "src_host": sh, "dst_host": dh,
+            "n_links": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+        return out.group_by(["src_host", "dst_host"]).aggregate(
+            [("n_links", "sum")]).rename_columns(
+            ["src_host", "dst_host", "n_links"])
+
+    agg = _edges_ds(sf_dir).map_batches(
+        hostpair, batch_format="pyarrow") \
+        .groupby(["src_host", "dst_host"]).sum("n_links")
+    return ensure_schema(
+        rename(agg, {"sum(n_links)": "n_links"}),
+        pa.schema([("src_host", pa.string()), ("dst_host", pa.string()),
+                   ("n_links", pa.int64())]))
+
+
+def host_graph_oracle_sql(pdir: str) -> str:
+    """DuckDB replay: same closed edge set, split_part host."""
+    return (_EDGE_CTE.format(pdir=pdir) +
+            " SELECT split_part(src, '/', 3) AS src_host, "
+            "split_part(dst, '/', 3) AS dst_host, "
+            "count(*)::BIGINT AS n_links FROM e GROUP BY 1, 2")
+
+
+def link_reciprocal(sf_dir: str):
+    """(url_a, url_b): unordered page pairs that link each other BOTH
+    ways in the closed distinct edge set (a<b, self-loops excluded) —
+    the mutual-citation signal link-spam detectors and site-boundary
+    inference use (reciprocal-link density separates organic linking
+    from link farms).
+
+    Scale shape: one map normalizing each directed edge to its
+    unordered key plus a direction flag (1 = a→b, 2 = b→a), then ONE
+    groupby(a, b) summing flags — a pair kept iff the sum is exactly 3
+    (edges are distinct, so each direction contributes at most once).
+    No joins, no broadcast, nothing driver-resident."""
+    import pyarrow.compute as pc
+
+    from ._util import ensure_schema
+
+    def norm(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("src"), t.column("dst")))
+        src, dst = t.column("src"), t.column("dst")
+        fwd = pc.less(src, dst)
+        return pa.table({
+            "url_a": pc.if_else(fwd, src, dst),
+            "url_b": pc.if_else(fwd, dst, src),
+            "d": pc.if_else(fwd, pa.scalar(1, pa.int64()),
+                            pa.scalar(2, pa.int64()))})
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("sum(d)"), 3))
+        return t.select(["url_a", "url_b"])
+
+    pairs = _edges_ds(sf_dir).map_batches(norm, batch_format="pyarrow") \
+        .groupby(["url_a", "url_b"]).sum("d") \
+        .map_batches(keep, batch_format="pyarrow")
+    return ensure_schema(
+        pairs, pa.schema([("url_a", pa.string()),
+                          ("url_b", pa.string())]))
+
+
+def reciprocal_oracle_sql(pdir: str) -> str:
+    """DuckDB replay: self-join on the closed edges, a<b."""
+    return (_EDGE_CTE.format(pdir=pdir) +
+            " SELECT e1.src AS url_a, e1.dst AS url_b FROM e e1 "
+            "JOIN e e2 ON e1.src = e2.dst AND e1.dst = e2.src "
+            "WHERE e1.src < e1.dst")
+
+
+def link_triangles(sf_dir: str):
+    """Single row (n_triangles): global triangle count of the
+    UNDIRECTED closed link graph — the clustering/community-density
+    scalar (triangle density separates organic site neighborhoods from
+    sprawling spam link structures; Watts-Strogatz clustering's
+    numerator).
+
+    Scale shape — the classic 2-round exchange (Cohen's MR triangle
+    algorithm), every stage a map or a groupby:
+      1. undirect + distinct: (lo, hi) with lo<hi, one groupby;
+      2. wedges: groupby(lo).map_groups emits each neighbor pair
+         (hi_i, hi_j) — every triangle is generated exactly once,
+         centered at its lexicographically-smallest vertex;
+      3. close: wedge rows (w=1) unioned with edge rows (e=1),
+         groupby(pair).sum — Σ w·e is the triangle count.
+    Nothing driver-resident but the final scalar.  Production note:
+    step 2's fan-out is Σ deg_hi(v)²; at web scale the centering order
+    should be BY DEGREE (smallest-degree vertex), which caps the wedge
+    count at O(m^1.5) — the URL order used here keeps the oracle
+    replayable and is fine below hub-dominated densities."""
+    import pyarrow.compute as pc
+
+    from ._util import materialize_clean
+
+    def undirect(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("src"), t.column("dst")))
+        src, dst = t.column("src"), t.column("dst")
+        fwd = pc.less(src, dst)
+        out = pa.table({"a": pc.if_else(fwd, src, dst),
+                        "b": pc.if_else(fwd, dst, src)})
+        return out.group_by(["a", "b"]).aggregate([])
+
+    und = materialize_clean(
+        _edges_ds(sf_dir).map_batches(undirect, batch_format="pyarrow")
+        .groupby(["a", "b"]).count().select_columns(["a", "b"]),
+        pa.schema([("a", pa.string()), ("b", pa.string())]))
+
+    def wedges(df: pd.DataFrame) -> pa.Table:
+        bs = np.sort(df["b"].to_numpy())
+        i, j = np.triu_indices(len(bs), k=1)
+        # arrow output so the union with edge_marks is block-homogeneous
+        return pa.table({
+            "a": pa.array(bs[i], pa.string()),
+            "b": pa.array(bs[j], pa.string()),
+            "w": pa.array(np.ones(len(i), dtype=np.int64)),
+            "e": pa.array(np.zeros(len(i), dtype=np.int64))})
+
+    def edge_marks(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"a": t.column("a"), "b": t.column("b"),
+                         "w": pa.array(np.zeros(n, dtype=np.int64)),
+                         "e": pa.array(np.ones(n, dtype=np.int64))})
+
+    w = und.groupby("a").map_groups(wedges, batch_format="pandas")
+    e = und.map_batches(edge_marks, batch_format="pyarrow")
+    closed = w.union(e).groupby(["a", "b"]).sum(["w", "e"])
+
+    def prod(t: pa.Table) -> pa.Table:
+        p = pc.multiply(t.column("sum(w)"), t.column("sum(e)"))
+        return pa.table({"t": pa.array(
+            [pc.sum(p).as_py() or 0], pa.int64())})
+
+    n_tri = closed.map_batches(prod, batch_format="pyarrow").sum("t")
+    return pd.DataFrame({"n_triangles": pd.Series([int(n_tri or 0)],
+                                                  dtype="int64")})
+
+
+def triangles_oracle_sql(pdir: str) -> str:
+    """DuckDB replay: undirected distinct edges, ordered 3-way join."""
+    return (_EDGE_CTE.format(pdir=pdir) +
+            ", u AS (SELECT least(src, dst) AS a, greatest(src, dst) "
+            "AS b FROM e WHERE src <> dst GROUP BY 1, 2) "
+            "SELECT count(*)::BIGINT AS n_triangles FROM u e1 "
+            "JOIN u e2 ON e2.a = e1.a AND e2.b > e1.b "
+            "JOIN u e3 ON e3.a = e1.b AND e3.b = e2.b")

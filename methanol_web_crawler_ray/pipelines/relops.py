@@ -383,3 +383,66 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def events_funnel(sf_dir: str):
+    """(user_id, funnel_stage): deepest ordered-funnel stage each user
+    reaches — stage 1 = any ``view``; stage 2 = a ``click`` at or after
+    the user's FIRST view; stage 3 = a ``purchase`` at or after that
+    first qualifying click (the earliest-qualifying-event semantics
+    product analytics funnels use).  Users with no view are absent.
+
+    Scale shape: the read filters to the three stage types (column +
+    row pruning), then ONE user-keyed shuffle
+    (``groupby(user_id).map_groups``) with a vectorized per-group scan
+    — the same custom-windowed-operator ladder rung (b) as
+    events_sessionize; output is user-sized, nothing driver-resident."""
+    def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["event_type"].isin(FUNNEL_STAGES)]
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"]) \
+        .map_batches(prefilter, batch_format="pandas")
+
+    s1, s2, s3 = FUNNEL_STAGES
+
+    def deepest(df: pd.DataFrame) -> pd.DataFrame:
+        ts, et = df["ts"], df["event_type"]
+        v = ts[et == s1]
+        if v.empty:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "funnel_stage":
+                                     pd.Series([], dtype="int64")})
+        t1 = v.min()
+        stage = 1
+        c = ts[(et == s2) & (ts >= t1)]
+        if not c.empty:
+            stage = 2
+            p = ts[(et == s3) & (ts >= c.min())]
+            if not p.empty:
+                stage = 3
+        return pd.DataFrame({
+            "user_id": pd.Series([df["user_id"].iloc[0]], dtype="int64"),
+            "funnel_stage": pd.Series([stage], dtype="int64")})
+
+    return ds.groupby("user_id").map_groups(deepest, batch_format="pandas")
+
+
+def funnel_oracle_sql() -> str:
+    """DuckDB replay: chained min-ts stage CTEs, same >= semantics."""
+    s1, s2, s3 = FUNNEL_STAGES
+    return (
+        f"WITH a AS (SELECT user_id, min(ts) AS t1 FROM events "
+        f"WHERE event_type = '{s1}' GROUP BY user_id), "
+        f"b AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+        f"JOIN a USING (user_id) WHERE e.event_type = '{s2}' "
+        "AND e.ts >= a.t1 GROUP BY e.user_id), "
+        f"c AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+        f"JOIN b USING (user_id) WHERE e.event_type = '{s3}' "
+        "AND e.ts >= b.t2 GROUP BY e.user_id) "
+        "SELECT a.user_id, (CASE WHEN c.user_id IS NOT NULL THEN 3 "
+        "WHEN b.user_id IS NOT NULL THEN 2 ELSE 1 END)::BIGINT "
+        "AS funnel_stage FROM a "
+        "LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)")

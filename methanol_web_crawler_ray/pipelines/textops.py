@@ -3075,3 +3075,132 @@ def bm25_topk(sf_dir: str, terms: Tuple[str, ...] = BM25_TERMS,
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     return top.astype({"doc_id": "int64", "score": "int64",
                        "rank": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# boolean search (WIMBD-style "what's in my big data" corpus lookup)
+
+SEARCH_TERMS: Tuple[str, ...] = ("hash", "join")
+SEARCH_K = 100
+
+
+def search_topk(sf_dir: str):
+    """(doc_id, tf): WIMBD-style boolean AND search — documents whose
+    token stream (the shared `\\S+`-on-lowercased tokenizer) contains
+    EVERY query term, ranked by total query-term frequency (ties by
+    doc_id), top ``SEARCH_K``.  The corpus-search primitive WIMBD
+    (Elazar et al. 2024) backs with Elasticsearch; here it is a
+    map-only scan + a tf-keyed top-k.
+
+    Scale shape: one vectorized `str.count` pass per term inside
+    ``map_batches`` (compiled-regex C loop, no Python per-row work),
+    the AND filter prunes before anything shuffles, and only the
+    matching (doc_id, tf) pairs — a tiny fraction of the corpus —
+    enter the sort+limit.  Nothing driver-resident."""
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+    pats = [r"(?<!\S)" + re.escape(t) + r"(?!\S)" for t in SEARCH_TERMS]
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        low = df["text"].str.lower()
+        tfs = [low.str.count(p).astype(np.int64) for p in pats]
+        hit = tfs[0] > 0
+        for t in tfs[1:]:
+            hit &= t > 0
+        total = tfs[0].copy()
+        for t in tfs[1:]:
+            total += t
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64")[hit],
+            "tf": total[hit]})
+        return out
+
+    return docs.map_batches(score, batch_format="pandas") \
+        .sort(["tf", "doc_id"], descending=[True, False]) \
+        .limit(SEARCH_K)
+
+
+def search_oracle_sql() -> str:
+    """DuckDB replay: list_filter token counts, same AND + ranking."""
+    tf_cols = ", ".join(
+        "len(list_filter(toks, x -> x = '" + t.replace("'", "''")
+        + f"'))::BIGINT AS tf{i}"
+        for i, t in enumerate(SEARCH_TERMS))
+    total = " + ".join(f"tf{i}" for i in range(len(SEARCH_TERMS)))
+    conds = " AND ".join(
+        f"tf{i} > 0" for i in range(len(SEARCH_TERMS)))
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '\\S+') AS toks "
+        "FROM documents), "
+        f"s AS (SELECT doc_id, {tf_cols} FROM t) "
+        f"SELECT doc_id, ({total})::BIGINT AS tf FROM s "
+        f"WHERE {conds} ORDER BY tf DESC, doc_id LIMIT {SEARCH_K}")
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth
+
+VG_BUCKETS = 10
+
+
+def vocab_growth(sf_dir: str):
+    """(bucket, new_tokens, vocab_size): the Heaps-law vocabulary growth
+    curve — distinct lowercased tokens binned by the doc_id range
+    (``VG_BUCKETS`` equal-width bins over [0, max_doc_id]) where each
+    token FIRST occurs, with the running cumulative vocabulary size.
+    The corpus-composition diagnostic (WIMBD-class analysis; a flat
+    tail means the corpus stopped contributing new vocabulary —
+    saturated/duplicated content).
+
+    Scale shape: (token, doc_id) pairs distinct-in-batch →
+    ``groupby(token).min(doc_id)`` (THE vocabulary-sized shuffle,
+    fixed-width rows) → map-side bucket partials → a VG_BUCKETS-row
+    fold.  Only the bucket histogram (≤ VG_BUCKETS rows) ever reaches
+    the driver, where the cumulative sum is a trivial scan."""
+    import ray.data
+
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+    max_id = int(docs.max("doc_id") or 0)
+    den = max_id + 1
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids, toks = [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            for t in np.unique(_TOKEN_RE.findall(text.lower())):
+                ids.append(int(doc_id))
+                toks.append(t)
+        return pd.DataFrame({"token": pd.Series(toks, dtype="object"),
+                             "doc_id": pd.Series(ids, dtype="int64")})
+
+    first = docs.map_batches(pairs, batch_format="pandas") \
+        .groupby("token").min("doc_id")
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        b = (df["min(doc_id)"].to_numpy(np.int64) * VG_BUCKETS) // den
+        g = pd.Series(np.ones(len(b), dtype=np.int64)).groupby(b).sum()
+        return pd.DataFrame({"bucket": g.index.astype(np.int64),
+                             "new_tokens": g.values})
+
+    hist = first.map_batches(bucketize, batch_format="pandas") \
+        .groupby("bucket").sum("new_tokens").to_pandas()
+    hist = hist.rename(columns={"sum(new_tokens)": "new_tokens"}) \
+        .sort_values("bucket").reset_index(drop=True)
+    hist["vocab_size"] = hist["new_tokens"].cumsum()
+    return hist.astype({"bucket": "int64", "new_tokens": "int64",
+                        "vocab_size": "int64"})
+
+
+def vocab_growth_oracle_sql() -> str:
+    """DuckDB replay: min(doc_id) per token, integer-division buckets,
+    window cumulative."""
+    return (
+        "WITH mx AS (SELECT max(doc_id) + 1 AS den FROM documents), "
+        "p AS (SELECT doc_id, unnest(list_distinct("
+        "regexp_extract_all(lower(text), '\\S+'))) AS token "
+        "FROM documents), "
+        "f AS (SELECT token, min(doc_id) AS fd FROM p GROUP BY token), "
+        f"h AS (SELECT (fd * {VG_BUCKETS}) // (SELECT den FROM mx) "
+        "AS bucket, count(*)::BIGINT AS new_tokens FROM f GROUP BY 1) "
+        "SELECT bucket::BIGINT AS bucket, new_tokens, "
+        "(sum(new_tokens) OVER (ORDER BY bucket))::BIGINT "
+        "AS vocab_size FROM h")

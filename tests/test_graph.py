@@ -94,3 +94,48 @@ def test_degrees_vs_bruteforce(ray_session, sf_dir):
     assert out == {u: (o, i) for u, (o, i) in exp.items()} and out
     assert sum(o for o, _ in out.values()) == len(edges)
     assert sum(i for _, i in out.values()) == len(edges)
+
+
+def test_host_graph_vs_bruteforce(ray_session, sf_dir):
+    """Host-pair counts equal a direct tally over the same closed
+    distinct edge set; the grand total equals the edge count."""
+    out = {(r["src_host"], r["dst_host"]): r["n_links"]
+           for r in graph.link_host_graph(sf_dir).take_all()}
+    edges = [(r["src"], r["dst"])
+             for r in graph._edges_ds(sf_dir).take_all()]
+
+    def host(u):
+        p = u.split("/")
+        return p[2] if len(p) > 2 else ""
+
+    exp = {}
+    for s, d in edges:
+        k = (host(s), host(d))
+        exp[k] = exp.get(k, 0) + 1
+    assert out == exp and out
+    assert sum(out.values()) == len(edges)
+
+
+def test_reciprocal_vs_bruteforce(ray_session, sf_dir):
+    out = {(r["url_a"], r["url_b"])
+           for r in graph.link_reciprocal(sf_dir).take_all()}
+    edges = {(r["src"], r["dst"])
+             for r in graph._edges_ds(sf_dir).take_all()}
+    exp = {(s, d) for s, d in edges
+           if s < d and (d, s) in edges}
+    assert out == exp and out
+
+
+def test_triangles_vs_bruteforce(ray_session, sf_dir):
+    got = int(graph.link_triangles(sf_dir)["n_triangles"].iloc[0])
+    edges = {(r["src"], r["dst"])
+             for r in graph._edges_ds(sf_dir).take_all()}
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = 0
+    for a, b in und:
+        n += len({x for x in adj[a] & adj[b] if x > b})
+    assert got == n and got > 0

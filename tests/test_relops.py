@@ -83,3 +83,34 @@ def test_events_sliding_window_expansion(ray_session):
                 n += t[0]
                 c += t[1]
         assert (n, c) == (int(r["n"]), int(r["value_cents"]))
+
+
+def test_events_funnel_vs_bruteforce(ray_session):
+    """Deepest ordered stage per user equals a direct scan."""
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    got = {int(r["user_id"]): int(r["funnel_stage"])
+           for r in relops.events_funnel(sf).take_all()}
+
+    df = pq.read_table(f"{sf}/events.parquet",
+                       columns=["user_id", "event_type", "ts"]) \
+        .to_pandas()
+    s1, s2, s3 = relops.FUNNEL_STAGES
+    want = {}
+    for uid, g in df.groupby("user_id"):
+        v = g[g["event_type"] == s1]["ts"]
+        if v.empty:
+            continue
+        stage, t1 = 1, v.min()
+        c = g[(g["event_type"] == s2) & (g["ts"] >= t1)]["ts"]
+        if not c.empty:
+            stage = 2
+            p = g[(g["event_type"] == s3) & (g["ts"] >= c.min())]["ts"]
+            if not p.empty:
+                stage = 3
+        want[int(uid)] = stage
+    assert got == want and got
+    assert set(got.values()) <= {1, 2, 3}
+    # the full funnel is reachable on the fixture
+    assert 3 in got.values()

@@ -1079,3 +1079,56 @@ def test_dup_weights_planted(ray_session, tmp_path):
            for r in textops.dup_weights(str(tmp_path)).take_all()}
     assert got == {0: (3, 333), 1: (3, 333), 2: (3, 333),
                    3: (2, 500), 4: (2, 500), 5: (1, 1000)}
+
+
+def test_search_topk_vs_bruteforce(ray_session):
+    """AND-match + total-tf ranking equals a direct token count."""
+    import re as _re
+
+    sf = "/root/testdata/sf0.001"
+    got = [(int(r["doc_id"]), int(r["tf"]))
+           for r in textops.search_topk(sf).take_all()]
+
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text"])
+    rows = []
+    for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+        toks = _re.findall(r"\S+", text.lower())
+        tfs = [sum(1 for x in toks if x == q)
+               for q in textops.SEARCH_TERMS]
+        if all(c > 0 for c in tfs):
+            rows.append((int(doc_id), sum(tfs)))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    assert got == rows[:textops.SEARCH_K] and got
+    # ranking is actually exercised: not all tfs equal
+    assert len({tf for _, tf in got}) > 1
+
+
+def test_vocab_growth_vs_bruteforce(ray_session):
+    import re as _re
+
+    sf = "/root/testdata/sf0.001"
+    out = textops.vocab_growth(sf)
+    got = list(zip(out["bucket"], out["new_tokens"], out["vocab_size"]))
+
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text"])
+    first = {}
+    max_id = 0
+    for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+        max_id = max(max_id, int(doc_id))
+        for tok in _re.findall(r"\S+", text.lower()):
+            if tok not in first or doc_id < first[tok]:
+                first[tok] = int(doc_id)
+    hist = {}
+    for fd in first.values():
+        b = (fd * textops.VG_BUCKETS) // (max_id + 1)
+        hist[b] = hist.get(b, 0) + 1
+    exp, cum = [], 0
+    for b in sorted(hist):
+        cum += hist[b]
+        exp.append((b, hist[b], cum))
+    assert got == exp and got
+    assert got[-1][2] == len(first)  # total vocabulary
