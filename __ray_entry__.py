@@ -403,6 +403,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab_growth": textops.vocab_growth,
         # ordered-stage product-analytics funnel per user
         "rel_events_funnel": relops.events_funnel,
+        # product-quantization codes (FAISS-style vector compression)
+        "emb_pq_codes": ann.emb_pq_codes,
+        # duplicated-n-gram fraction (MassiveText/RefinedWeb signal)
+        "doc_dup_ngrams": textops.dup_ngrams,
+        # cohort retention matrix (first-day cohorts, day offsets)
+        "rel_events_retention": relops.events_retention,
+        # PQ asymmetric-distance top-k (FAISS ADC search path)
+        "ann_topk_adc": ann.ann_topk_adc,
     }
 
 
@@ -460,6 +468,8 @@ def oracle_sql() -> dict[str, str]:
     emb_aug = ann.augmented_embeddings_path("/root/testdata/sf0.01")
     ivfc = ann.write_ivf_centroids("/tmp/mwc_ivf_centroids.parquet",
                                    "/root/testdata/sf0.01")
+    pqc = ann.write_pq_codebook("/tmp/mwc_pq_codebook.parquet",
+                                "/root/testdata/sf0.01")
     from methanol_web_crawler_ray.pipelines import ftp as _ftp
     from methanol_web_crawler_ray.pipelines import multimodal as _mm
     from methanol_web_crawler_ray.sources.captures import captures_path
@@ -1317,4 +1327,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_vocab_growth": textops.vocab_growth_oracle_sql(),
         # funnel: chained min-ts stage CTEs, >= semantics
         "rel_events_funnel": relops.funnel_oracle_sql(),
+        # PQ assignment: quantized unnest ⋈ codebook, integer argmin
+        "emb_pq_codes": ann.pq_oracle_sql(pqc),
+        # dup n-grams: shared bigram-key CTE, df over distinct docs
+        "doc_dup_ngrams": textops.dup_ngrams_oracle_sql(),
+        # retention: first day per user, distinct offsets, epoch days
+        "rel_events_retention": relops.retention_oracle_sql(),
+        # ADC: code assignment CTEs + query-row distance-table join
+        "ann_topk_adc": ann.adc_oracle_sql(pqc),
     }

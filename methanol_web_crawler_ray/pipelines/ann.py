@@ -745,3 +745,233 @@ def semdedup_oracle_sql(emb_aug: str, ivfc: str) -> str:
         f">= {SD_THRESHOLD}) "
         "SELECT idb AS vec_id, min(cid)::BIGINT AS cid, "
         "min(ida)::BIGINT AS dup_of FROM v GROUP BY idb")
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — the vector-compression path
+
+PQ_M = 4        # subspaces
+PQ_K = 16       # codes per subspace (4-bit codes)
+PQ_ITERS = 8
+PQ_SEED = 1093
+
+
+def pq_codebook(sf_dir: str, n_sub: int = PQ_M, k: int = PQ_K,
+                iters: int = PQ_ITERS) -> np.ndarray:
+    """Deterministic PQ codebook (Jégou et al. 2011): per-subspace
+    seeded k-means (kmeans++-style init, fixed Lloyd rounds) over a
+    bounded corpus sample on the driver — the same train-small /
+    assign-everywhere shape as ``ivf_centroids``; at 100 TB the sample
+    is still driver-sized.  Returns QUANTIZED int64 centroids
+    (n_sub, k, sub_dim), ×QSCALE, so assignment is an exact integer
+    argmin on both the Ray and DuckDB sides."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["embedding"])
+    M = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in tbl.column("embedding").to_pylist()])
+    n, dim = M.shape
+    sub = dim // n_sub
+    rng = np.random.default_rng(PQ_SEED)
+    sample = M[rng.choice(n, size=min(n, 4096), replace=False)]
+    books = []
+    for s in range(n_sub):
+        S = sample[:, s * sub:(s + 1) * sub]
+        cents = [S[int(rng.integers(S.shape[0]))]]
+        for _ in range(k - 1):
+            d2 = np.min(
+                ((S[:, None, :] - np.asarray(cents)[None, :, :]) ** 2
+                 ).sum(-1), axis=1)
+            p = d2 / d2.sum() if d2.sum() > 0 else None
+            cents.append(S[int(rng.choice(S.shape[0], p=p))])
+        C = np.asarray(cents)
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            lab = d2.argmin(axis=1)
+            for j in range(k):
+                m = S[lab == j]
+                if m.shape[0]:
+                    C[j] = m.mean(axis=0)
+        books.append(np.round(C * QSCALE).astype(np.int64))
+    return np.stack(books)
+
+
+def write_pq_codebook(path: str, sf_dir: str) -> str:
+    """(m, code, dim, c) parquet for the DuckDB oracle — ``dim`` is the
+    GLOBAL dimension index so the oracle joins on the unnested column
+    position directly."""
+    import pyarrow.parquet as pq
+
+    B = pq_codebook(sf_dir)
+    n_sub, k, sub = B.shape
+    ms, codes, dims, vals = [], [], [], []
+    for s in range(n_sub):
+        for j in range(k):
+            for d in range(sub):
+                ms.append(s)
+                codes.append(j)
+                dims.append(s * sub + d)
+                vals.append(int(B[s, j, d]))
+    pq.write_table(pa.table({
+        "m": pa.array(ms, pa.int32()),
+        "code": pa.array(codes, pa.int32()),
+        "dim": pa.array(dims, pa.int32()),
+        "c": pa.array(vals, pa.int64()),
+    }), path)
+    return path
+
+
+def emb_pq_codes(sf_dir: str):
+    """(vec_id, code0..code{PQ_M-1}, qerr): product-quantization code
+    assignment — each embedding compressed to PQ_M 4-bit codes plus its
+    integer total quantization error.  THE 100 TB vector-storage shape
+    (FAISS IVF-PQ's fine quantizer): 64 floats → 2 bytes/vector, ADC
+    search then scans codes, not vectors.
+
+    Scale shape: codebook trained once on a bounded driver sample,
+    broadcast via ``ray.put`` (read once per worker, never re-shipped
+    per batch), assignment a map-only vectorized integer argmin per
+    subspace — no shuffle at all; output is fixed-width codes."""
+    import ray
+
+    B = pq_codebook(sf_dir)           # (n_sub, k, sub) int64
+    n_sub, _, sub = B.shape
+    ref = ray.put(B)
+
+    def assign(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
+        Bk = ray.get(_r)
+        M = _to_matrix(df["embedding"])
+        Q = _quantize(M)              # (n, dim) int64
+        out = {"vec_id": df["vec_id"].astype("int64")}
+        qerr = np.zeros(len(df), dtype=np.int64)
+        for s in range(n_sub):
+            d2 = ((Q[:, None, s * sub:(s + 1) * sub]
+                   - Bk[s][None, :, :]) ** 2).sum(-1)  # (n, k) int64
+            code = d2.argmin(axis=1)  # ties → lowest code
+            out[f"code{s}"] = pd.Series(code.astype(np.int64))
+            qerr += d2[np.arange(len(df)), code]
+        out["qerr"] = pd.Series(qerr)
+        res = pd.DataFrame(out)
+        res.index = df.index
+        return res
+
+    return _read_emb(sf_dir).map_batches(assign, batch_format="pandas")
+
+
+def pq_oracle_sql(pqc: str, dim: int = 64) -> str:
+    """DuckDB replay: quantized unnested embedding ⋈ codebook, exact
+    integer argmin per subspace (ties → lowest code), CASE pivot."""
+    pivots = ", ".join(
+        f"max(CASE WHEN m = {s} THEN code END)::BIGINT AS code{s}"
+        for s in range(PQ_M))
+    return (
+        "WITH qv AS (SELECT vec_id, CAST(i AS INT) AS dim, "
+        f"CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) * "
+        f"{QSCALE}) AS BIGINT) AS q "
+        f"FROM embeddings, UNNEST(range({dim})) AS d(i)), "
+        f"cb AS (SELECT * FROM read_parquet('{pqc}')), "
+        "dist AS (SELECT qv.vec_id, cb.m, cb.code, "
+        "SUM((qv.q - cb.c) * (qv.q - cb.c))::BIGINT AS d2 "
+        "FROM qv JOIN cb ON cb.dim = qv.dim "
+        "GROUP BY qv.vec_id, cb.m, cb.code), "
+        "best AS (SELECT vec_id, m, code, d2, row_number() OVER "
+        "(PARTITION BY vec_id, m ORDER BY d2, code) AS rn FROM dist) "
+        f"SELECT vec_id, {pivots}, sum(d2)::BIGINT AS qerr "
+        "FROM best WHERE rn = 1 GROUP BY vec_id")
+
+
+def ann_topk_adc(sf_dir: str, k: int = 10, n_queries: int = 5):
+    """(query_id, neighbor_id, adc_d2, rank): PQ asymmetric-distance
+    top-k — the FAISS ADC search path over ``emb_pq_codes``' codebook:
+    per query, a (PQ_M × PQ_K) integer distance table is precomputed
+    once; each corpus vector's approximate distance is then PQ_M table
+    lookups on its codes, never a d-dim computation.  All-integer, so
+    the DuckDB replay is exact (ties at the k-boundary decided by
+    neighbor_id on both sides).
+
+    Scale shape: codebook + tables broadcast once (``ray.put``),
+    map-only scan emitting each batch's sub-k'th-distance rows (a
+    THRESHOLD cut, not a count cut — integer ADC distances tie often,
+    and dropping a tied candidate locally would corrupt the global
+    deterministic rank), tiny global merge on the driver."""
+    import ray
+    import ray.data
+
+    B = pq_codebook(sf_dir)                      # (m, k, sub) int64
+    n_sub, _, sub = B.shape
+    queries = load_queries(sf_dir, n_queries)
+    qids = np.asarray(sorted(queries), dtype=np.int64)
+    Qq = _quantize(np.stack([queries[int(i)] for i in qids]))
+    DT = np.zeros((len(qids), n_sub, B.shape[1]), dtype=np.int64)
+    for s in range(n_sub):
+        qs = Qq[:, s * sub:(s + 1) * sub]
+        DT[:, s, :] = ((qs[:, None, :] - B[s][None, :, :]) ** 2).sum(-1)
+    ref = ray.put((qids, B, DT))
+
+    def scan(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
+        qids_, Bk, DTk = ray.get(_r)
+        ns, sb = Bk.shape[0], Bk.shape[2]
+        Q = _quantize(_to_matrix(df["embedding"]))
+        codes = np.empty((len(df), ns), dtype=np.int64)
+        for s in range(ns):
+            d2 = ((Q[:, None, s * sb:(s + 1) * sb]
+                   - Bk[s][None, :, :]) ** 2).sum(-1)
+            codes[:, s] = d2.argmin(axis=1)
+        vec_ids = df["vec_id"].to_numpy(np.int64)
+        out = {"query_id": [], "vec_id": [], "adc_d2": []}
+        for qi, qid in enumerate(qids_):
+            d = np.zeros(len(df), dtype=np.int64)
+            for s in range(ns):
+                d += DTk[qi, s, codes[:, s]]
+            mask = vec_ids != qid
+            dm = d[mask]
+            if dm.shape[0] > k:
+                thr = np.partition(dm, k - 1)[k - 1]
+                mask &= d <= thr
+            for i in np.nonzero(mask)[0]:
+                out["query_id"].append(int(qid))
+                out["vec_id"].append(int(vec_ids[i]))
+                out["adc_d2"].append(int(d[i]))
+        return pd.DataFrame(out)
+
+    df = _read_emb(sf_dir).map_batches(
+        scan, batch_format="pandas").to_pandas()
+    df = df.sort_values(["query_id", "adc_d2", "vec_id"])
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k]
+    out = df.rename(columns={"vec_id": "neighbor_id"})[
+        ["query_id", "neighbor_id", "adc_d2", "rank"]] \
+        .astype("int64").reset_index(drop=True)
+    return ray.data.from_pandas(out)
+
+
+def adc_oracle_sql(pqc: str, k: int = 10, n_queries: int = 5,
+                   dim: int = 64) -> str:
+    """DuckDB replay: code assignment (the emb_pq_codes CTEs) + ADC as
+    a join of corpus codes against the QUERY rows' per-code distances
+    (dist already holds every (vec_id, m, code) d2, so the query
+    distance table IS dist restricted to vec_id < n_queries)."""
+    return (
+        "WITH qv AS (SELECT vec_id, CAST(i AS INT) AS dim, "
+        f"CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) * "
+        f"{QSCALE}) AS BIGINT) AS q "
+        f"FROM embeddings, UNNEST(range({dim})) AS d(i)), "
+        f"cb AS (SELECT * FROM read_parquet('{pqc}')), "
+        "dist AS (SELECT qv.vec_id, cb.m, cb.code, "
+        "SUM((qv.q - cb.c) * (qv.q - cb.c))::BIGINT AS d2 "
+        "FROM qv JOIN cb ON cb.dim = qv.dim "
+        "GROUP BY qv.vec_id, cb.m, cb.code), "
+        "best AS (SELECT vec_id, m, code, row_number() OVER "
+        "(PARTITION BY vec_id, m ORDER BY d2, code) AS rn FROM dist), "
+        "codes AS (SELECT vec_id, m, code FROM best WHERE rn = 1), "
+        "adc AS (SELECT dq.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        "SUM(dq.d2)::BIGINT AS adc_d2 FROM codes c "
+        "JOIN dist dq ON dq.m = c.m AND dq.code = c.code "
+        f"AND dq.vec_id < {n_queries} "
+        "WHERE c.vec_id <> dq.vec_id GROUP BY 1, 2), "
+        "r AS (SELECT query_id, neighbor_id, adc_d2, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rank "
+        "FROM adc) "
+        "SELECT query_id, neighbor_id, adc_d2, rank FROM r "
+        f"WHERE rank <= {k}")

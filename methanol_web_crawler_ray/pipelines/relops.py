@@ -446,3 +446,49 @@ def funnel_oracle_sql() -> str:
         "WHEN b.user_id IS NOT NULL THEN 2 ELSE 1 END)::BIGINT "
         "AS funnel_stage FROM a "
         "LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)")
+
+
+def events_retention(sf_dir: str):
+    """(cohort_day, offset_days, n_users): the cohort retention matrix —
+    users grouped by their first-activity day (epoch days, integer),
+    counted once per (cohort, days-since-first) cell.  The standard
+    product-analytics D1/D7/D30 retention aggregation.
+
+    Scale shape: ONE user-keyed shuffle (``groupby(user_id).map_groups``
+    emitting each user's distinct (cohort_day, offset_days) cells,
+    vectorized) then a cell-keyed groupby-count — cells are bounded by
+    days², never user- or event-sized on the driver."""
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        days = df["ts"].to_numpy("datetime64[D]").astype(np.int64)
+        cohort = days.min()
+        offs = np.unique(days - cohort)
+        return pd.DataFrame({
+            "cohort_day": np.full(offs.shape[0], cohort, dtype=np.int64),
+            "offset_days": offs,
+            "one": np.ones(offs.shape[0], dtype=np.int64)})
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    agg = ds.groupby("user_id").map_groups(cells, batch_format="pandas") \
+        .groupby(["cohort_day", "offset_days"]).sum("one")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cohort_day": df["cohort_day"].astype("int64"),
+            "offset_days": df["offset_days"].astype("int64"),
+            "n_users": df["sum(one)"].astype("int64")})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+def retention_oracle_sql() -> str:
+    """DuckDB replay: first day per user, distinct day offsets, epoch
+    days as integers."""
+    return (
+        "WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS c0 "
+        "FROM events GROUP BY user_id), "
+        "e AS (SELECT DISTINCT ev.user_id, "
+        "(f.c0 - DATE '1970-01-01')::BIGINT AS cohort_day, "
+        "(CAST(ev.ts AS DATE) - f.c0)::BIGINT AS offset_days "
+        "FROM events ev JOIN f USING (user_id)) "
+        "SELECT cohort_day, offset_days, count(*)::BIGINT AS n_users "
+        "FROM e GROUP BY cohort_day, offset_days")

@@ -3204,3 +3204,83 @@ def vocab_growth_oracle_sql() -> str:
         "SELECT bucket::BIGINT AS bucket, new_tokens, "
         "(sum(new_tokens) OVER (ORDER BY bucket))::BIGINT "
         "AS vocab_size FROM h")
+
+
+# ---------------------------------------------------------------------------
+# duplicated-n-gram fraction (RefinedWeb / MassiveText quality signal)
+
+
+def dup_ngrams(sf_dir: str):
+    """(doc_id, n_ngrams, n_dup, dup_permille): for every document, how
+    many of its DISTINCT word-bigrams also occur in at least one OTHER
+    document — the "fraction of duplicated n-grams" repetition/boiler-
+    plate signal MassiveText (Rae et al. '21) and RefinedWeb (Penedo
+    et al. '23) filter on.  Keys are the shared md5-31-bit positional
+    bigram family (collisions conflate identically on both sides).
+
+    Scale shape — fully distributed, UNLIKE lm_coverage's capped
+    broadcast model (df>=2 keys are corpus-sized, so no broadcast is
+    possible): (key, doc_id) distinct pairs → ``groupby(key)`` emits
+    each member back with its group's dup flag → ``groupby(doc_id)``
+    sums.  Two key-width shuffles, nothing driver-resident."""
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids, xs = [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            u = np.unique(_bigram_keys(text))
+            if u.shape[0]:
+                xs.append(u)
+                ids.append(np.full(u.shape[0], int(doc_id),
+                                   dtype=np.int64))
+        if not ids:
+            return pd.DataFrame({"x": pd.Series([], dtype="int64"),
+                                 "doc_id": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"x": np.concatenate(xs),
+                             "doc_id": np.concatenate(ids)})
+
+    p = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        pairs, batch_format="pandas")
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        dup = np.int64(1 if len(g) >= 2 else 0)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "nd": np.full(len(g), dup, dtype=np.int64),
+            "n1": np.ones(len(g), dtype=np.int64)})
+
+    agg = p.groupby("x").map_groups(per_key, batch_format="pandas") \
+        .groupby("doc_id").sum(["nd", "n1"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        nd, n1 = t.column("sum(nd)"), t.column("sum(n1)")
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_ngrams": n1, "n_dup": nd,
+            # int64/int64 divide truncates; values non-negative so it
+            # equals the oracle's floor //
+            "dup_permille": pc.divide(pc.multiply(nd, 1000), n1)})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def dup_ngrams_oracle_sql() -> str:
+    """DuckDB replay: shared bigram-key CTE, distinct (doc, key) pairs,
+    df over distinct docs, per-doc dup tally."""
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '\\S+') AS toks "
+        "FROM documents), "
+        "g0 AS (SELECT doc_id, CASE WHEN len(toks) >= 2 THEN "
+        "list_transform(range(1, len(toks)), i -> "
+        "toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]) "
+        "WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] "
+        "ELSE [] END AS grams FROM t), "
+        "gx AS (SELECT doc_id, CAST(md5_number_lower(g) & "
+        "2147483647::UBIGINT AS BIGINT) AS x "
+        "FROM g0, UNNEST(grams) AS u(g)), "
+        "p AS (SELECT DISTINCT doc_id, x FROM gx), "
+        "dfq AS (SELECT x, count(*)::BIGINT AS df FROM p GROUP BY x), "
+        "per AS (SELECT p.doc_id, count(*)::BIGINT AS n_ngrams, "
+        "(count(*) FILTER (WHERE dfq.df >= 2))::BIGINT AS n_dup "
+        "FROM p JOIN dfq USING (x) GROUP BY p.doc_id) "
+        "SELECT doc_id, n_ngrams, n_dup, "
+        "((n_dup * 1000) // n_ngrams)::BIGINT AS dup_permille FROM per")

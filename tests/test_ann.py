@@ -176,3 +176,66 @@ def test_emb_semdedup_planted(ray_session, sf_dir):
     assert same
     for src, dup in same:
         assert dup in got and got[dup][1] <= src
+
+
+def test_pq_codes_vs_bruteforce(ray_session):
+    """PQ assignment equals a direct integer argmin against the same
+    codebook; qerr is the sum of per-subspace minima."""
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    out = ann.emb_pq_codes(sf).to_pandas().set_index("vec_id").sort_index()
+
+    B = ann.pq_codebook(sf)
+    n_sub, _, sub = B.shape
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    M = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in t.column("embedding").to_pylist()])
+    Q = ann._quantize(M)
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    for s in range(n_sub):
+        d2 = ((Q[:, None, s * sub:(s + 1) * sub]
+               - B[s][None, :, :]) ** 2).sum(-1)
+        code = d2.argmin(axis=1)
+        assert (out.loc[ids, f"code{s}"].to_numpy() == code).all()
+    # codes actually spread across the codebook
+    assert out["code0"].nunique() > 1
+    assert (out["qerr"] > 0).all()
+
+
+def test_adc_vs_bruteforce(ray_session):
+    """ADC top-k equals a direct numpy replay (codes + distance tables,
+    global (adc_d2, vec_id) order), and overlaps the exact top-k."""
+    sf = "/root/testdata/sf0.001"
+    got = [(int(r["query_id"]), int(r["neighbor_id"]),
+            int(r["adc_d2"]), int(r["rank"]))
+           for r in ann.ann_topk_adc(sf).take_all()]
+
+    B = ann.pq_codebook(sf)
+    n_sub, _, sub = B.shape
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    M = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in t.column("embedding").to_pylist()])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    Q = ann._quantize(M)
+    codes = np.empty((len(ids), n_sub), dtype=np.int64)
+    for s in range(n_sub):
+        d2 = ((Q[:, None, s * sub:(s + 1) * sub]
+               - B[s][None, :, :]) ** 2).sum(-1)
+        codes[:, s] = d2.argmin(axis=1)
+    queries = ann.load_queries(sf)
+    want = []
+    for qid in sorted(queries):
+        Qv = ann._quantize(queries[qid][None, :])[0]
+        d = np.zeros(len(ids), dtype=np.int64)
+        for s in range(n_sub):
+            dt = ((Qv[s * sub:(s + 1) * sub][None, :]
+                   - B[s]) ** 2).sum(-1)
+            d += dt[codes[:, s]]
+        order = sorted((int(dd), int(v)) for dd, v in zip(d, ids)
+                       if int(v) != qid)
+        for rank, (dd, v) in enumerate(order[:10], 1):
+            want.append((int(qid), v, dd, rank))
+    assert sorted(got) == sorted(want) and len(got) == 50

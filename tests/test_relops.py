@@ -114,3 +114,24 @@ def test_events_funnel_vs_bruteforce(ray_session):
     assert set(got.values()) <= {1, 2, 3}
     # the full funnel is reachable on the fixture
     assert 3 in got.values()
+
+
+def test_events_retention_vs_bruteforce(ray_session):
+    """Cohort cells equal a direct per-user day scan."""
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    got = {(int(r["cohort_day"]), int(r["offset_days"])): int(r["n_users"])
+           for r in relops.events_retention(sf).take_all()}
+
+    df = pq.read_table(f"{sf}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    want = {}
+    for _, g in df.groupby("user_id"):
+        days = g["ts"].to_numpy("datetime64[D]").astype("int64")
+        c0 = days.min()
+        for off in set((days - c0).tolist()):
+            want[(int(c0), int(off))] = want.get((int(c0), int(off)), 0) + 1
+    assert got == want and got
+    # day-0 cell exists for every cohort
+    assert all((c, 0) in got for c, _ in got)

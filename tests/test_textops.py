@@ -1132,3 +1132,30 @@ def test_vocab_growth_vs_bruteforce(ray_session):
         exp.append((b, hist[b], cum))
     assert got == exp and got
     assert got[-1][2] == len(first)  # total vocabulary
+
+
+def test_dup_ngrams_vs_bruteforce(ray_session):
+    """Per-doc duplicated-bigram tallies equal a direct df count."""
+    sf = "/root/testdata/sf0.001"
+    out = textops.dup_ngrams(sf).to_pandas().set_index("doc_id")
+
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text"])
+    per_doc = {}
+    df_count = {}
+    for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+        keys = set(np.unique(textops._bigram_keys(text)).tolist())
+        per_doc[int(doc_id)] = keys
+        for k in keys:
+            df_count[k] = df_count.get(k, 0) + 1
+    for doc_id, keys in per_doc.items():
+        if not keys:
+            assert doc_id not in out.index
+            continue
+        nd = sum(1 for k in keys if df_count[k] >= 2)
+        row = out.loc[doc_id]
+        assert int(row["n_ngrams"]) == len(keys)
+        assert int(row["n_dup"]) == nd
+        assert int(row["dup_permille"]) == (nd * 1000) // len(keys)
+    assert out["n_dup"].sum() > 0  # corpus has shared bigrams
