@@ -411,6 +411,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_retention": relops.events_retention,
         # PQ asymmetric-distance top-k (FAISS ADC search path)
         "ann_topk_adc": ann.ann_topk_adc,
+        # HITS hubs/authorities (Kleinberg mutual reinforcement)
+        "graph_hits": graph.link_hits,
+        # temperature-resampled language mixing weights (T=2)
+        "doc_lang_weights": textops.lang_weights,
+        # BPE tokenizer merge learning (Sennrich et al. '16)
+        "doc_bpe_merges": textops.bpe_merges,
     }
 
 
@@ -1335,4 +1341,10 @@ def oracle_sql() -> dict[str, str]:
         "rel_events_retention": relops.retention_oracle_sql(),
         # ADC: code assignment CTEs + query-row distance-table join
         "ann_topk_adc": ann.adc_oracle_sql(pqc),
+        # HITS: two unrolled mutual-reinforcement half-round CTE stages
+        "graph_hits": graph.hits_oracle_sql(pdir),
+        # temperature language mix: grouped count + corrected isqrt
+        "doc_lang_weights": textops.lang_weights_oracle_sql(),
+        # BPE merges: per-round best-pair LIMIT 1 + bracketed replace
+        "doc_bpe_merges": textops.bpe_merges_oracle_sql(),
     }

@@ -672,3 +672,164 @@ def triangles_oracle_sql(pdir: str) -> str:
             "SELECT count(*)::BIGINT AS n_triangles FROM u e1 "
             "JOIN u e2 ON e2.a = e1.a AND e2.b > e1.b "
             "JOIN u e3 ON e3.a = e1.b AND e3.b = e2.b")
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities (Kleinberg '99) — the directory/resource-page
+# signal: a good HUB links to many good authorities, a good AUTHORITY is
+# linked from many good hubs.  Web curation uses the authority side as a
+# seed-quality score and the hub side to find link directories/spam.
+
+HITS_ITERS = 2
+
+
+def link_hits(sf_dir: str, iters: int = HITS_ITERS):
+    """(url, hub, auth): ``iters`` mutual-reinforcement rounds over the
+    closed distinct link graph, UNNORMALIZED in exact integers so the
+    DuckDB oracle replays bit-for-bit (hub_0 = 1 for every node;
+    auth_t(n) = Σ_{src→n} hub_{t-1}(src); hub_t(n) = Σ_{n→dst}
+    auth_t(dst)).  Unnormalized values grow like (mean degree)^{2t} —
+    bounded in int64 for small fixed ``iters``; at production scale you
+    renormalize per round by a power-of-two shift (one scalar fold),
+    which keeps the integer-exactness story intact.
+
+    Scale shape — the same dual-path contract as PageRank: ≤gate the
+    per-round inflow folds to a driver dict; >gate hub/auth stay
+    DATASETS and each half-round is one co-partitioned edges⋈values
+    hash join + one groupby-sum (two BSP exchanges per round), nothing
+    node-sized on the driver."""
+    from ._util import materialize_clean
+
+    edges = materialize_clean(_edges_ds(sf_dir), EDGE_SCHEMA)
+    n_edges = edges.count()
+    if n_edges <= GRAPH_DRIVER_GATE:
+        return _hits_small(edges, n_edges, iters)
+    return _hits_large(edges, n_edges, iters)
+
+
+def _hits_small(edges, n_edges: int, iters: int):
+    """≤gate: driver-folded hub/auth dicts re-broadcast per half-round
+    (single live ray.put copy, same discipline as _pagerank_small)."""
+    import ray
+    import ray.data
+
+    def ones(col):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({col: df[col],
+                                 "c": np.ones(len(df), dtype=np.int64)})
+        return f
+
+    srcs = _fold_agg(
+        edges.map_batches(ones("src"), batch_format="pandas"),
+        "src", "c", "sum", n_edges)
+    dsts = _fold_agg(
+        edges.map_batches(ones("dst"), batch_format="pandas"),
+        "dst", "c", "sum", n_edges)
+    nodes = sorted(set(srcs) | set(dsts))
+    hub = {n: 1 for n in nodes}
+    auth = {n: 0 for n in nodes}
+
+    def sweep(vals: dict, from_col: str, to_col: str) -> dict:
+        ref = ray.put(vals)
+
+        def contrib(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
+            v = ray.get(_r)
+            return pd.DataFrame({
+                "n": df[to_col],
+                "c": df[from_col].map(v).astype("int64")})
+
+        inc = _fold_agg(
+            edges.map_batches(contrib, batch_format="pandas"),
+            "n", "c", "sum", n_edges)
+        del ref  # single live broadcast copy
+        return {n: int(inc.get(n, 0)) for n in nodes}
+
+    for _ in range(iters):
+        auth = sweep(hub, "src", "dst")
+        hub = sweep(auth, "dst", "src")
+
+    return ray.data.from_arrow(pa.table({
+        "url": pa.array(nodes, pa.string()),
+        "hub": pa.array([hub[n] for n in nodes], pa.int64()),
+        "auth": pa.array([auth[n] for n in nodes], pa.int64()),
+    }))
+
+
+def _hits_large(edges, n_edges: int, iters: int):
+    """>gate: hub/auth stay Datasets; each half-round is
+    edges⋈values (hash join on the contributing endpoint) →
+    groupby(other endpoint).sum → nodes⟕inflow (missing → 0)."""
+    import pyarrow.compute as pc
+
+    from ._util import ensure_schema, materialize_clean, rename
+
+    npart = _num_partitions(n_edges)
+    nodes = materialize_clean(_nodes_ds(edges),
+                              pa.schema([("url", pa.string())]))
+    val_schema = pa.schema([("url", pa.string()), ("v", pa.int64())])
+
+    def init_fn(t: pa.Table) -> pa.Table:
+        return pa.table({"url": t.column("url"),
+                         "v": pa.array([1] * len(t), pa.int64())})
+
+    hub = materialize_clean(
+        nodes.map_batches(init_fn, batch_format="pyarrow"), val_schema)
+    auth = hub
+
+    def sweep(vals, from_col: str, to_col: str):
+        def emit_fn(t: pa.Table) -> pa.Table:
+            return pa.table({"n": t.column(to_col), "c": t.column("v")})
+
+        def fill_fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "url": t.column("url"),
+                "v": pc.cast(pc.fill_null(t.column("sum(c)"), 0),
+                             pa.int64())})
+
+        inflow_schema = pa.schema([("n", pa.string()),
+                                   ("sum(c)", pa.int64())])
+        inflow = materialize_clean(
+            ensure_schema(
+                edges.join(vals, "inner", npart,
+                           on=(from_col,), right_on=("url",))
+                .map_batches(emit_fn, batch_format="pyarrow")
+                .groupby("n").sum("c"),
+                inflow_schema),
+            inflow_schema)
+        return materialize_clean(
+            nodes.join(inflow, "left_outer", npart,
+                       on=("url",), right_on=("n",))
+            .map_batches(fill_fn, batch_format="pyarrow"),
+            val_schema)
+
+    for _ in range(iters):
+        auth = sweep(hub, "src", "dst")
+        hub = sweep(auth, "dst", "src")
+
+    out = rename(hub, {"v": "hub"}).join(
+        rename(auth, {"v": "auth"}), "inner", npart, on=("url",))
+    return ensure_schema(
+        out.select_columns(["url", "hub", "auth"]),
+        pa.schema([("url", pa.string()), ("hub", pa.int64()),
+                   ("auth", pa.int64())]))
+
+
+def hits_oracle_sql(pdir: str, iters: int = HITS_ITERS) -> str:
+    """DuckDB replay: same closed edges, the two half-round aggregations
+    unrolled as CTE stages."""
+    cte = [_EDGE_CTE.format(pdir=pdir) + ", ",
+           "nodes AS (SELECT DISTINCT u FROM "
+           "(SELECT src AS u FROM e UNION ALL SELECT dst AS u FROM e)), ",
+           "h0 AS (SELECT u, 1::BIGINT AS v FROM nodes), "]
+    for i in range(1, iters + 1):
+        cte.append(
+            f"a{i} AS (SELECT n.u, COALESCE(SUM(h.v), 0)::BIGINT AS v "
+            "FROM nodes n LEFT JOIN e ON e.dst = n.u "
+            f"LEFT JOIN h{i - 1} h ON h.u = e.src GROUP BY n.u), ")
+        cte.append(
+            f"h{i} AS (SELECT n.u, COALESCE(SUM(a.v), 0)::BIGINT AS v "
+            "FROM nodes n LEFT JOIN e ON e.src = n.u "
+            f"LEFT JOIN a{i} a ON a.u = e.dst GROUP BY n.u), ")
+    return ("".join(cte)[:-2] + " "
+            f"SELECT h.u AS url, h.v AS hub, a.v AS auth "
+            f"FROM h{iters} h JOIN a{iters} a ON a.u = h.u")

@@ -3284,3 +3284,273 @@ def dup_ngrams_oracle_sql() -> str:
         "FROM p JOIN dfq USING (x) GROUP BY p.doc_id) "
         "SELECT doc_id, n_ngrams, n_dup, "
         "((n_dup * 1000) // n_ngrams)::BIGINT AS dup_permille FROM per")
+
+
+# ---------------------------------------------------------------------------
+# temperature-resampled language mixing weights (multilingual balancing)
+
+LW_T_SQ_SCALE = 1_000_000  # n · 10^6 under the isqrt → 1000·sqrt(n) floored
+
+
+def lang_weights(sf_dir: str):
+    """(lang, n_docs, weight_permille, n_sampled): temperature-resampled
+    language mixing weights at T = 2 — the standard multilingual
+    balancing step (mBERT / XLM-R exponent-smoothed sampling, Conneau &
+    Lample '19 §3.1; UniMax is the budget-capped cousin): sampling
+    weight ∝ n_l^(1/T), which up-weights tail languages relative to raw
+    frequency.  Everything is decided in exact integers so the DuckDB
+    oracle replays bit-for-bit: s_l = isqrt(n_l · 10^6) (= ⌊1000·√n_l⌋
+    exactly), weight_permille = (1000 · s_l) // Σ s_l, and the resampled
+    per-language document budget n_sampled = (N · weight_permille) //
+    1000 for a same-size corpus.
+
+    Scale shape: ONE grouped count keyed by lang (bounded domain — the
+    language cardinality, not the corpus) and a langs-sized driver
+    fold; map-only otherwise.  The downstream resample itself is
+    textops.sample_stratified's deterministic hash-permille selector
+    fed with these weights."""
+    import math
+
+    cnt = collect_df(lang_counts(sf_dir)).sort_values("lang") \
+        .reset_index(drop=True)
+    n_total = int(cnt["n_docs"].sum())
+    s = np.array([math.isqrt(int(n) * LW_T_SQ_SCALE)
+                  for n in cnt["n_docs"]], dtype=np.int64)
+    s_sum = int(s.sum())
+    w = (1000 * s) // max(s_sum, 1)
+    return pd.DataFrame({
+        "lang": cnt["lang"].astype("object"),
+        "n_docs": cnt["n_docs"].astype("int64"),
+        "weight_permille": pd.Series(w, dtype="int64"),
+        "n_sampled": pd.Series((n_total * w) // 1000, dtype="int64"),
+    })
+
+
+def lang_weights_oracle_sql() -> str:
+    """DuckDB replay: grouped count + exact integer sqrt (float sqrt
+    floored, then ±1-corrected against the integer square — exact for
+    arguments < 2^52, and n_l · 10^6 stays far below that)."""
+    return (
+        "WITH t AS (SELECT lang, count(*)::BIGINT AS n FROM documents "
+        "GROUP BY lang), "
+        f"r AS (SELECT lang, n, n * {LW_T_SQ_SCALE} AS x, "
+        f"CAST(floor(sqrt((n * {LW_T_SQ_SCALE})::DOUBLE)) AS BIGINT) "
+        "AS s0 FROM t), "
+        "s AS (SELECT lang, n, s0 "
+        "+ (CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN 1 ELSE 0 END) "
+        "- (CASE WHEN s0 * s0 > x THEN 1 ELSE 0 END) AS s FROM r), "
+        "w AS (SELECT lang, n, (1000 * s) // "
+        "greatest((SELECT sum(s) FROM s), 1) AS w FROM s) "
+        "SELECT lang, n AS n_docs, w::BIGINT AS weight_permille, "
+        "(((SELECT sum(n) FROM t) * w) // 1000)::BIGINT AS n_sampled "
+        "FROM w")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer merge learning (Sennrich et al. '16) — training the
+# tokenizer ON the corpus is itself a corpus-scale pipeline stage.
+
+BPE_MERGES = 6
+BPE_VOCAB_GATE = 2_000_000  # distinct words; below: driver merge loop
+_BPE_L, _BPE_R = "\x01", "\x02"  # token brackets (unambiguous replace)
+
+
+def _bpe_toks(seq: str) -> list:
+    """Bracketed seq → token list ('\\x01tok\\x02' segments)."""
+    return [s[:-1] for s in seq.split(_BPE_L)[1:]]
+
+
+def bpe_merges(sf_dir: str, n_merges: int = BPE_MERGES,
+               vocab_gate: int = BPE_VOCAB_GATE):
+    """(merge_idx, lhs, rhs, pair_count): the first ``n_merges`` BPE
+    merge rules learned from the corpus — per round, the adjacent
+    symbol pair with the highest frequency-weighted occurrence count
+    (ties → lexicographically smallest (lhs, rhs)), then applied
+    left-to-right non-overlapping to every word before the next round
+    (Sennrich et al. '16 §3.2).  Words start as character sequences;
+    counts weight each word by its corpus frequency.
+
+    Every sequence is stored BRACKETED (each symbol wrapped in
+    \\x01…\\x02) so merge application is a plain non-overlapping string
+    replace with identical semantics in Python and DuckDB — bracket
+    pairing makes spurious cross-symbol matches impossible, and words
+    containing the bracket bytes are excluded on both sides.
+
+    Scale shape — the Sennrich word-frequency compression: ONE
+    corpus-wide (word, freq) shuffle builds the working vocabulary and
+    the corpus is never re-read; all rounds run over the vocab table
+    (sub-linear in corpus size by Heaps' law).  ≤``vocab_gate`` words
+    the merge loop folds the vocab once onto the driver (what
+    SentencePiece/HF trainers do on a word-count table); above it the
+    vocab stays a DATASET — per round one in-batch pair-count partial +
+    ``groupby(x, y).sum`` + per-block top-1 (the driver sees only
+    n_blocks candidate rows) and a map-only re-bracketing replace.
+    Stops early if no adjacent pairs remain (the oracle's empty-best
+    CTE cascades identically)."""
+    from collections import Counter
+
+    docs = _read_docs(sf_dir, columns=["text"])
+
+    def wf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for text in df["text"]:
+            c.update(_TOKEN_RE.findall(text.lower()))
+        words = [w for w in c
+                 if _BPE_L not in w and _BPE_R not in w]
+        return pd.DataFrame({
+            "word": pd.Series(words, dtype="object"),
+            "freq": pd.Series([c[w] for w in words], dtype="int64")})
+
+    vocab = docs.map_batches(wf_partial, batch_format="pandas") \
+        .groupby("word").sum("freq")
+    n_vocab = vocab.count()
+
+    if n_vocab <= vocab_gate:
+        vdf = collect_df(vocab)
+        return _bpe_driver_loop(
+            [ "".join(_BPE_L + ch + _BPE_R for ch in w)
+              for w in vdf["word"] ],
+            vdf["sum(freq)"].astype("int64").tolist(), n_merges)
+    return _bpe_distributed_loop(vocab, n_merges)
+
+
+def _bpe_driver_loop(seqs: list, freqs: list, n_merges: int):
+    from collections import Counter
+
+    toks = [_bpe_toks(s) for s in seqs]
+    rows = []
+    for idx in range(1, n_merges + 1):
+        c: Counter = Counter()
+        for t, f in zip(toks, freqs):
+            for a, b in zip(t, t[1:]):
+                c[(a, b)] += f
+        if not c:
+            break
+        (x, y), n = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows.append((idx, x, y, n))
+        toks = [_bpe_apply(t, x, y) for t in toks]
+    return _bpe_rows_df(rows)
+
+
+def _bpe_apply(t: list, x: str, y: str) -> list:
+    """One merge, left-to-right non-overlapping (== bracketed replace)."""
+    out, i, n = [], 0, len(t)
+    while i < n:
+        if i + 1 < n and t[i] == x and t[i + 1] == y:
+            out.append(x + y)
+            i += 2
+        else:
+            out.append(t[i])
+            i += 1
+    return out
+
+
+def _bpe_rows_df(rows: list) -> pd.DataFrame:
+    return pd.DataFrame({
+        "merge_idx": pd.Series([r[0] for r in rows], dtype="int64"),
+        "lhs": pd.Series([r[1] for r in rows], dtype="object"),
+        "rhs": pd.Series([r[2] for r in rows], dtype="object"),
+        "pair_count": pd.Series([r[3] for r in rows], dtype="int64"),
+    })
+
+
+def _bpe_distributed_loop(vocab, n_merges: int):
+    """>gate: vocab stays a Dataset of (seq, freq); per round one
+    pair-count shuffle + per-block exact top-1 (global groupby first, so
+    block top-1s are true candidates), driver picks among n_blocks."""
+    from collections import Counter
+
+    def to_seq(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "seq": pd.Series(
+                ["".join(_BPE_L + ch + _BPE_R for ch in w)
+                 for w in df["word"]], dtype="object"),
+            "freq": df["sum(freq)"].astype("int64")})
+
+    cur = vocab.map_batches(to_seq, batch_format="pandas").materialize()
+
+    pair_schema = pa.schema([("x", pa.string()), ("y", pa.string()),
+                             ("c", pa.int64())])
+
+    def pair_partial(df: pd.DataFrame) -> pa.Table:
+        c: Counter = Counter()
+        for seq, f in zip(df["seq"], df["freq"]):
+            t = _bpe_toks(seq)
+            for a, b in zip(t, t[1:]):
+                c[(a, b)] += int(f)
+        ks = list(c)
+        return pa.table({"x": pa.array([k[0] for k in ks], pa.string()),
+                         "y": pa.array([k[1] for k in ks], pa.string()),
+                         "c": pa.array([c[k] for k in ks], pa.int64())},
+                        schema=pair_schema)
+
+    def top1(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(
+            by=["c", "x", "y"], ascending=[False, True, True]).head(1)
+        return pa.table({"x": pa.array(df["x"], pa.string()),
+                         "y": pa.array(df["y"], pa.string()),
+                         "c": pa.array(df["c"], pa.int64())},
+                        schema=pair_schema)
+
+    rows = []
+    for idx in range(1, n_merges + 1):
+        agg = cur.map_batches(pair_partial, batch_format="pandas") \
+            .groupby(["x", "y"]).sum("c")
+        cand = collect_df(
+            agg.map_batches(
+                lambda df: top1(df.rename(columns={"sum(c)": "c"})),
+                batch_format="pandas"))
+        if not len(cand):
+            break
+        best = cand.sort_values(
+            by=["c", "x", "y"], ascending=[False, True, True]).iloc[0]
+        x, y, n = str(best["x"]), str(best["y"]), int(best["c"])
+        rows.append((idx, x, y, n))
+        pat = _BPE_L + x + _BPE_R + _BPE_L + y + _BPE_R
+        rep = _BPE_L + x + y + _BPE_R
+
+        def apply_fn(df: pd.DataFrame, _p=pat, _r=rep) -> pd.DataFrame:
+            return pd.DataFrame({
+                "seq": df["seq"].str.replace(_p, _r, regex=False),
+                "freq": df["freq"]})
+
+        cur = cur.map_batches(apply_fn, batch_format="pandas") \
+            .materialize()
+    return _bpe_rows_df(rows)
+
+
+def bpe_merges_oracle_sql(n_merges: int = BPE_MERGES) -> str:
+    """DuckDB replay: word frequencies → bracketed char sequences, each
+    round's best pair as an ORDER BY … LIMIT 1 CTE and the merge applied
+    with the same non-overlapping replace().  An empty round cascades to
+    empty subsequent rounds exactly like the engine's early stop."""
+    tokpat = "chr(1) || '([^' || chr(2) || ']*)' || chr(2)"
+    cte = [
+        "WITH wf AS (SELECT w AS word, count(*)::BIGINT AS freq FROM "
+        "(SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS w "
+        "FROM documents) WHERE w NOT LIKE '%' || chr(1) || '%' "
+        "AND w NOT LIKE '%' || chr(2) || '%' GROUP BY w), ",
+        "s0 AS (SELECT word, freq, array_to_string("
+        "[chr(1) || c || chr(2) for c in regexp_extract_all(word, '.')],"
+        " '') AS seq FROM wf), ",
+    ]
+    for i in range(1, n_merges + 1):
+        cte.append(
+            f"t{i} AS (SELECT freq, "
+            f"regexp_extract_all(seq, {tokpat}, 1) AS toks "
+            f"FROM s{i - 1}), ")
+        cte.append(
+            f"b{i} AS (SELECT toks[j] AS x, toks[j + 1] AS y, "
+            "SUM(freq)::BIGINT AS c "
+            f"FROM t{i}, UNNEST(generate_series(1, len(toks) - 1)) "
+            "AS u(j) GROUP BY 1, 2 ORDER BY c DESC, x, y LIMIT 1), ")
+        cte.append(
+            f"s{i} AS (SELECT word, freq, replace(seq, "
+            "chr(1) || b.x || chr(2) || chr(1) || b.y || chr(2), "
+            "chr(1) || b.x || b.y || chr(2)) AS seq "
+            f"FROM s{i - 1}, b{i} b), ")
+    unions = " UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS merge_idx, x AS lhs, y AS rhs, "
+        f"c AS pair_count FROM b{i}" for i in range(1, n_merges + 1))
+    return ("".join(cte)[:-2] +
+            f" SELECT * FROM ({unions}) ORDER BY merge_idx")

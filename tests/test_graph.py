@@ -139,3 +139,43 @@ def test_triangles_vs_bruteforce(ray_session, sf_dir):
     for a, b in und:
         n += len({x for x in adj[a] & adj[b] if x > b})
     assert got == n and got > 0
+
+
+def test_hits_vs_bruteforce(ray_session, sf_dir):
+    """Unnormalized integer HITS matches a direct replay over the same
+    closed distinct edge set, on both size-gated paths."""
+    out = {r["url"]: (r["hub"], r["auth"])
+           for r in graph.link_hits(sf_dir).take_all()}
+    edges = [(r["src"], r["dst"])
+             for r in graph._edges_ds(sf_dir).take_all()]
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    hub = {n: 1 for n in nodes}
+    auth = {n: 0 for n in nodes}
+    for _ in range(graph.HITS_ITERS):
+        auth = {n: 0 for n in nodes}
+        for s, d in edges:
+            auth[d] += hub[s]
+        hub = {n: 0 for n in nodes}
+        for s, d in edges:
+            hub[s] += auth[d]
+    assert out == {n: (hub[n], auth[n]) for n in nodes}
+    # mutual reinforcement concentrated mass: some hub outranks the rest
+    assert max(h for h, _ in out.values()) > min(
+        h for h, _ in out.values())
+
+
+def test_hits_large_path_parity(ray_session, sf_dir, monkeypatch):
+    """Gate forced to 0: the Dataset-native join path must produce the
+    identical integer fixed point with no driver fold."""
+    small = sorted(graph.link_hits(sf_dir).take_all(),
+                   key=lambda r: r["url"])
+
+    def no_fold(*a, **k):
+        raise AssertionError("large path must not fold node state "
+                             "onto the driver")
+
+    monkeypatch.setattr(graph, "GRAPH_DRIVER_GATE", 0)
+    monkeypatch.setattr(graph, "_fold_agg", no_fold)
+    large = sorted(graph.link_hits(sf_dir).take_all(),
+                   key=lambda r: r["url"])
+    assert large == small

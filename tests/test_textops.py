@@ -1159,3 +1159,71 @@ def test_dup_ngrams_vs_bruteforce(ray_session):
         assert int(row["n_dup"]) == nd
         assert int(row["dup_permille"]) == (nd * 1000) // len(keys)
     assert out["n_dup"].sum() > 0  # corpus has shared bigrams
+
+
+def test_lang_weights_sum_and_monotonic(ray_session, sf_dir):
+    """Temperature weights: permille shares near-normalized, sqrt
+    smoothing keeps the ordering of counts but compresses the ratios."""
+    import math
+
+    out = textops.lang_weights(sf_dir).set_index("lang")
+    assert 990 <= out["weight_permille"].sum() <= 1000
+    # exact integer contract: weight = 1000*isqrt(n*1e6) // sum(isqrt)
+    s = {l: math.isqrt(int(n) * textops.LW_T_SQ_SCALE)
+         for l, n in out["n_docs"].items()}
+    tot = sum(s.values())
+    for l in out.index:
+        assert out.loc[l, "weight_permille"] == (1000 * s[l]) // tot
+    # smoothing: the max/min weight ratio is below the raw count ratio
+    n_hi, n_lo = out["n_docs"].max(), out["n_docs"].min()
+    w_hi, w_lo = (out["weight_permille"].max(),
+                  out["weight_permille"].min())
+    assert w_hi / w_lo < n_hi / n_lo
+
+
+def test_bpe_merges_vs_bruteforce(ray_session, sf_dir):
+    """The learned merge table matches a direct in-process BPE replay
+    (word-frequency table, best-pair by (count desc, lhs, rhs),
+    left-to-right non-overlapping application)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()
+    wf = Counter()
+    for t in texts:
+        wf.update(textops._TOKEN_RE.findall(t.lower()))
+    toks = {w: list(w) for w in wf}
+    exp = []
+    for idx in range(1, textops.BPE_MERGES + 1):
+        c = Counter()
+        for w, t in toks.items():
+            for a, b in zip(t, t[1:]):
+                c[(a, b)] += wf[w]
+        if not c:
+            break
+        (x, y), n = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        exp.append((idx, x, y, n))
+        toks = {w: textops._bpe_apply(t, x, y) for w, t in toks.items()}
+
+    got = [tuple(r) for r in
+           textops.bpe_merges(sf_dir).itertuples(index=False)]
+    assert got == exp and len(got) == textops.BPE_MERGES
+
+
+def test_bpe_merges_distributed_path_parity(ray_session, sf_dir):
+    """vocab_gate=0 forces the Dataset-resident loop; identical rules."""
+    a = textops.bpe_merges(sf_dir)
+    b = textops.bpe_merges(sf_dir, vocab_gate=0)
+    assert a.equals(b)
+
+
+def test_bpe_apply_overlap_semantics():
+    """Consecutive repeats merge left-to-right non-overlapping — the
+    exact semantics the bracketed replace (and DuckDB replace) gives."""
+    assert textops._bpe_apply(list("aaa"), "a", "a") == ["aa", "a"]
+    assert textops._bpe_apply(list("aaaa"), "a", "a") == ["aa", "aa"]
+    seq = "".join("\x01" + c + "\x02" for c in "aaa")
+    assert seq.replace("\x01a\x02\x01a\x02", "\x01aa\x02") \
+        == "\x01aa\x02\x01a\x02"
