@@ -417,6 +417,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_weights": textops.lang_weights,
         # BPE tokenizer merge learning (Sennrich et al. '16)
         "doc_bpe_merges": textops.bpe_merges,
+        # learned-merge corpus tokenization + compression signal
+        "doc_bpe_tokenize": textops.bpe_tokenize,
     }
 
 
@@ -1347,4 +1349,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_weights": textops.lang_weights_oracle_sql(),
         # BPE merges: per-round best-pair LIMIT 1 + bracketed replace
         "doc_bpe_merges": textops.bpe_merges_oracle_sql(),
+        # BPE apply: merge cascade to final seqs + docs⟕wtok unnest join
+        "doc_bpe_tokenize": textops.bpe_tokenize_oracle_sql(),
     }

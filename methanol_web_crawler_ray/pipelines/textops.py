@@ -3554,3 +3554,93 @@ def bpe_merges_oracle_sql(n_merges: int = BPE_MERGES) -> str:
         f"c AS pair_count FROM b{i}" for i in range(1, n_merges + 1))
     return ("".join(cte)[:-2] +
             f" SELECT * FROM ({unions}) ORDER BY merge_idx")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer APPLICATION — the learned merge table driven back over
+# the corpus for per-document token accounting (the second half of the
+# train-tokenizer → tokenize-corpus pipeline).
+
+_BPE_TOKC: dict = {}  # per-process (merges-fingerprint, word) -> n_tokens
+
+
+def bpe_tokenize(sf_dir: str, n_merges: int = BPE_MERGES):
+    """(doc_id, n_words, n_chars, n_tokens, tokens_per_kchar): tokenize
+    every document with the merge table ``bpe_merges`` learns from the
+    SAME corpus — per word, apply the merges in learned order
+    (left-to-right non-overlapping, exactly the training semantics) and
+    count resulting tokens; per doc, sum over word occurrences.  Words
+    containing the bracket bytes (excluded from training) fall back to
+    character count.  ``tokens_per_kchar`` = (n_tokens·1000)//n_chars is
+    the integer-exact compression ratio quality signal (a doc the
+    tokenizer compresses poorly is out-of-distribution for the corpus).
+
+    Scale shape: the merge table is O(n_merges) — broadcast by closure —
+    so the tokenize pass is MAP-ONLY; per batch the work is one merge
+    chain per UNIQUE word (memoized per process across batches, the
+    Heaps'-law working set), never per occurrence."""
+    from collections import Counter
+
+    merges = bpe_merges(sf_dir, n_merges)
+    mlist = tuple(zip(merges["lhs"], merges["rhs"]))
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+
+    def ntok(w: str, _m=mlist) -> int:
+        key = (_m, w)
+        n = _BPE_TOKC.get(key)
+        if n is None:
+            if _BPE_L in w or _BPE_R in w:
+                n = len(w)
+            else:
+                t = list(w)
+                for x, y in _m:
+                    t = _bpe_apply(t, x, y)
+                n = len(t)
+            _BPE_TOKC[key] = n
+        return n
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids, nw, nc, nt = [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            c: Counter = Counter(_TOKEN_RE.findall(text.lower()))
+            if not c:
+                continue  # wordless doc: oracle's unnest emits no row
+            ids.append(int(doc_id))
+            nw.append(sum(c.values()))
+            nc.append(sum(len(w) * k for w, k in c.items()))
+            nt.append(sum(ntok(w) * k for w, k in c.items()))
+        nt_a = np.asarray(nt, dtype=np.int64)
+        nc_a = np.asarray(nc, dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "n_words": pd.Series(nw, dtype="int64"),
+            "n_chars": pd.Series(nc_a, dtype="int64"),
+            "n_tokens": pd.Series(nt_a, dtype="int64"),
+            "tokens_per_kchar": pd.Series(
+                (nt_a * 1000) // np.maximum(nc_a, 1), dtype="int64"),
+        })
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def bpe_tokenize_oracle_sql(n_merges: int = BPE_MERGES) -> str:
+    """DuckDB replay: the ``bpe_merges`` CTE cascade to the final
+    per-word seq, token count per word by re-extracting the brackets,
+    then docs→words unnest + LEFT JOIN (bracket-byte words fall back to
+    length(w)) + per-doc sums."""
+    tokpat = "chr(1) || '([^' || chr(2) || ']*)' || chr(2)"
+    learn = bpe_merges_oracle_sql(n_merges)
+    cte = learn[:learn.index(" SELECT * FROM (")]
+    return (
+        cte + ", "
+        f"wtok AS (SELECT word, len(regexp_extract_all(seq, {tokpat})) "
+        f"AS nt FROM s{n_merges}), "
+        "dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+        "'\\S+')) AS w FROM documents), "
+        "per AS (SELECT doc_id, count(*)::BIGINT AS n_words, "
+        "SUM(length(w))::BIGINT AS n_chars, "
+        "SUM(COALESCE(wtok.nt, length(w)))::BIGINT AS n_tokens "
+        "FROM dw LEFT JOIN wtok ON wtok.word = dw.w GROUP BY doc_id) "
+        "SELECT doc_id, n_words, n_chars, n_tokens, "
+        "((n_tokens * 1000) // greatest(n_chars, 1))::BIGINT "
+        "AS tokens_per_kchar FROM per")

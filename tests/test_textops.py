@@ -1227,3 +1227,43 @@ def test_bpe_apply_overlap_semantics():
     seq = "".join("\x01" + c + "\x02" for c in "aaa")
     assert seq.replace("\x01a\x02\x01a\x02", "\x01aa\x02") \
         == "\x01aa\x02\x01a\x02"
+
+
+def test_bpe_tokenize_vs_bruteforce(ray_session, sf_dir):
+    """Per-doc token counts match an in-process replay: learn the merge
+    table once, apply the chain per word, sum per occurrence."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    merges = textops.bpe_merges(sf_dir)
+    mlist = list(zip(merges["lhs"], merges["rhs"]))
+
+    def ntok(w):
+        t = list(w)
+        for x, y in mlist:
+            t = textops._bpe_apply(t, x, y)
+        return len(t)
+
+    out = textops.collect_df(
+        textops.bpe_tokenize(sf_dir)).set_index("doc_id")
+    n_rows = 0
+    for doc_id, text in zip(tbl.column("doc_id").to_pylist(),
+                            tbl.column("text").to_pylist()):
+        c = Counter(textops._TOKEN_RE.findall(text.lower()))
+        if not c:
+            assert doc_id not in out.index
+            continue
+        n_rows += 1
+        row = out.loc[doc_id]
+        nw = sum(c.values())
+        nc = sum(len(w) * k for w, k in c.items())
+        nt = sum(ntok(w) * k for w, k in c.items())
+        assert (row["n_words"], row["n_chars"], row["n_tokens"]) \
+            == (nw, nc, nt)
+        assert row["tokens_per_kchar"] == (nt * 1000) // max(nc, 1)
+    assert len(out) == n_rows and n_rows > 0
+    # merges actually compress: tokens strictly below chars overall
+    assert out["n_tokens"].sum() < out["n_chars"].sum()
