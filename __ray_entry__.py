@@ -419,6 +419,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_merges": textops.bpe_merges,
         # learned-merge corpus tokenization + compression signal
         "doc_bpe_tokenize": textops.bpe_tokenize,
+        # declared-vs-detected language confusion matrix
+        "doc_lang_confusion": textops.lang_confusion,
+        # in/out-degree power-law histogram
+        "graph_degree_dist": graph.degree_dist,
     }
 
 
@@ -517,7 +521,7 @@ def oracle_sql() -> dict[str, str]:
         "AS coverage_permille "
         "FROM documents d LEFT JOIN per USING (doc_id)"
     )
-    return {
+    d = {
         "crawl_visits": (
             f"SELECT url, host, depth, round_num, seq FROM "
             f"read_parquet('{gold}/golden_visits.parquet')"
@@ -1351,4 +1355,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_merges": textops.bpe_merges_oracle_sql(),
         # BPE apply: merge cascade to final seqs + docs⟕wtok unnest join
         "doc_bpe_tokenize": textops.bpe_tokenize_oracle_sql(),
+        # degree histogram: degrees CTE re-grouped by value
+        "graph_degree_dist": graph.degree_dist_oracle_sql(pdir),
     }
+    # confusion matrix replays the full doc_langid decision SQL as a CTE
+    d["doc_lang_confusion"] = textops.lang_confusion_oracle_sql(
+        d["doc_langid"])
+    return d

@@ -833,3 +833,60 @@ def hits_oracle_sql(pdir: str, iters: int = HITS_ITERS) -> str:
     return ("".join(cte)[:-2] + " "
             f"SELECT h.u AS url, h.v AS hub, a.v AS auth "
             f"FROM h{iters} h JOIN a{iters} a ON a.u = h.u")
+
+
+# ---------------------------------------------------------------------------
+# degree distribution — the power-law histogram (Broder et al. '00 §3
+# measured the web's in-degree exponent from exactly this table); the
+# curation use is picking in-degree thresholds from the actual curve.
+
+
+def degree_dist(sf_dir: str):
+    """(direction, degree, n_nodes): histogram of in- and out-degrees
+    over the closed distinct link graph ('in' rows count nodes by
+    in-degree incl. 0, same for 'out').
+
+    Scale shape: the ``link_degrees`` node-keyed groupby-sum, then a
+    SECOND grouped count keyed by the degree VALUE — bounded by the
+    number of distinct degrees (power-law: tiny), so the wide node table
+    never folds anywhere."""
+    from ._util import ensure_schema
+
+    deg = link_degrees(sf_dir)
+
+    def halves(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ones = pa.array(np.ones(n, dtype=np.int64))
+        return pa.concat_tables([
+            pa.table({"direction": pa.array(["in"] * n, pa.string()),
+                      "degree": t.column("in_deg"), "c": ones}),
+            pa.table({"direction": pa.array(["out"] * n, pa.string()),
+                      "degree": t.column("out_deg"), "c": ones}),
+        ])
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "direction": t.column("direction"),
+            "degree": t.column("degree"),
+            "n_nodes": t.column("sum(c)").cast(pa.int64())})
+
+    return ensure_schema(
+        deg.map_batches(halves, batch_format="pyarrow")
+        .groupby(["direction", "degree"]).sum("c")
+        .map_batches(fin, batch_format="pyarrow"),
+        pa.schema([("direction", pa.string()), ("degree", pa.int64()),
+                   ("n_nodes", pa.int64())]))
+
+
+def degree_dist_oracle_sql(pdir: str) -> str:
+    """DuckDB replay: the degrees aggregation re-grouped by value."""
+    return (
+        _EDGE_CTE.format(pdir=pdir) + ", "
+        "b AS (SELECT src AS url, 1::BIGINT AS o, 0::BIGINT AS i FROM e "
+        "UNION ALL SELECT dst, 0::BIGINT, 1::BIGINT FROM e), "
+        "d AS (SELECT url, sum(o)::BIGINT AS out_deg, "
+        "sum(i)::BIGINT AS in_deg FROM b GROUP BY url), "
+        "h AS (SELECT 'in' AS direction, in_deg AS degree FROM d "
+        "UNION ALL SELECT 'out', out_deg FROM d) "
+        "SELECT direction, degree, count(*)::BIGINT AS n_nodes "
+        "FROM h GROUP BY 1, 2")

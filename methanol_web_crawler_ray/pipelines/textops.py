@@ -3644,3 +3644,55 @@ def bpe_tokenize_oracle_sql(n_merges: int = BPE_MERGES) -> str:
         "SELECT doc_id, n_words, n_chars, n_tokens, "
         "((n_tokens * 1000) // greatest(n_chars, 1))::BIGINT "
         "AS tokens_per_kchar FROM per")
+
+
+# ---------------------------------------------------------------------------
+# language metadata audit — declared lang vs detected lang confusion
+# matrix (the standard corpus-QA step before trusting upstream labels:
+# off-diagonal mass = mislabeled or code-switched documents).
+
+
+class LangConfusion(LangId):
+    """Per-batch PARTIAL of the confusion matrix: predict with the
+    inherited integer-exact bigram argmax, count (declared, predicted)
+    pairs — only the bounded lang×lang matrix leaves the task."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter(
+            zip(df["lang"], (self.predict(t) for t in df["text"])))
+        ks = list(c)
+        return pd.DataFrame({
+            "lang_meta": pd.Series([k[0] for k in ks], dtype="object"),
+            "lang_pred": pd.Series([k[1] for k in ks], dtype="object"),
+            "n": pd.Series([c[k] for k in ks], dtype="int64")})
+
+
+def lang_confusion(sf_dir: str):
+    """(lang_meta, lang_pred, n_docs): declared-vs-detected language
+    confusion matrix.  Scale shape: ONE streaming pass (prediction and
+    pairing fused in the same batch — no doc_id shuffle join between a
+    langid table and the metadata) emitting per-batch partial counts,
+    then a grouped sum over the lang² bounded domain."""
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang_meta": df["lang_meta"],
+            "lang_pred": df["lang_pred"],
+            "n_docs": df["sum(n)"].astype("int64")})
+
+    return _read_docs(sf_dir, ["lang", "text"]) \
+        .map_batches(task_udf(LangConfusion), batch_format="pandas") \
+        .groupby(["lang_meta", "lang_pred"]).sum("n") \
+        .map_batches(fin, batch_format="pandas")
+
+
+def lang_confusion_oracle_sql(langid_sql: str) -> str:
+    """DuckDB replay: the full doc_langid decision SQL as a CTE, joined
+    back to the declared label and group-counted."""
+    return (f"WITH pred AS ({langid_sql}) "
+            "SELECT d.lang AS lang_meta, p.lang_pred, "
+            "count(*)::BIGINT AS n_docs "
+            "FROM documents d JOIN pred p ON p.doc_id = d.doc_id "
+            "GROUP BY 1, 2")

@@ -179,3 +179,24 @@ def test_hits_large_path_parity(ray_session, sf_dir, monkeypatch):
     large = sorted(graph.link_hits(sf_dir).take_all(),
                    key=lambda r: r["url"])
     assert large == small
+
+
+def test_degree_dist_vs_degrees(ray_session, sf_dir):
+    """The histogram is exactly the value-grouped degrees table and
+    conserves both node and edge mass."""
+    from collections import Counter
+
+    deg = graph.link_degrees(sf_dir).take_all()
+    exp = Counter()
+    for r in deg:
+        exp[("in", r["in_deg"])] += 1
+        exp[("out", r["out_deg"])] += 1
+    out = {(r["direction"], r["degree"]): r["n_nodes"]
+           for r in graph.degree_dist(sf_dir).take_all()}
+    assert out == dict(exp)
+    n_edges = graph._edges_ds(sf_dir).count()
+    for dirn in ("in", "out"):
+        assert sum(d * n for (dd, d), n in out.items()
+                   if dd == dirn) == n_edges
+        assert sum(n for (dd, _), n in out.items()
+                   if dd == dirn) == len(deg)

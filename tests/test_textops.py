@@ -1267,3 +1267,27 @@ def test_bpe_tokenize_vs_bruteforce(ray_session, sf_dir):
     assert len(out) == n_rows and n_rows > 0
     # merges actually compress: tokens strictly below chars overall
     assert out["n_tokens"].sum() < out["n_chars"].sum()
+
+
+def test_lang_confusion_vs_bruteforce(ray_session, sf_dir):
+    """The confusion matrix equals a per-doc LangId replay grouped by
+    (declared, predicted); diagonal mass dominates on the fixture."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["lang", "text"])
+    lid = textops.LangId()
+    exp = Counter(zip(tbl.column("lang").to_pylist(),
+                      (lid.predict(t)
+                       for t in tbl.column("text").to_pylist())))
+    out = textops.collect_df(textops.lang_confusion(sf_dir))
+    got = {(r.lang_meta, r.lang_pred): int(r.n_docs)
+           for r in out.itertuples(index=False)}
+    assert got == dict(exp)
+    # mass conservation: every document lands in exactly one cell, and
+    # the synthetic fixture has both agreeing and disagreeing labels
+    assert sum(got.values()) == tbl.num_rows
+    assert any(m == p for m, p in got)
+    assert any(m != p for m, p in got)
