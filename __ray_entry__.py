@@ -423,6 +423,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_confusion": textops.lang_confusion,
         # in/out-degree power-law histogram
         "graph_degree_dist": graph.degree_dist,
+        # TPC-H Q3 shape: big-big shuffle hash join + top-k
+        "rel_order_revenue": relops.order_revenue_topk,
     }
 
 
@@ -1357,6 +1359,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_tokenize": textops.bpe_tokenize_oracle_sql(),
         # degree histogram: degrees CTE re-grouped by value
         "graph_degree_dist": graph.degree_dist_oracle_sql(pdir),
+        # Q3: same cents expression, date slice, join + ORDER BY LIMIT
+        "rel_order_revenue": relops.order_revenue_oracle_sql(),
     }
     # confusion matrix replays the full doc_langid decision SQL as a CTE
     d["doc_lang_confusion"] = textops.lang_confusion_oracle_sql(

@@ -492,3 +492,78 @@ def retention_oracle_sql() -> str:
         "FROM events ev JOIN f USING (user_id)) "
         "SELECT cohort_day, offset_days, count(*)::BIGINT AS n_users "
         "FROM e GROUP BY cohort_day, offset_days")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape — the canonical BIG⋈BIG shuffle hash join: per-order
+# lineitem revenue joined to date-filtered orders, top-k by revenue.
+
+Q3_CUTOFF = "1998-01-01"
+Q3_K = 10
+
+
+def order_revenue_topk(sf_dir: str, k: int = Q3_K):
+    """(o_orderkey, o_orderdate, o_orderpriority, revenue_cents): the
+    k highest-revenue orders among those PLACED before Q3_CUTOFF with
+    line items SHIPPED after it (the classic Q3 'urgent backlog' slice).
+    revenue_cents = Σ floor(l_extendedprice·(1−l_discount)·100 + 0.5)
+    per line item — the repo's integer money discipline, replayed
+    expression-for-expression by the oracle.
+
+    Scale shape: both sides are corpus-sized, so this is the one
+    deliberately NON-broadcast join in the relational family — lineitem
+    is date-filtered AT THE BATCH and pre-aggregated per l_orderkey
+    inside each batch (combiner) so only (orderkey, cents) partials
+    enter the orderkey-keyed exchange; orders is column-pruned and
+    date-filtered before the hash join on the SAME key; the top-k tail
+    is a sort+limit over the already-order-grained join output."""
+    cutoff = np.datetime64(Q3_CUTOFF)
+
+    def li_pre(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["l_shipdate"].to_numpy() > cutoff
+        df = df[m]
+        cents = np.floor(df["l_extendedprice"].to_numpy()
+                         * (1.0 - df["l_discount"].to_numpy())
+                         * 100 + 0.5).astype("int64")
+        part = pd.DataFrame({"o_orderkey": df["l_orderkey"],
+                             "cents": cents})
+        return part.groupby("o_orderkey", as_index=False).agg(
+            cents=("cents", "sum"))
+
+    def ord_pre(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["o_orderdate"].to_numpy() < cutoff
+        return df[m]
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_shipdate"]) \
+        .map_batches(li_pre, batch_format="pandas") \
+        .groupby("o_orderkey").sum("cents")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(ord_pre, batch_format="pandas")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "o_orderdate": df["o_orderdate"],
+            "o_orderpriority": df["o_orderpriority"],
+            "revenue_cents": df["sum(cents)"].astype("int64")})
+
+    return orders.join(li, join_type="inner", num_partitions=8,
+                       on=("o_orderkey",)) \
+        .map_batches(fin, batch_format="pandas") \
+        .sort(["revenue_cents", "o_orderkey"], descending=[True, False]) \
+        .limit(k)
+
+
+def order_revenue_oracle_sql(k: int = Q3_K) -> str:
+    return (
+        "WITH li AS (SELECT l_orderkey AS o_orderkey, "
+        "SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) "
+        "AS BIGINT))::BIGINT AS revenue_cents FROM lineitem "
+        f"WHERE l_shipdate > TIMESTAMP '{Q3_CUTOFF}' GROUP BY 1) "
+        "SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority, "
+        "li.revenue_cents FROM orders o JOIN li USING (o_orderkey) "
+        f"WHERE o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}' "
+        f"ORDER BY li.revenue_cents DESC, o.o_orderkey LIMIT {k}")

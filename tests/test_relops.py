@@ -1,6 +1,9 @@
 """Relational wide-op paths whose branches aren't separately covered by
 the DuckDB oracle gate (which only exercises the default branch)."""
 
+import numpy as np
+import pandas as pd
+
 from methanol_web_crawler_ray.pipelines import relops
 
 
@@ -135,3 +138,34 @@ def test_events_retention_vs_bruteforce(ray_session):
     assert got == want and got
     # day-0 cell exists for every cohort
     assert all((c, 0) in got for c, _ in got)
+
+
+def test_order_revenue_topk_vs_bruteforce(ray_session, sf_dir):
+    """Q3 shape matches a pandas replay: date slices on both sides,
+    per-line integer cents, join, top-k with deterministic tie-break."""
+    import pyarrow.parquet as pq
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"]).to_pandas()
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .to_pandas()
+    cutoff = np.datetime64(relops.Q3_CUTOFF)
+    li = li[li["l_shipdate"].to_numpy() > cutoff]
+    cents = np.floor(li["l_extendedprice"].to_numpy()
+                     * (1.0 - li["l_discount"].to_numpy())
+                     * 100 + 0.5).astype("int64")
+    rev = pd.DataFrame({"o_orderkey": li["l_orderkey"],
+                        "revenue_cents": cents}) \
+        .groupby("o_orderkey", as_index=False).sum()
+    exp = orders[orders["o_orderdate"].to_numpy() < cutoff] \
+        .merge(rev, on="o_orderkey") \
+        .sort_values(["revenue_cents", "o_orderkey"],
+                     ascending=[False, True]).head(relops.Q3_K)
+    got = relops.order_revenue_topk(sf_dir).to_pandas()
+    assert len(got) == relops.Q3_K
+    for col in ("o_orderkey", "revenue_cents", "o_orderpriority"):
+        assert list(got[col]) == list(exp[col])
