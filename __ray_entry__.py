@@ -425,6 +425,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_degree_dist": graph.degree_dist,
         # TPC-H Q3 shape: big-big shuffle hash join + top-k
         "rel_order_revenue": relops.order_revenue_topk,
+        # distributed Lloyd k-means (k·dim-bounded exchange per round)
+        "emb_kmeans": ann.emb_kmeans,
     }
 
 
@@ -1361,6 +1363,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_degree_dist": graph.degree_dist_oracle_sql(pdir),
         # Q3: same cents expression, date slice, join + ORDER BY LIMIT
         "rel_order_revenue": relops.order_revenue_oracle_sql(),
+        # k-means: unrolled assign/update CTE rounds, trunc-div means
+        "emb_kmeans": ann.emb_kmeans_oracle_sql(),
     }
     # confusion matrix replays the full doc_langid decision SQL as a CTE
     d["doc_lang_confusion"] = textops.lang_confusion_oracle_sql(

@@ -975,3 +975,134 @@ def adc_oracle_sql(pqc: str, k: int = 10, n_queries: int = 5,
         "FROM adc) "
         "SELECT query_id, neighbor_id, adc_d2, rank FROM r "
         f"WHERE rank <= {k}")
+
+
+# ---------------------------------------------------------------------------
+# distributed Lloyd k-means — the canonical data-parallel iterative op
+# (assignment + centroid update expressed AS dataset passes, unlike
+# ivf_centroids' bounded-sample driver trainer).
+
+KM_K = 8
+KM_ITERS = 2
+
+
+def emb_kmeans(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS):
+    """(vec_id, cid): Lloyd k-means assignment after ``iters``
+    distributed rounds, decided entirely in exact integers so the
+    DuckDB oracle replays bit-for-bit — embeddings quantized ×QSCALE,
+    seeds = the ``k`` smallest vec_ids' vectors (cid = seed vec_id),
+    assignment by integer argmin of Σ(q−c)² with cid tie-break, update
+    c' = Σq // n (floor), empty clusters keep their previous centroid.
+
+    Scale shape: per round ONE map-only pass emitting (cid, dim)-keyed
+    partial sums — the exchange is bounded by k·dim REGARDLESS of
+    corpus size (the classic MR k-means combiner), folded k·dim rows to
+    the driver, centroids re-broadcast by closure (k·dim int64s); the
+    final labelling pass is map-only.  iters+1 corpus passes total,
+    nothing corpus-sized ever shuffles."""
+    import pyarrow.parquet as pq_mod
+
+    seeds = pq_mod.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)])
+    order = np.argsort(seeds.column("vec_id").to_numpy())
+    cids = seeds.column("vec_id").to_numpy()[order]
+    C = np.round(_to_matrix(seeds.column("embedding").to_pylist())
+                 [order] * QSCALE).astype(np.int64)
+
+    def assign(Q: np.ndarray, C_: np.ndarray) -> np.ndarray:
+        # exact integer argmin; ties → smaller cid (cids sorted asc)
+        d2 = ((Q[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2)
+        return d2.argmin(axis=1)
+
+    emb = _read_emb(sf_dir)
+
+    for _ in range(iters):
+        def partial(df: pd.DataFrame, _C=C) -> pd.DataFrame:
+            Q = np.round(_to_matrix(df["embedding"]) * QSCALE) \
+                .astype(np.int64)
+            lab = assign(Q, _C)
+            dim = Q.shape[1]
+            rows = {"cid": [], "dim": [], "s": [], "n": []}
+            for j in range(_C.shape[0]):
+                m = Q[lab == j]
+                if not m.shape[0]:
+                    continue
+                s = m.sum(axis=0)
+                rows["cid"].extend([int(cids[j])] * dim)
+                rows["dim"].extend(range(dim))
+                rows["s"].extend(int(v) for v in s)
+                rows["n"].extend([m.shape[0]] * dim)
+            return pd.DataFrame({
+                "cid": pd.Series(rows["cid"], dtype="int64"),
+                "dim": pd.Series(rows["dim"], dtype="int64"),
+                "s": pd.Series(rows["s"], dtype="int64"),
+                "n": pd.Series(rows["n"], dtype="int64")})
+
+        agg = emb.map_batches(partial, batch_format="pandas") \
+            .groupby(["cid", "dim"]).sum(["s", "n"]).to_pandas()
+        newC = C.copy()
+        for cid_v, g in agg.groupby("cid"):
+            j = int(np.searchsorted(cids, cid_v))
+            g = g.sort_values("dim")
+            s = g["sum(s)"].to_numpy()
+            n = g["sum(n)"].to_numpy()
+            # DuckDB's integer // truncates toward zero; numpy floors —
+            # match truncation exactly (sums go negative)
+            newC[j] = np.where(s >= 0, s // n, -((-s) // n)) \
+                .astype(np.int64)
+        C = newC
+
+    def label(df: pd.DataFrame, _C=C) -> pd.DataFrame:
+        Q = np.round(_to_matrix(df["embedding"]) * QSCALE) \
+            .astype(np.int64)
+        lab = assign(Q, _C)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].astype("int64"),
+            "cid": pd.Series(cids[lab], dtype="int64")})
+
+    return emb.map_batches(label, batch_format="pandas")
+
+
+def emb_kmeans_oracle_sql(k: int = KM_K, iters: int = KM_ITERS) -> str:
+    """DuckDB replay: quantized unnest, seed centroids from the k
+    smallest vec_ids, each round unrolled as distance → NOT-EXISTS
+    argmin → floor-division mean CTEs (empty cluster COALESCEs to the
+    previous round's centroid)."""
+    cte = [
+        "WITH qv AS (SELECT vec_id, CAST(i AS INT) AS dim, "
+        f"CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) * "
+        f"{QSCALE}) AS BIGINT) AS q FROM embeddings, "
+        "UNNEST(range(64)) d(i)), ",
+        "sv AS (SELECT vec_id FROM embeddings ORDER BY vec_id "
+        f"LIMIT {k}), ",
+        "c0 AS (SELECT qv.vec_id AS cid, qv.dim, qv.q AS c FROM qv "
+        "JOIN sv ON sv.vec_id = qv.vec_id), ",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        cte.append(
+            f"d{t} AS (SELECT qv.vec_id, c.cid, "
+            "SUM((qv.q - c.c) * (qv.q - c.c)) AS d2 "
+            f"FROM qv JOIN c{p} c ON c.dim = qv.dim GROUP BY 1, 2), ")
+        cte.append(
+            f"a{t} AS (SELECT vec_id, cid FROM d{t} s WHERE NOT EXISTS "
+            f"(SELECT 1 FROM d{t} m WHERE m.vec_id = s.vec_id "
+            "AND (m.d2 < s.d2 OR (m.d2 = s.d2 AND m.cid < s.cid)))), ")
+        cte.append(
+            f"u{t} AS (SELECT a.cid, qv.dim, "
+            "(SUM(qv.q) // COUNT(DISTINCT qv.vec_id))::BIGINT AS c "
+            f"FROM a{t} a JOIN qv ON qv.vec_id = a.vec_id "
+            "GROUP BY 1, 2), ")
+        cte.append(
+            f"c{t} AS (SELECT c{p}.cid, c{p}.dim, "
+            f"COALESCE(u.c, c{p}.c) AS c FROM c{p} LEFT JOIN u{t} u "
+            f"ON u.cid = c{p}.cid AND u.dim = c{p}.dim), ")
+    cte.append(
+        f"df AS (SELECT qv.vec_id, c.cid, "
+        "SUM((qv.q - c.c) * (qv.q - c.c)) AS d2 "
+        f"FROM qv JOIN c{iters} c ON c.dim = qv.dim GROUP BY 1, 2) ")
+    return ("".join(cte) +
+            "SELECT vec_id, cid FROM df s WHERE NOT EXISTS "
+            "(SELECT 1 FROM df m WHERE m.vec_id = s.vec_id "
+            "AND (m.d2 < s.d2 OR (m.d2 = s.d2 AND m.cid < s.cid)))")

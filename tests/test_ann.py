@@ -239,3 +239,36 @@ def test_adc_vs_bruteforce(ray_session):
         for rank, (dd, v) in enumerate(order[:10], 1):
             want.append((int(qid), v, dd, rank))
     assert sorted(got) == sorted(want) and len(got) == 50
+
+
+def test_emb_kmeans_vs_bruteforce(ray_session, sf_dir):
+    """Distributed Lloyd matches an in-process integer replay: seeded
+    from the k smallest vec_ids, exact argmin, truncating-division
+    centroid update, empty clusters frozen."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl.column("vec_id").to_pylist())
+    Q = np.round(np.asarray(
+        [np.asarray(v, dtype=np.float64)
+         for v in tbl.column("embedding").to_pylist()])
+        * ann.QSCALE).astype(np.int64)
+    order = np.argsort(ids)
+    ids, Q = ids[order], Q[order]
+    k = ann.KM_K
+    cids, C = ids[:k].copy(), Q[:k].copy()
+    for _ in range(ann.KM_ITERS):
+        lab = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(2).argmin(1)
+        newC = C.copy()
+        for j in range(k):
+            m = Q[lab == j]
+            if m.shape[0]:
+                s = m.sum(0)
+                n = m.shape[0]
+                newC[j] = np.where(s >= 0, s // n, -((-s) // n))
+        C = newC
+    lab = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(2).argmin(1)
+    exp = dict(zip(ids.tolist(), cids[lab].tolist()))
+    got = {r["vec_id"]: r["cid"]
+           for r in ann.emb_kmeans(sf_dir).take_all()}
+    assert got == exp
+    assert len(set(got.values())) > 1  # clusters actually separate
