@@ -427,6 +427,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_order_revenue": relops.order_revenue_topk,
         # distributed Lloyd k-means (k·dim-bounded exchange per round)
         "emb_kmeans": ann.emb_kmeans,
+        # market-basket pair support (A-Priori L2 pass)
+        "rel_events_cooccur": relops.events_cooccur,
     }
 
 
@@ -1365,6 +1367,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_order_revenue": relops.order_revenue_oracle_sql(),
         # k-means: unrolled assign/update CTE rounds, trunc-div means
         "emb_kmeans": ann.emb_kmeans_oracle_sql(),
+        # co-occurrence: distinct (user,type) self-join, a<b
+        "rel_events_cooccur": relops.events_cooccur_oracle_sql(),
     }
     # confusion matrix replays the full doc_langid decision SQL as a CTE
     d["doc_lang_confusion"] = textops.lang_confusion_oracle_sql(

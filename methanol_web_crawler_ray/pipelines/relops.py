@@ -567,3 +567,53 @@ def order_revenue_oracle_sql(k: int = Q3_K) -> str:
         "li.revenue_cents FROM orders o JOIN li USING (o_orderkey) "
         f"WHERE o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}' "
         f"ORDER BY li.revenue_cents DESC, o.o_orderkey LIMIT {k}")
+
+
+# ---------------------------------------------------------------------------
+# event-type co-occurrence (market-basket / A-Priori pair-support pass)
+
+
+def events_cooccur(sf_dir: str):
+    """(type_a, type_b, n_users) with type_a < type_b: for every
+    unordered event-type pair, how many distinct users performed BOTH —
+    the A-Priori candidate-pair support table (Agrawal & Srikant '94's
+    L2 pass), the standard co-engagement signal.
+
+    Scale shape: distinct (user, type) first — ONE user-keyed
+    exchange that also bounds the blow-up (a user with a million
+    events still yields ≤ |type-domain| rows); pairs are generated
+    inside ``map_groups`` per user (quadratic only in the BOUNDED
+    per-user distinct-type count, never in events); the pair-keyed
+    count is over a type² bounded domain."""
+    from itertools import combinations
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ts = sorted(set(df["event_type"]))
+        ab = list(combinations(ts, 2))
+        return pd.DataFrame({
+            "type_a": pd.Series([a for a, _ in ab], dtype="object"),
+            "type_b": pd.Series([b for _, b in ab], dtype="object"),
+            "one": pd.Series([1] * len(ab), dtype="int64")})
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "type_a": df["type_a"], "type_b": df["type_b"],
+            "n_users": df["sum(one)"].astype("int64")})
+
+    return _read(sf_dir, "events", ["user_id", "event_type"]) \
+        .map_batches(dedup, batch_format="pandas") \
+        .groupby("user_id").map_groups(pairs, batch_format="pandas") \
+        .groupby(["type_a", "type_b"]).sum("one") \
+        .map_batches(fin, batch_format="pandas")
+
+
+def events_cooccur_oracle_sql() -> str:
+    return (
+        "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events) "
+        "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+        "count(*)::BIGINT AS n_users FROM ut a "
+        "JOIN ut b ON b.user_id = a.user_id "
+        "AND b.event_type > a.event_type GROUP BY 1, 2")

@@ -169,3 +169,27 @@ def test_order_revenue_topk_vs_bruteforce(ray_session, sf_dir):
     assert len(got) == relops.Q3_K
     for col in ("o_orderkey", "revenue_cents", "o_orderpriority"):
         assert list(got[col]) == list(exp[col])
+
+
+def test_events_cooccur_vs_bruteforce(ray_session, sf_dir):
+    """Pair support equals a set-based replay and is symmetric-free
+    (every pair emitted once, a < b)."""
+    from collections import Counter
+    from itertools import combinations
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "event_type"])
+    per_user: dict = {}
+    for u, t in zip(tbl.column("user_id").to_pylist(),
+                    tbl.column("event_type").to_pylist()):
+        per_user.setdefault(u, set()).add(t)
+    exp = Counter()
+    for ts in per_user.values():
+        for a, b in combinations(sorted(ts), 2):
+            exp[(a, b)] += 1
+    got = {(r["type_a"], r["type_b"]): r["n_users"]
+           for r in relops.events_cooccur(sf_dir).take_all()}
+    assert got == dict(exp)
+    assert all(a < b for a, b in got)
