@@ -429,6 +429,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kmeans": ann.emb_kmeans,
         # market-basket pair support (A-Priori L2 pass)
         "rel_events_cooccur": relops.events_cooccur,
+        # 2-hop reachability (frontier fanout estimate)
+        "graph_2hop": graph.link_2hop,
     }
 
 
@@ -1369,6 +1371,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans": ann.emb_kmeans_oracle_sql(),
         # co-occurrence: distinct (user,type) self-join, a<b
         "rel_events_cooccur": relops.events_cooccur_oracle_sql(),
+        # 2-hop: wedge join ∪ edges, distinct, self-free count
+        "graph_2hop": graph.twohop_oracle_sql(pdir),
     }
     # confusion matrix replays the full doc_langid decision SQL as a CTE
     d["doc_lang_confusion"] = textops.lang_confusion_oracle_sql(

@@ -890,3 +890,72 @@ def degree_dist_oracle_sql(pdir: str) -> str:
         "UNION ALL SELECT 'out', out_deg FROM d) "
         "SELECT direction, degree, count(*)::BIGINT AS n_nodes "
         "FROM h GROUP BY 1, 2")
+
+
+# ---------------------------------------------------------------------------
+# 2-hop neighborhood size — the friends-of-friends / crawl-frontier
+# fanout estimate (how much NEW surface each node opens within two
+# clicks; frontier scheduling ranks seeds by exactly this).
+
+
+def link_2hop(sf_dir: str):
+    """(url, n_reach): per source node, the number of DISTINCT nodes
+    reachable in one or two hops, excluding the node itself.
+
+    Scale shape: the edge⋈edge join IS the op (wedge generation, same
+    exchange as triangles) keyed on the middle vertex; the blow-up is
+    bounded immediately by a (src, nbr)-keyed distinct BEFORE the
+    per-src count, so what reaches the second exchange is the distinct
+    reachability set, not the wedge multiset.  No driver state."""
+    import pyarrow.compute as pc
+
+    from ._util import ensure_schema, materialize_clean, rename
+
+    edges = materialize_clean(_edges_ds(sf_dir), EDGE_SCHEMA)
+    n_edges = edges.count()
+    npart = _num_partitions(n_edges)
+
+    mid = rename(edges, {"src": "mid_src", "dst": "nbr"})
+    two = edges.join(mid, "inner", npart,
+                     on=("dst",), right_on=("mid_src",)) \
+        .map_batches(lambda t: pa.table({"src": t.column("src"),
+                                         "nbr": t.column("nbr")}),
+                     batch_format="pyarrow")
+    one = edges.map_batches(
+        lambda t: pa.table({"src": t.column("src"),
+                            "nbr": t.column("dst")}),
+        batch_format="pyarrow")
+
+    def drop_self(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.equal(t.column("src"),
+                                           t.column("nbr"))))
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t.column("src"),
+            "c": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"url": t.column("src"),
+                         "n_reach": t.column("sum(c)").cast(pa.int64())})
+
+    reach = one.union(two) \
+        .map_batches(drop_self, batch_format="pyarrow") \
+        .groupby(["src", "nbr"]).count() \
+        .map_batches(ones, batch_format="pyarrow") \
+        .groupby("src").sum("c") \
+        .map_batches(fin, batch_format="pyarrow")
+    return ensure_schema(
+        reach, pa.schema([("url", pa.string()), ("n_reach", pa.int64())]))
+
+
+def twohop_oracle_sql(pdir: str) -> str:
+    """DuckDB replay: wedge join ∪ direct edges, distinct, self-free."""
+    return (
+        _EDGE_CTE.format(pdir=pdir) + ", "
+        "h2 AS (SELECT e1.src, e2.dst AS nbr FROM e e1 "
+        "JOIN e e2 ON e2.src = e1.dst), "
+        "u AS (SELECT src, dst AS nbr FROM e "
+        "UNION SELECT src, nbr FROM h2) "
+        "SELECT src AS url, count(*)::BIGINT AS n_reach FROM u "
+        "WHERE nbr != src GROUP BY src")

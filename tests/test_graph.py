@@ -200,3 +200,25 @@ def test_degree_dist_vs_degrees(ray_session, sf_dir):
                    if dd == dirn) == n_edges
         assert sum(n for (dd, _), n in out.items()
                    if dd == dirn) == len(deg)
+
+
+def test_2hop_vs_bruteforce(ray_session, sf_dir):
+    """Reachability counts match a BFS-2 set replay."""
+    edges = [(r["src"], r["dst"])
+             for r in graph._edges_ds(sf_dir).take_all()]
+    adj: dict = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    exp = {}
+    for s, nbrs in adj.items():
+        reach = set(nbrs)
+        for d in nbrs:
+            reach |= adj.get(d, set())
+        reach.discard(s)
+        if reach:
+            exp[s] = len(reach)
+    got = {r["url"]: r["n_reach"]
+           for r in graph.link_2hop(sf_dir).take_all()}
+    assert got == exp
+    # 2-hop dominates out-degree wherever both are defined
+    assert all(got[s] >= len(adj[s] - {s}) for s in got)
