@@ -431,6 +431,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_cooccur": relops.events_cooccur,
         # 2-hop reachability (frontier fanout estimate)
         "graph_2hop": graph.link_2hop,
+        # GloVe-style window co-occurrence matrix build
+        "doc_word_cooccur": textops.word_cooccur,
     }
 
 
@@ -1373,6 +1375,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_events_cooccur": relops.events_cooccur_oracle_sql(),
         # 2-hop: wedge join ∪ edges, distinct, self-free count
         "graph_2hop": graph.twohop_oracle_sql(pdir),
+        # co-occurrence: position-shift unnest join, least/greatest key
+        "doc_word_cooccur": textops.word_cooccur_oracle_sql(),
     }
     # confusion matrix replays the full doc_langid decision SQL as a CTE
     d["doc_lang_confusion"] = textops.lang_confusion_oracle_sql(

@@ -3696,3 +3696,97 @@ def lang_confusion_oracle_sql(langid_sql: str) -> str:
             "count(*)::BIGINT AS n_docs "
             "FROM documents d JOIN pred p ON p.doc_id = d.doc_id "
             "GROUP BY 1, 2")
+
+
+# ---------------------------------------------------------------------------
+# word co-occurrence matrix (GloVe / word2vec training prep) — counting
+# window co-occurrences over the corpus IS the embedding-training input
+# build (Pennington et al. '14 §3 does exactly this pass before the fit).
+
+WC_MIN_COUNT = 50  # vocab = tokens with corpus count ≥ this (word2vec min_count)
+WC_WINDOW = 2      # symmetric context window (positions, not chars)
+
+
+def word_cooccur(sf_dir: str, min_count: int = WC_MIN_COUNT,
+                 window: int = WC_WINDOW):
+    """(tok_a, tok_b, n_cooc) with tok_a ≤ tok_b: unordered window
+    co-occurrence counts over vocabulary tokens (corpus frequency ≥
+    ``min_count``) — every position pair (i, i+d), 1 ≤ d ≤ ``window``,
+    within a document, both endpoints in-vocab.
+
+    Scale shape: pass 1 is the token-count groupby with in-batch
+    Counter partials; the vocab (min-count thresholded — the knob that
+    BOUNDS it regardless of corpus size) folds to the driver and
+    broadcasts once via ray.put.  Pass 2 is map-only: per batch a
+    vectorized np.isin mask over the shifted token arrays, in-batch
+    pair-count partials, then one grouped sum over the ≤vocab² bounded
+    pair domain."""
+    import ray
+
+    from collections import Counter
+
+    docs = _read_docs(sf_dir, columns=["text"])
+
+    def tok_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for text in df["text"]:
+            c.update(_TOKEN_RE.findall(text.lower()))
+        ks = list(c)
+        return pd.DataFrame({
+            "tok": pd.Series(ks, dtype="object"),
+            "n": pd.Series([c[k] for k in ks], dtype="int64")})
+
+    vc = collect_df(
+        docs.map_batches(tok_partial, batch_format="pandas")
+        .groupby("tok").sum("n"))
+    vocab = frozenset(vc.loc[vc["sum(n)"] >= min_count, "tok"])
+    vref = ray.put(vocab)
+
+    def pair_partial(df: pd.DataFrame, _w=window) -> pd.DataFrame:
+        v = ray.get(vref)
+        c: Counter = Counter()
+        for text in df["text"]:
+            toks = np.asarray(_TOKEN_RE.findall(text.lower()),
+                              dtype=object)
+            if toks.shape[0] < 2:
+                continue
+            inv = np.asarray([t in v for t in toks], dtype=bool)
+            for d in range(1, _w + 1):
+                if toks.shape[0] <= d:
+                    break
+                a, b = toks[:-d], toks[d:]
+                m = inv[:-d] & inv[d:]
+                c.update(zip(np.minimum(a[m], b[m]),
+                             np.maximum(a[m], b[m])))
+        ks = list(c)
+        return pd.DataFrame({
+            "tok_a": pd.Series([k[0] for k in ks], dtype="object"),
+            "tok_b": pd.Series([k[1] for k in ks], dtype="object"),
+            "n": pd.Series([c[k] for k in ks], dtype="int64")})
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "tok_a": df["tok_a"], "tok_b": df["tok_b"],
+            "n_cooc": df["sum(n)"].astype("int64")})
+
+    return docs.map_batches(pair_partial, batch_format="pandas") \
+        .groupby(["tok_a", "tok_b"]).sum("n") \
+        .map_batches(fin, batch_format="pandas")
+
+
+def word_cooccur_oracle_sql(min_count: int = WC_MIN_COUNT,
+                            window: int = WC_WINDOW) -> str:
+    return (
+        "WITH t AS (SELECT regexp_extract_all(lower(text), '\\S+') "
+        "AS toks FROM documents), "
+        "v AS (SELECT tok FROM (SELECT unnest(toks) AS tok FROM t) "
+        f"GROUP BY tok HAVING count(*) >= {min_count}), "
+        "p AS (SELECT toks[j] AS a, toks[j + d] AS b FROM t, "
+        "UNNEST(generate_series(1, len(toks) - 1)) AS u(j), "
+        f"UNNEST(generate_series(1, {window})) AS w(d) "
+        "WHERE j + d <= len(toks)), "
+        "f AS (SELECT least(p.a, p.b) AS tok_a, "
+        "greatest(p.a, p.b) AS tok_b FROM p "
+        "JOIN v va ON va.tok = p.a JOIN v vb ON vb.tok = p.b) "
+        "SELECT tok_a, tok_b, count(*)::BIGINT AS n_cooc FROM f "
+        "GROUP BY 1, 2")

@@ -1291,3 +1291,34 @@ def test_lang_confusion_vs_bruteforce(ray_session, sf_dir):
     assert sum(got.values()) == tbl.num_rows
     assert any(m == p for m, p in got)
     assert any(m != p for m, p in got)
+
+
+def test_word_cooccur_vs_bruteforce(ray_session, sf_dir):
+    """Window co-occurrence counts match a positional replay with the
+    same min-count vocab and unordered keys."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()
+    tc = Counter()
+    seqs = []
+    for t in texts:
+        toks = textops._TOKEN_RE.findall(t.lower())
+        seqs.append(toks)
+        tc.update(toks)
+    vocab = {t for t, n in tc.items() if n >= textops.WC_MIN_COUNT}
+    exp = Counter()
+    for toks in seqs:
+        for i, a in enumerate(toks):
+            for d in range(1, textops.WC_WINDOW + 1):
+                if i + d >= len(toks):
+                    break
+                b = toks[i + d]
+                if a in vocab and b in vocab:
+                    exp[(min(a, b), max(a, b))] += 1
+    got = {(r["tok_a"], r["tok_b"]): r["n_cooc"]
+           for r in textops.word_cooccur(sf_dir).take_all()}
+    assert got == dict(exp)
+    assert all(a <= b for a, b in got) and len(got) > 0
