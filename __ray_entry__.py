@@ -433,6 +433,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_2hop": graph.link_2hop,
         # GloVe-style window co-occurrence matrix build
         "doc_word_cooccur": textops.word_cooccur,
+        # WIMBD cross-source n-gram overlap audit
+        "doc_source_overlap": textops.source_overlap,
     }
 
 
@@ -1377,6 +1379,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_2hop": graph.twohop_oracle_sql(pdir),
         # co-occurrence: position-shift unnest join, least/greatest key
         "doc_word_cooccur": textops.word_cooccur_oracle_sql(),
+        # source overlap: distinct (key,source) self-join, b ≥ a
+        "doc_source_overlap": textops.source_overlap_oracle_sql(),
     }
     # confusion matrix replays the full doc_langid decision SQL as a CTE
     d["doc_lang_confusion"] = textops.lang_confusion_oracle_sql(

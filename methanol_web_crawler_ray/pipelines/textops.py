@@ -3790,3 +3790,80 @@ def word_cooccur_oracle_sql(min_count: int = WC_MIN_COUNT,
         "JOIN v va ON va.tok = p.a JOIN v vb ON vb.tok = p.b) "
         "SELECT tok_a, tok_b, count(*)::BIGINT AS n_cooc FROM f "
         "GROUP BY 1, 2")
+
+
+# ---------------------------------------------------------------------------
+# cross-source n-gram overlap (WIMBD corpus-pair contamination audit —
+# Elazar et al. '23 measure exactly this between C4/Pile/etc. splits)
+
+
+def source_overlap(sf_dir: str):
+    """(source_a, source_b, n_shared) with source_a ≤ source_b: for
+    every unordered pair of corpus sources, the number of DISTINCT
+    bigram keys (the shared md5-31-bit family) occurring in both;
+    diagonal rows (a = b) carry each source's own distinct-key count,
+    so Jaccard/containment are one division downstream.
+
+    Scale shape: distinct (key, source) pairs — ONE bigram-key-wide
+    exchange (the dedup bound: at most #sources rows per key survive) —
+    then per-key pair emission inside ``map_groups`` (quadratic only in
+    the BOUNDED per-key source count) and a grouped sum over the
+    sources² domain.  Nothing driver-resident."""
+    from itertools import combinations_with_replacement
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        srcs, xs = [], []
+        for source, text in zip(df["source"], df["text"]):
+            u = np.unique(_bigram_keys(text))
+            if u.shape[0]:
+                xs.append(u)
+                srcs.extend([source] * u.shape[0])
+        if not xs:
+            return pd.DataFrame({"x": pd.Series([], dtype="int64"),
+                                 "source": pd.Series([], dtype="object")})
+        # in-batch dedup before the shuffle (combiner)
+        return pd.DataFrame({"x": np.concatenate(xs),
+                             "source": pd.Series(srcs, dtype="object")}) \
+            .drop_duplicates()
+
+    p = _read_docs(sf_dir, ["source", "text"]) \
+        .map_batches(pairs, batch_format="pandas") \
+        .groupby(["x", "source"]).count()
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        ss = sorted(set(g["source"]))
+        ab = list(combinations_with_replacement(ss, 2))
+        return pd.DataFrame({
+            "source_a": pd.Series([a for a, _ in ab], dtype="object"),
+            "source_b": pd.Series([b for _, b in ab], dtype="object"),
+            "one": pd.Series([1] * len(ab), dtype="int64")})
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source_a": df["source_a"], "source_b": df["source_b"],
+            "n_shared": df["sum(one)"].astype("int64")})
+
+    return p.groupby("x").map_groups(per_key, batch_format="pandas") \
+        .groupby(["source_a", "source_b"]).sum("one") \
+        .map_batches(fin, batch_format="pandas")
+
+
+def source_overlap_oracle_sql() -> str:
+    """DuckDB replay: the dup_ngrams bigram-key CTE keyed by source,
+    distinct pairs, self-join with b ≥ a (diagonal = own key count)."""
+    return (
+        "WITH t AS (SELECT source, "
+        "regexp_extract_all(lower(text), '\\S+') AS toks "
+        "FROM documents), "
+        "g0 AS (SELECT source, CASE WHEN len(toks) >= 2 THEN "
+        "list_transform(range(1, len(toks)), i -> "
+        "toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]) "
+        "WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] "
+        "ELSE [] END AS grams FROM t), "
+        "gx AS (SELECT source, CAST(md5_number_lower(g) & "
+        "2147483647::UBIGINT AS BIGINT) AS x "
+        "FROM g0, UNNEST(grams) AS u(g)), "
+        "p AS (SELECT DISTINCT source, x FROM gx) "
+        "SELECT a.source AS source_a, b.source AS source_b, "
+        "count(*)::BIGINT AS n_shared FROM p a "
+        "JOIN p b ON b.x = a.x AND b.source >= a.source GROUP BY 1, 2")

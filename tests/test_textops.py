@@ -1322,3 +1322,30 @@ def test_word_cooccur_vs_bruteforce(ray_session, sf_dir):
            for r in textops.word_cooccur(sf_dir).take_all()}
     assert got == dict(exp)
     assert all(a <= b for a, b in got) and len(got) > 0
+
+
+def test_source_overlap_vs_bruteforce(ray_session, sf_dir):
+    """Pair overlap equals a set replay; diagonal dominates any
+    off-diagonal cell (shared ⊆ own keys)."""
+    from collections import Counter
+    from itertools import combinations_with_replacement
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["source", "text"])
+    per_src: dict = {}
+    for s, t in zip(tbl.column("source").to_pylist(),
+                    tbl.column("text").to_pylist()):
+        per_src.setdefault(s, set()).update(
+            textops._bigram_keys(t).tolist())
+    exp = Counter()
+    for a, b in combinations_with_replacement(sorted(per_src), 2):
+        n = len(per_src[a] & per_src[b])
+        if n:
+            exp[(a, b)] = n
+    got = {(r["source_a"], r["source_b"]): r["n_shared"]
+           for r in textops.source_overlap(sf_dir).take_all()}
+    assert got == dict(exp)
+    for (a, b), n in got.items():
+        assert n <= got[(a, a)] and n <= got[(b, b)]
