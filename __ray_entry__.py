@@ -244,6 +244,14 @@ def _q_page_host_stats(sf_dir: str):
     return host_stats(_pages_dir(sf_dir))
 
 
+def _q_page_url_depth(sf_dir: str):
+    """URL path-depth histogram over the pages table (crawl-shape
+    audit for the O2 depth cutoff)."""
+    from methanol_web_crawler_ray.stages.extract import url_depth_dist
+
+    return url_depth_dist(_pages_dir(sf_dir))
+
+
 def _q_page_snapshot_latest(sf_dir: str):
     """Latest capture per URL over the multi-snapshot captures table
     (Common-Crawl recrawl dedup; warc_ts column of the input shape)."""
@@ -435,6 +443,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_word_cooccur": textops.word_cooccur,
         # WIMBD cross-source n-gram overlap audit
         "doc_source_overlap": textops.source_overlap,
+        # top-N per key (deterministic per-user top events)
+        "rel_top_events": relops.top_events_per_user,
+        # URL path-depth histogram (spider-trap audit)
+        "page_url_depth": _q_page_url_depth,
+        # degree-assortativity integer moments (Newman r numerators)
+        "graph_assortativity": graph.link_assortativity,
     }
 
 
@@ -1381,6 +1395,15 @@ def oracle_sql() -> dict[str, str]:
         "doc_word_cooccur": textops.word_cooccur_oracle_sql(),
         # source overlap: distinct (key,source) self-join, b ≥ a
         "doc_source_overlap": textops.source_overlap_oracle_sql(),
+        # top-N per key: row_number() window replay
+        "rel_top_events": relops.top_events_oracle_sql(),
+        # depth histogram: split length clamp replay
+        "page_url_depth": (
+            "SELECT greatest(len(string_split(url, '/')) - 3, 0)"
+            "::BIGINT AS depth, count(*)::BIGINT AS n_pages "
+            f"FROM read_parquet('{pdir}/pages.parquet') GROUP BY depth"),
+        # assortativity: degrees CTE joined onto edges twice, six sums
+        "graph_assortativity": graph.assortativity_oracle_sql(pdir),
     }
     # confusion matrix replays the full doc_langid decision SQL as a CTE
     d["doc_lang_confusion"] = textops.lang_confusion_oracle_sql(

@@ -959,3 +959,67 @@ def twohop_oracle_sql(pdir: str) -> str:
         "UNION SELECT src, nbr FROM h2) "
         "SELECT src AS url, count(*)::BIGINT AS n_reach FROM u "
         "WHERE nbr != src GROUP BY src")
+
+
+# ---------------------------------------------------------------------------
+# degree-assortativity sufficient statistics — "do hubs link to hubs?"
+# (Newman '02).  The Pearson r over per-edge (out_deg(src), in_deg(dst))
+# is a pure function of these integer moments; the engine ships the
+# moments (exact, fold-safe) and leaves the one float division to the
+# consumer, keeping the oracle bit-exact.
+
+
+def link_assortativity(sf_dir: str):
+    """One row: (n_edges, sum_x, sum_y, sum_xx, sum_yy, sum_xy) with
+    x = out-degree of the edge's source, y = in-degree of its target,
+    over the closed distinct link graph.
+
+    Scale shape: the degrees table (node-keyed, from ``link_degrees``'s
+    single groupby) hash-joins onto edges TWICE (src side then dst
+    side — each a co-partitioned exchange), then per-batch integer
+    moment partials fold through one global sum; only six integers
+    reach the driver."""
+    from ._util import materialize_clean, rename
+
+    edges = materialize_clean(_edges_ds(sf_dir), EDGE_SCHEMA)
+    n_edges = edges.count()
+    npart = _num_partitions(n_edges)
+    deg_schema = pa.schema([("url", pa.string()), ("out_deg", pa.int64()),
+                            ("in_deg", pa.int64())])
+    deg = materialize_clean(link_degrees(sf_dir), deg_schema)
+
+    sd = edges.join(rename(deg.select_columns(["url", "out_deg"]),
+                           {"out_deg": "x"}),
+                    "inner", npart, on=("src",), right_on=("url",)) \
+        .join(rename(deg.select_columns(["url", "in_deg"]),
+                     {"in_deg": "y"}),
+              "inner", npart, on=("dst",), right_on=("url",))
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy().astype(np.int64)
+        y = t.column("y").to_numpy().astype(np.int64)
+        return pa.table({
+            "n_edges": pa.array([np.int64(x.shape[0])]),
+            "sum_x": pa.array([x.sum()]), "sum_y": pa.array([y.sum()]),
+            "sum_xx": pa.array([(x * x).sum()]),
+            "sum_yy": pa.array([(y * y).sum()]),
+            "sum_xy": pa.array([(x * y).sum()])})
+
+    cols = ["n_edges", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
+    tot = sd.map_batches(moments, batch_format="pyarrow").sum(cols)
+    return pd.DataFrame({c: pd.Series([int(tot[f"sum({c})"])],
+                                      dtype="int64") for c in cols})
+
+
+def assortativity_oracle_sql(pdir: str) -> str:
+    return (
+        _EDGE_CTE.format(pdir=pdir) + ", "
+        "b AS (SELECT src AS url, 1::BIGINT AS o, 0::BIGINT AS i FROM e "
+        "UNION ALL SELECT dst, 0::BIGINT, 1::BIGINT FROM e), "
+        "d AS (SELECT url, sum(o)::BIGINT AS out_deg, "
+        "sum(i)::BIGINT AS in_deg FROM b GROUP BY url), "
+        "xy AS (SELECT ds.out_deg AS x, dd.in_deg AS y FROM e "
+        "JOIN d ds ON ds.url = e.src JOIN d dd ON dd.url = e.dst) "
+        "SELECT count(*)::BIGINT AS n_edges, sum(x)::BIGINT AS sum_x, "
+        "sum(y)::BIGINT AS sum_y, sum(x*x)::BIGINT AS sum_xx, "
+        "sum(y*y)::BIGINT AS sum_yy, sum(x*y)::BIGINT AS sum_xy FROM xy")

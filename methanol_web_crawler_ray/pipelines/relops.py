@@ -617,3 +617,50 @@ def events_cooccur_oracle_sql() -> str:
         "count(*)::BIGINT AS n_users FROM ut a "
         "JOIN ut b ON b.user_id = a.user_id "
         "AND b.event_type > a.event_type GROUP BY 1, 2")
+
+
+# ---------------------------------------------------------------------------
+# top-N per key — the OTHER top-k (top_parts is global; this is the
+# per-group variant every session/feed pipeline needs).
+
+TPU_N = 2
+
+
+def top_events_per_user(sf_dir: str, n: int = TPU_N):
+    """(user_id, event_id, event_type, value_cents, rnk): each user's
+    ``n`` highest-value events, ranked with a deterministic
+    (value desc, event_id asc) tie-break.
+
+    Scale shape: ONE user-keyed exchange; the per-group sort inside
+    ``map_groups`` touches only that user's rows (bounded by per-user
+    activity, never corpus-sized), and only n·users rows leave."""
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "event_id": df["event_id"].astype("int64"),
+            "event_type": df["event_type"],
+            "value_cents": np.floor(df["value"] * 100 + 0.5)
+            .astype("int64")})
+
+    def top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value_cents", "event_id"],
+                          ascending=[False, True]).head(n)
+        g = g.reset_index(drop=True)
+        g["rnk"] = pd.Series(range(1, len(g) + 1), dtype="int64")
+        return g
+
+    return _read(sf_dir, "events",
+                 ["user_id", "event_id", "event_type", "value"]) \
+        .map_batches(cents, batch_format="pandas") \
+        .groupby("user_id").map_groups(top, batch_format="pandas")
+
+
+def top_events_oracle_sql(n: int = TPU_N) -> str:
+    return (
+        "WITH c AS (SELECT user_id, event_id, event_type, "
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents "
+        "FROM events), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY user_id "
+        "ORDER BY value_cents DESC, event_id) AS rnk FROM c) "
+        "SELECT user_id, event_id, event_type, value_cents, "
+        f"rnk::BIGINT AS rnk FROM r WHERE rnk <= {n}")

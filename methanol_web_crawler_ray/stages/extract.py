@@ -448,3 +448,38 @@ def url_filter(pages_dir: str, farm_min: int = FARM_MIN_PAGES,
     return ray.data.read_parquet(
         f"{pages_dir}/pages.parquet", columns=["url"]).map_batches(
         flag, batch_format="pandas", batch_size=batch_size)
+
+
+def url_depth_dist(pages_dir: str):
+    """(depth, n_pages): histogram of URL path depth (path segments
+    after the authority: http://h/a/b.html → 2) over the pages table —
+    the crawl-shape audit that picks the depth cutoff O2 enforces
+    (deep-tree spider traps show up as a fat tail here).  Schemeless /
+    short URLs clamp to 0, matching the oracle's greatest(len-3, 0).
+
+    Scale shape: one vectorized pyarrow pass (split + list length) with
+    in-batch partial counts, then a grouped sum over the tiny depth
+    domain."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nseg = pc.list_value_length(
+            pc.split_pattern(batch.column("url"), "/"))
+        depth = pc.max_element_wise(
+            pc.subtract(pc.cast(nseg, pa.int64()), 3),
+            pa.scalar(0, pa.int64()))
+        t = pa.table({
+            "depth": depth,
+            "n_pages": pa.array(np.ones(len(batch), dtype=np.int64))})
+        return t.group_by(["depth"]).aggregate(
+            [("n_pages", "sum")]).rename_columns(["depth", "n_pages"])
+
+    from ..pipelines._util import rename
+
+    agg = ray.data.read_parquet(
+        f"{pages_dir}/pages.parquet", columns=["url"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("depth").sum("n_pages")
+    return rename(agg, {"sum(n_pages)": "n_pages"})

@@ -222,3 +222,22 @@ def test_2hop_vs_bruteforce(ray_session, sf_dir):
     assert got == exp
     # 2-hop dominates out-degree wherever both are defined
     assert all(got[s] >= len(adj[s] - {s}) for s in got)
+
+
+def test_assortativity_vs_bruteforce(ray_session, sf_dir):
+    """The six moments equal a direct replay over edges × degrees."""
+    edges = [(r["src"], r["dst"])
+             for r in graph._edges_ds(sf_dir).take_all()]
+    out_d: dict = {}
+    in_d: dict = {}
+    for s, d in edges:
+        out_d[s] = out_d.get(s, 0) + 1
+        in_d[d] = in_d.get(d, 0) + 1
+    xs = [out_d[s] for s, _ in edges]
+    ys = [in_d[d] for _, d in edges]
+    exp = (len(edges), sum(xs), sum(ys), sum(x * x for x in xs),
+           sum(y * y for y in ys),
+           sum(x * y for x, y in zip(xs, ys)))
+    row = graph.link_assortativity(sf_dir).iloc[0]
+    assert (row["n_edges"], row["sum_x"], row["sum_y"], row["sum_xx"],
+            row["sum_yy"], row["sum_xy"]) == exp

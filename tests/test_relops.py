@@ -193,3 +193,26 @@ def test_events_cooccur_vs_bruteforce(ray_session, sf_dir):
            for r in relops.events_cooccur(sf_dir).take_all()}
     assert got == dict(exp)
     assert all(a < b for a, b in got)
+
+
+def test_top_events_per_user_vs_bruteforce(ray_session, sf_dir):
+    """Per-user top-N matches a pandas window replay."""
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "event_type", "value"]) \
+        .to_pandas()
+    df["value_cents"] = np.floor(df["value"] * 100 + 0.5).astype("int64")
+    exp = {}
+    for u, g in df.groupby("user_id"):
+        g = g.sort_values(["value_cents", "event_id"],
+                          ascending=[False, True]).head(relops.TPU_N)
+        exp[u] = [(int(r.event_id), int(r.value_cents), i + 1)
+                  for i, r in enumerate(g.itertuples(index=False))]
+    got = {}
+    for r in relops.top_events_per_user(sf_dir).take_all():
+        got.setdefault(r["user_id"], []).append(
+            (int(r["event_id"]), int(r["value_cents"]), int(r["rnk"])))
+    got = {u: sorted(v, key=lambda t: t[2]) for u, v in got.items()}
+    assert got == exp

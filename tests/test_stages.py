@@ -263,3 +263,21 @@ def test_url_filter_crafted_farm(ray_session, tmp_path):
     assert rows["http://tiny.ex/ok.html"]["blocked"] == 0
     # schemeless URL -> host '' (split_part parity), never crashes
     assert rows["relative/path.html"]["host"] == ""
+
+
+def test_url_depth_dist_vs_bruteforce(ray_session, sf_dir):
+    """Depth histogram matches a per-URL split replay."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from methanol_web_crawler_ray.stages.extract import url_depth_dist
+
+    sf_dir_pages = pagegen.pages_dir_for(sf_dir)
+    urls = pq.read_table(f"{sf_dir_pages}/pages.parquet",
+                         columns=["url"]).column("url").to_pylist()
+    exp = Counter(max(len(u.split("/")) - 3, 0) for u in urls)
+    got = {r["depth"]: r["n_pages"]
+           for r in url_depth_dist(sf_dir_pages).take_all()}
+    assert got == dict(exp)
+    assert sum(got.values()) == len(urls)
