@@ -449,6 +449,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_url_depth": _q_page_url_depth,
         # degree-assortativity integer moments (Newman r numerators)
         "graph_assortativity": graph.link_assortativity,
+        # grouped exact quantiles (per-type percentile_disc, no sort)
+        "rel_value_quantiles": relops.value_quantiles,
     }
 
 
@@ -1404,6 +1406,8 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{pdir}/pages.parquet') GROUP BY depth"),
         # assortativity: degrees CTE joined onto edges twice, six sums
         "graph_assortativity": graph.assortativity_oracle_sql(pdir),
+        # grouped quantiles: window-cumsum percentile_disc replay
+        "rel_value_quantiles": relops.value_quantiles_oracle_sql(),
     }
     # confusion matrix replays the full doc_langid decision SQL as a CTE
     d["doc_lang_confusion"] = textops.lang_confusion_oracle_sql(

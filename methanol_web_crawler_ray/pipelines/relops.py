@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ._util import rename as _rename, task_udf
 
@@ -664,3 +665,74 @@ def top_events_oracle_sql(n: int = TPU_N) -> str:
         "ORDER BY value_cents DESC, event_id) AS rnk FROM c) "
         "SELECT user_id, event_id, event_type, value_cents, "
         f"rnk::BIGINT AS rnk FROM r WHERE rnk <= {n}")
+
+
+# ---------------------------------------------------------------------------
+# grouped exact quantiles — per-key percentile_disc without sorting the
+# data (the two-level histogram of textops.length_quantiles, PARTITIONED
+# by the group key).
+
+VQ_PERMILLE = (250, 500, 750, 900)
+
+
+def value_quantiles(sf_dir: str, permille=VQ_PERMILLE):
+    """(event_type, q_permille, value_cents): exact per-type quantiles
+    of the integer event value — for each q the smallest cents whose
+    within-type cumulative count × 1000 ≥ q × type total
+    (percentile_disc semantics, decided in integers).
+
+    Scale shape: in-batch (type, cents) value-count partials → one
+    grouped sum bounded by type × distinct-value domain (never
+    events-sized) → a driver fold of that bounded histogram; no sort,
+    no event-width shuffle."""
+    import ray.data
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "event_type": df["event_type"],
+            "v": np.floor(df["value"] * 100 + 0.5).astype("int64"),
+            "c": np.ones(len(df), dtype=np.int64)})
+        return out.groupby(["event_type", "v"], as_index=False).agg(
+            c=("c", "sum"))
+
+    hist = _read(sf_dir, "events", ["event_type", "value"]) \
+        .map_batches(partial, batch_format="pandas") \
+        .groupby(["event_type", "v"]).sum("c").to_pandas() \
+        .rename(columns={"sum(c)": "c"})
+
+    types, qs, vals = [], [], []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("v").reset_index(drop=True)
+        cum1000 = g["c"].cumsum().to_numpy(dtype=np.int64) * 1000
+        total = int(g["c"].sum())
+        v = g["v"].to_numpy(dtype=np.int64)
+        idx = np.searchsorted(
+            cum1000, np.asarray(permille, dtype=np.int64) * total,
+            side="left")
+        types.extend([et] * len(permille))
+        qs.extend(int(q) for q in permille)
+        vals.extend(int(x) for x in v[idx])
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "q_permille": pa.array(qs, pa.int64()),
+        "value_cents": pa.array(vals, pa.int64())}))
+
+
+def value_quantiles_oracle_sql(permille=VQ_PERMILLE) -> str:
+    qlist = ", ".join(str(q) for q in permille)
+    return (
+        "WITH c AS (SELECT event_type, "
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events), "
+        "h AS (SELECT event_type, v, count(*)::BIGINT AS c "
+        "FROM c GROUP BY 1, 2), "
+        "t AS (SELECT event_type, sum(c)::BIGINT AS tot "
+        "FROM h GROUP BY 1), "
+        "w AS (SELECT event_type, v, (sum(c) OVER (PARTITION BY "
+        "event_type ORDER BY v))::BIGINT * 1000 AS cum1000 FROM h), "
+        f"q AS (SELECT event_type, unnest([{qlist}])::BIGINT AS qp "
+        "FROM t) "
+        "SELECT q.event_type, q.qp AS q_permille, "
+        "min(w.v)::BIGINT AS value_cents FROM q "
+        "JOIN t ON t.event_type = q.event_type "
+        "JOIN w ON w.event_type = q.event_type "
+        "AND w.cum1000 >= q.qp * t.tot GROUP BY 1, 2")

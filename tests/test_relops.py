@@ -216,3 +216,24 @@ def test_top_events_per_user_vs_bruteforce(ray_session, sf_dir):
             (int(r["event_id"]), int(r["value_cents"]), int(r["rnk"])))
     got = {u: sorted(v, key=lambda t: t[2]) for u, v in got.items()}
     assert got == exp
+
+
+def test_value_quantiles_vs_bruteforce(ray_session, sf_dir):
+    """Grouped histogram quantiles match a direct percentile_disc
+    replay per event type."""
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    df["v"] = np.floor(df["value"] * 100 + 0.5).astype("int64")
+    exp = {}
+    for et, g in df.groupby("event_type"):
+        vs = np.sort(g["v"].to_numpy())
+        for q in relops.VQ_PERMILLE:
+            # smallest v with cum*1000 >= q*total
+            target = q * len(vs)
+            k = int(np.ceil(target / 1000)) - 1
+            exp[(et, q)] = int(vs[max(k, 0)])
+    got = {(r["event_type"], r["q_permille"]): r["value_cents"]
+           for r in relops.value_quantiles(sf_dir).take_all()}
+    assert got == exp
