@@ -204,6 +204,16 @@ def _q_media_frames(sf_dir: str):
     return multimodal.media_frames()
 
 
+def _q_media_stdlib_decode(sf_dir: str):
+    """REAL stdlib-format decode (BMP/PPM/WAV/PPM-stream) — the same
+    DecodeMeta actor stage with codec='stdlib' over real-format payloads,
+    gated against the generator's by-construction metadata."""
+    from methanol_web_crawler_ray.pipelines import multimodal
+
+    return multimodal.media_decode(multimodal.stdlib_media_dir_for(),
+                                   codec="stdlib")
+
+
 def _q_ftp_entries(sf_dir: str):
     """ftpparse (S3/M8) over all 9 LIST dialects — vs the generator's
     by-construction golden entries."""
@@ -302,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _q_media_decode,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
+        "media_stdlib_decode": _q_media_stdlib_decode,
         # windowed relational ops
         "rel_events_sliding": relops.events_sliding_window,
         "rel_events_sessionize": relops.events_sessionize,
@@ -515,6 +526,7 @@ def oracle_sql() -> dict[str, str]:
     from methanol_web_crawler_ray.sources.captures import captures_path
 
     media_dir = _mm.media_dir_for()
+    smedia_dir = _mm.stdlib_media_dir_for()
     _ftp_dir = _ftp.ftp_dir_for()
     cap = captures_path(pdir)
     # corpus bigram-LM coverage (shared by doc_lm_coverage and, as a
@@ -1269,6 +1281,12 @@ def oracle_sql() -> dict[str, str]:
         "media_features": (
             f"SELECT media_id, bucket, cnt FROM "
             f"read_parquet('{media_dir}/golden_features.parquet')"
+        ),
+        # REAL stdlib decode (BMP/PPM/WAV/concatenated-PPM video) vs the
+        # generator's construction-derived metadata
+        "media_stdlib_decode": (
+            f"SELECT media_id, kind, dim_a, dim_b, body_len FROM "
+            f"read_parquet('{smedia_dir}/golden_decode.parquet')"
         ),
         # frame-sample vs the generator's frame grid
         "media_frames": (

@@ -2,12 +2,20 @@
 (prompt requirement: image/audio/video as binary columns; decode /
 feature-extract / resize / frame-sample as actor-pool map_batches stages).
 
-No image/audio libraries exist in this container, so the DECODE KERNEL is
-either a deterministic fake (``FakeCodec``: a 16-byte header we also
-generate — magic, kind, width/height or sample-rate/frames) or a
-clearly-marked stub raising NotImplementedError (``RealCodec``) where
-PIL/ffmpeg would slot in.  Everything Ray-side — schema, batch sizing for
-large binary cells, actor signature, output layout — is real and tested.
+Three decode kernels behind one interface:
+
+- ``FakeCodec`` — a deterministic 16-byte-header format we also generate
+  (magic, kind, width/height or sample-rate/frames): the oracle-replayable
+  default.
+- ``StdlibCodec`` — REAL decoding with stdlib + numpy only: BMP and
+  PPM/PGM images, WAV PCM audio (``wave``), and concatenated-PPM streams
+  (ffmpeg's ``-f image2pipe -vcodec ppm`` output) as video.  Runs — and
+  is driver-gated — in this container.
+- ``RealCodec`` — PIL-backed images when pillow is installed; the
+  ffmpeg audio/video seam stays a documented NotImplementedError.
+
+Everything Ray-side — schema, batch sizing for large binary cells, actor
+signature, output layout — is identical across the three.
 
 Scale note: binary payloads can be MBs per row → stages here use SMALL
 ``batch_size`` and ``large_binary`` columns (SURVEY §7 "very wide rows"),
@@ -224,12 +232,296 @@ class RealCodec:
         return np.bincount(px % dim, minlength=dim).astype(np.int64)
 
 
+class StdlibCodec:
+    """REAL decode with the standard library + numpy only — no PIL, no
+    ffmpeg, runnable in this container.  Formats (sniffed per payload by
+    magic bytes):
+
+    - BMP: BITMAPINFOHEADER, uncompressed (BI_RGB) 24-bit RGB or 8-bit
+      grayscale, top-down or bottom-up (the classic Windows DIB layout).
+    - PPM/PGM: binary P6 (RGB) / P5 (gray), maxval <= 255, with the
+      full whitespace-and-#-comment header token grammar.
+    - WAV: PCM via the stdlib ``wave`` module (rate + frame count +
+      16-bit sample access).
+    - Video: a CONCATENATED-PPM stream — byte-for-byte the format
+      ffmpeg emits with ``-f image2pipe -vcodec ppm`` — parsed frame by
+      frame; >1 frame in one payload classifies the payload as video.
+
+    Same interface as FakeCodec/RealCodec: every Ray stage takes
+    ``codec="stdlib"`` unchanged.  ``decode_meta`` returns
+    (kind, dim_a, dim_b, body_len) with image→(w, h), audio→(rate,
+    nframes), video→(w, n_frames); body_len is the decoded payload's
+    pixel/sample byte count (not the container size)."""
+
+    # ---- PPM / PGM ----------------------------------------------------
+    @staticmethod
+    def _ppm_header(buf: bytes, off: int):
+        """Parse a P6/P5 header starting at ``off``; returns
+        (channels, w, h, data_off).  Implements the real token grammar:
+        tokens separated by whitespace, ``#`` comments run to EOL."""
+        magic = buf[off:off + 2]
+        if magic not in (b"P6", b"P5"):
+            raise ValueError("not a binary PPM/PGM")
+        ch = 3 if magic == b"P6" else 1
+        pos = off + 2
+        vals = []
+        while len(vals) < 3:
+            while pos < len(buf) and buf[pos:pos + 1].isspace():
+                pos += 1
+            if buf[pos:pos + 1] == b"#":
+                while pos < len(buf) and buf[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(buf) and not buf[pos:pos + 1].isspace():
+                pos += 1
+            vals.append(int(buf[start:pos]))
+        if vals[2] > 255:
+            raise ValueError("maxval > 255 unsupported")
+        return ch, vals[0], vals[1], pos + 1  # single whitespace after maxval
+
+    @classmethod
+    def _ppm_frames(cls, buf: bytes):
+        """Split a (possibly concatenated) PPM/PGM stream into frames:
+        [(channels, w, h, data_off, data_len), ...]."""
+        frames, off = [], 0
+        while off < len(buf):
+            ch, w, h, doff = cls._ppm_header(buf, off)
+            dlen = ch * w * h
+            if doff + dlen > len(buf):
+                raise ValueError("truncated PPM frame")
+            frames.append((ch, w, h, doff, dlen))
+            off = doff + dlen
+        if not frames:
+            raise ValueError("empty PPM stream")
+        return frames
+
+    @staticmethod
+    def _ppm_encode(px: np.ndarray) -> bytes:
+        h, w = px.shape[:2]
+        if px.ndim == 3:
+            return b"P6 %d %d 255\n" % (w, h) + px.astype(np.uint8).tobytes()
+        return b"P5 %d %d 255\n" % (w, h) + px.astype(np.uint8).tobytes()
+
+    # ---- BMP ----------------------------------------------------------
+    @staticmethod
+    def _bmp_decode(b: bytes) -> np.ndarray:
+        if b[:2] != b"BM":
+            raise ValueError("not a BMP")
+        data_off = struct.unpack_from("<I", b, 10)[0]
+        w, h = struct.unpack_from("<ii", b, 18)
+        bpp = struct.unpack_from("<H", b, 28)[0]
+        comp = struct.unpack_from("<I", b, 30)[0]
+        if comp != 0 or bpp not in (8, 24):
+            raise ValueError("only uncompressed 8/24-bit BMP supported")
+        bottom_up, h = h > 0, abs(h)
+        stride = ((w * bpp // 8) + 3) & ~3
+        raw = np.frombuffer(b, np.uint8, count=stride * h,
+                            offset=data_off).reshape(h, stride)
+        if bpp == 24:
+            px = raw[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR→RGB
+        else:
+            px = raw[:, :w]
+        return px[::-1].copy() if bottom_up else px.copy()
+
+    @staticmethod
+    def _bmp_encode(px: np.ndarray) -> bytes:
+        """24-bit bottom-up BI_RGB (grayscale input is expanded)."""
+        if px.ndim == 2:
+            px = np.repeat(px[:, :, None], 3, axis=2)
+        h, w = px.shape[:2]
+        stride = ((w * 3) + 3) & ~3
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR
+        data = rows.tobytes()
+        hdr = (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+               + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                             len(data), 2835, 2835, 0, 0))
+        return hdr + data
+
+    # ---- WAV ----------------------------------------------------------
+    @staticmethod
+    def _wav_open(b: bytes):
+        import io
+        import wave
+
+        return wave.open(io.BytesIO(b), "rb")
+
+    # ---- sniff + interface --------------------------------------------
+    def _sniff(self, payload: bytes) -> str:
+        if payload[:2] == b"BM":
+            return "bmp"
+        if payload[:2] in (b"P6", b"P5"):
+            return "ppm"
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return "wav"
+        raise ValueError("unrecognized payload (BMP/PPM/WAV supported)")
+
+    def decode_meta(self, payload: bytes):
+        fmt = self._sniff(payload)
+        if fmt == "bmp":
+            px = self._bmp_decode(payload)
+            return "image", int(px.shape[1]), int(px.shape[0]), int(px.size)
+        if fmt == "wav":
+            wf = self._wav_open(payload)
+            return ("audio", int(wf.getframerate()), int(wf.getnframes()),
+                    int(wf.getnframes() * wf.getsampwidth()
+                        * wf.getnchannels()))
+        frames = self._ppm_frames(payload)
+        ch, w, h, _off, dlen = frames[0]
+        if len(frames) > 1:  # concatenated stream = video
+            return "video", int(w), len(frames), dlen * len(frames)
+        return "image", int(w), int(h), int(dlen)
+
+    def _decode_image(self, payload: bytes) -> np.ndarray:
+        fmt = self._sniff(payload)
+        if fmt == "bmp":
+            return self._bmp_decode(payload)
+        if fmt == "wav":
+            raise ValueError("not an image")
+        ch, w, h, off, dlen = self._ppm_frames(payload)[0]
+        px = np.frombuffer(payload, np.uint8, count=dlen, offset=off)
+        return px.reshape(h, w, ch) if ch == 3 else px.reshape(h, w)
+
+    def resize_image(self, payload: bytes, w: int, h: int) -> bytes:
+        """Nearest-neighbor resample (pure numpy index grid), re-encoded
+        in the SAME container family (BMP stays BMP, PPM/PGM stays
+        PPM/PGM)."""
+        fmt = self._sniff(payload)
+        px = self._decode_image(payload)
+        sh, sw = px.shape[:2]
+        yi = (np.arange(h) * sh) // h
+        xi = (np.arange(w) * sw) // w
+        out = px[yi][:, xi]
+        return self._bmp_encode(out) if fmt == "bmp" else self._ppm_encode(out)
+
+    def sample_frames(self, payload: bytes, every: int):
+        frames = self._ppm_frames(payload)
+        if len(frames) < 2:
+            raise ValueError("not a video (single-frame payload)")
+        return list(range(0, len(frames), every))
+
+    def extract_features(self, payload: bytes, dim: int):
+        """Integer histogram over DECODED content: pixel values for
+        images and video (all frames), 16-bit PCM samples mod ``dim``
+        for audio — the deterministic stand-in for a model forward."""
+        fmt = self._sniff(payload)
+        if fmt == "wav":
+            wf = self._wav_open(payload)
+            raw = wf.readframes(wf.getnframes())
+            samples = np.frombuffer(raw, np.int16).astype(np.int64)
+            return np.bincount(samples % dim, minlength=dim).astype(np.int64)
+        if fmt == "bmp":
+            vals = self._bmp_decode(payload).ravel()
+        else:
+            vals = np.concatenate([
+                np.frombuffer(payload, np.uint8, count=dlen, offset=off)
+                for _ch, _w, _h, off, dlen in self._ppm_frames(payload)])
+        return np.bincount(vals.astype(np.int64) % dim,
+                           minlength=dim).astype(np.int64)
+
+
+_CODECS = {"fake": FakeCodec, "real": RealCodec, "stdlib": StdlibCodec}
+
+
+def make_codec(name: str):
+    return _CODECS[name]()
+
+
+def gen_stdlib_media_table(n: int = 48):
+    """Deterministic REAL-format media table: BMP + PPM images, WAV PCM
+    audio, concatenated-PPM video streams.  Goldens are computed from
+    the generation arithmetic (never by calling the codec), so the
+    stdlib decode path is a genuine end-to-end check."""
+    import io
+    import wave
+
+    codec = StdlibCodec()  # encoders only (pure functions of the array)
+    ids, kinds, payloads = [], [], []
+    g_a, g_b, g_len = [], [], []
+    for i in range(n):
+        slot = i % 4
+        if slot == 0:  # BMP 24-bit
+            w, h = 8 + (i % 5) * 4, 6 + (i % 3) * 4
+            px = ((np.arange(h * w * 3, dtype=np.int64) * (i + 7)) % 256
+                  ).astype(np.uint8).reshape(h, w, 3)
+            payloads.append(codec._bmp_encode(px))
+            kinds.append("image")
+            g_a.append(w)
+            g_b.append(h)
+            g_len.append(h * w * 3)
+        elif slot == 1:  # P6 PPM
+            w, h = 10 + (i % 4) * 3, 5 + (i % 6)
+            px = ((np.arange(h * w * 3, dtype=np.int64) * (i + 3) + 11) % 256
+                  ).astype(np.uint8).reshape(h, w, 3)
+            payloads.append(codec._ppm_encode(px))
+            kinds.append("image")
+            g_a.append(w)
+            g_b.append(h)
+            g_len.append(h * w * 3)
+        elif slot == 2:  # WAV PCM 16-bit mono
+            rate, frames = 8000, 64 + i * 2
+            samples = (((np.arange(frames, dtype=np.int64) * (i + 1) * 257)
+                        % 20001) - 10000).astype(np.int16)
+            buf = io.BytesIO()
+            wf = wave.open(buf, "wb")
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(rate)
+            wf.writeframes(samples.tobytes())
+            wf.close()
+            payloads.append(buf.getvalue())
+            kinds.append("audio")
+            g_a.append(rate)
+            g_b.append(frames)
+            g_len.append(frames * 2)
+        else:  # concatenated-PPM video stream
+            w, h = 6 + (i % 3) * 2, 4 + (i % 2) * 2
+            nf = 3 + (i % 5)
+            stream = b"".join(
+                codec._ppm_encode(
+                    ((np.arange(h * w * 3, dtype=np.int64) * (i + fi + 2))
+                     % 256).astype(np.uint8).reshape(h, w, 3))
+                for fi in range(nf))
+            payloads.append(stream)
+            kinds.append("video")
+            g_a.append(w)
+            g_b.append(nf)
+            g_len.append(h * w * 3 * nf)
+        ids.append(i)
+    media = pa.table({"media_id": ids, "kind": kinds, "payload": payloads},
+                     schema=MEDIA_SCHEMA)
+    golden = pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "kind": pa.array(kinds, pa.string()),
+        "dim_a": pa.array(g_a, pa.int64()),
+        "dim_b": pa.array(g_b, pa.int64()),
+        "body_len": pa.array(g_len, pa.int64()),
+    })
+    return media, golden
+
+
+def stdlib_media_dir_for(base: str = "/tmp/mwc_media_stdlib",
+                         n: int = 48) -> str:
+    import pyarrow.parquet as pq
+
+    out = os.path.join(base, f"{n}-v1")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        media, golden = gen_stdlib_media_table(n)
+        pq.write_table(media, os.path.join(out, "media.parquet"))
+        pq.write_table(golden, os.path.join(out, "golden_decode.parquet"))
+        open(marker, "w").write("ok")
+    return out
+
+
 class DecodeMeta:
     """Actor-pool stage: codec constructed ONCE per actor (the expensive
     model/codec load in real deployments), per-batch decode after."""
 
     def __init__(self, codec_name: str = "fake"):
-        self.codec = FakeCodec() if codec_name == "fake" else RealCodec()
+        self.codec = make_codec(codec_name)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
@@ -276,7 +568,7 @@ class ExtractFeatures:
     feature table feeds the ANN ops directly."""
 
     def __init__(self, dim: int = FEAT_DIM, codec_name: str = "fake"):
-        self.codec = FakeCodec() if codec_name == "fake" else RealCodec()
+        self.codec = make_codec(codec_name)
         self.dim = dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -316,7 +608,7 @@ class SampleFrames:
     index grid is the part the goldens pin)."""
 
     def __init__(self, every: int = FRAME_EVERY, codec_name: str = "fake"):
-        self.codec = FakeCodec() if codec_name == "fake" else RealCodec()
+        self.codec = make_codec(codec_name)
         self.every = every
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -353,7 +645,7 @@ def media_frames(media_dir: Optional[str] = None, codec: str = "fake",
 
 class ResizeImages:
     def __init__(self, w: int, h: int, codec_name: str = "fake"):
-        self.codec = FakeCodec() if codec_name == "fake" else RealCodec()
+        self.codec = make_codec(codec_name)
         self.w, self.h = w, h
 
     def __call__(self, batch: pa.Table) -> pa.Table:

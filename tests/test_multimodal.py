@@ -128,3 +128,120 @@ def test_media_frames_pipeline(ray_session):
         assert sorted(idxs) == list(range(0, frames, mm.FRAME_EVERY))
     # every video sampled
     assert set(got) == {m for m, (k, _f) in metas.items() if k == "video"}
+
+
+class TestStdlibCodec:
+    """StdlibCodec: REAL format decode (BMP/PPM/WAV/PPM-stream) with no
+    external libraries — every assertion is against construction-known
+    values, never the codec's own output."""
+
+    def test_bmp_roundtrip_and_meta(self):
+        import numpy as np
+
+        c = mm.StdlibCodec()
+        px = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(4, 6, 3)
+        b = c._bmp_encode(px)
+        assert b[:2] == b"BM"
+        kind, w, h, n = c.decode_meta(b)
+        assert (kind, w, h, n) == ("image", 6, 4, 72)
+        assert np.array_equal(c._decode_image(b), px)
+
+    def test_ppm_header_grammar(self):
+        import numpy as np
+
+        c = mm.StdlibCodec()
+        # comments + arbitrary whitespace in the header
+        body = bytes(range(2 * 3 * 3))
+        raw = b"P6 # cmt\n  2\n# another\n 3\t255\n" + body
+        kind, w, h, n = c.decode_meta(raw)
+        assert (kind, w, h, n) == ("image", 2, 3, 18)
+        assert c._decode_image(raw).shape == (3, 2, 3)
+        # P5 grayscale
+        g = c._ppm_encode(np.zeros((2, 5), np.uint8))
+        assert g[:2] == b"P5" and c.decode_meta(g) == ("image", 5, 2, 10)
+
+    def test_wav_meta_and_features(self):
+        import io
+        import wave
+
+        import numpy as np
+
+        samples = (np.arange(100, dtype=np.int64) * 31 - 500).astype(np.int16)
+        buf = io.BytesIO()
+        wf = wave.open(buf, "wb")
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(samples.tobytes())
+        wf.close()
+        c = mm.StdlibCodec()
+        assert c.decode_meta(buf.getvalue()) == ("audio", 8000, 100, 200)
+        feat = c.extract_features(buf.getvalue(), 16)
+        exp = np.bincount(samples.astype(np.int64) % 16, minlength=16)
+        assert np.array_equal(feat, exp) and feat.sum() == 100
+
+    def test_ppm_stream_video(self):
+        import numpy as np
+
+        c = mm.StdlibCodec()
+        f = [np.full((2, 3, 3), i, np.uint8) for i in range(7)]
+        stream = b"".join(c._ppm_encode(x) for x in f)
+        assert c.decode_meta(stream) == ("video", 3, 7, 2 * 3 * 3 * 7)
+        assert c.sample_frames(stream, 2) == [0, 2, 4, 6]
+        # features: histogram over ALL frames' pixels
+        feat = c.extract_features(stream, 16)
+        assert feat.sum() == 7 * 18
+        for i in range(7):
+            assert feat[i % 16] >= 18
+
+    def test_resize_preserves_container(self):
+        import numpy as np
+
+        c = mm.StdlibCodec()
+        px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+        for enc in (c._bmp_encode, c._ppm_encode):
+            out = c.resize_image(enc(px), 4, 2)
+            assert out[:2] == enc(px)[:2]  # same container magic
+            kind, w, h, _n = c.decode_meta(out)
+            assert (kind, w, h) == ("image", 4, 2)
+            # nearest-neighbor grid: out[y,x] == px[(y*8)//2? ...] —
+            # spot-pin corner pixels against the index formula
+            dec = c._decode_image(out)
+            assert np.array_equal(dec[0, 0], px[0, 0])
+            assert np.array_equal(dec[1, 3], px[(1 * 8) // 2, (3 * 8) // 4])
+
+
+def test_stdlib_media_pipeline_against_goldens(ray_session):
+    """The SAME Ray stages run codec='stdlib' over the real-format media
+    table; decode output must equal the construction-derived golden."""
+    import pyarrow.parquet as pq
+
+    d = mm.stdlib_media_dir_for()
+    got = {int(r["media_id"]): (r["kind"], int(r["dim_a"]),
+                                int(r["dim_b"]), int(r["body_len"]))
+           for r in mm.media_decode(d, codec="stdlib").take_all()}
+    gold = pq.read_table(f"{d}/golden_decode.parquet")
+    exp = {int(m): (k, int(a), int(b), int(n))
+           for m, k, a, b, n in zip(*[gold.column(c).to_pylist()
+                                      for c in ("media_id", "kind", "dim_a",
+                                                "dim_b", "body_len")])}
+    assert got == exp
+
+    # frame sampling over the video rows: stride grid of the frame count
+    frames = {}
+    for r in mm.media_frames(d, codec="stdlib", every=2).take_all():
+        frames.setdefault(int(r["media_id"]), []).append(int(r["frame_idx"]))
+    vids = {m for m, (k, _a, _b, _n) in exp.items() if k == "video"}
+    assert set(frames) == vids
+    for m, idxs in frames.items():
+        assert sorted(idxs) == list(range(0, exp[m][2], 2))
+
+    # features: histogram mass == decoded pixel count (images+video);
+    # audio mass == sample count
+    import collections
+
+    mass = collections.Counter()
+    for r in mm.media_features(d, codec="stdlib").take_all():
+        mass[int(r["media_id"])] += int(r["cnt"])
+    for m, (k, a, b, n) in exp.items():
+        assert mass[m] == (b if k == "audio" else n)
