@@ -204,6 +204,22 @@ def _q_media_frames(sf_dir: str):
     return multimodal.media_frames()
 
 
+def _q_page_anchors(sf_dir: str):
+    """<a>-tag anchor-text extraction (extension kernel) vs the
+    generator's by-construction golden."""
+    from methanol_web_crawler_ray.stages.extract import page_anchors
+
+    return page_anchors(_pages_dir(sf_dir))
+
+
+def _q_page_anchor_text(sf_dir: str):
+    """Per-target inlink anchor-text aggregation (extraction → resolve →
+    combiner-friendly double groupby)."""
+    from methanol_web_crawler_ray.stages.extract import anchor_text_agg
+
+    return anchor_text_agg(_pages_dir(sf_dir))
+
+
 def _q_media_stdlib_decode(sf_dir: str):
     """REAL stdlib-format decode (BMP/PPM/WAV/PPM-stream) — the same
     DecodeMeta actor stage with codec='stdlib' over real-format payloads,
@@ -388,6 +404,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_range_join": relops.events_range_join,
         "rel_price_band_join": relops.price_band_join,
         "page_links": _q_page_links,
+        "page_anchors": _q_page_anchors,
+        "page_anchor_text": _q_page_anchor_text,
         "page_canonicalize": _q_page_canonicalize,
         "doc_quality": textops.quality,
         "doc_bpe_tokens": textops.bpe_token_stats,
@@ -586,6 +604,19 @@ def oracle_sql() -> dict[str, str]:
         "page_xmlconv": (
             f"SELECT url, xhtml FROM "
             f"read_parquet('{pdir}/golden_xml.parquet')"
+        ),
+        # anchor extraction vs the by-construction golden; the
+        # aggregation re-derives targets distributed, the oracle uses the
+        # golden's by-construction canon column
+        "page_anchors": (
+            f"SELECT url, anchor_seq, href_raw, anchor FROM "
+            f"read_parquet('{pdir}/golden_anchors.parquet')"
+        ),
+        "page_anchor_text": (
+            f"SELECT canon AS target, count(*)::BIGINT AS n_anchors, "
+            f"count(DISTINCT url)::BIGINT AS n_sources, "
+            f"min(anchor) AS top_anchor FROM "
+            f"read_parquet('{pdir}/golden_anchors.parquet') GROUP BY canon"
         ),
         "page_classify": (
             f"SELECT url, filetype FROM "

@@ -285,3 +285,81 @@ def extract_html_links(buf: bytes) -> List[bytes]:
                     p += 1
         p += 1  # outer for-loop increment (html.c:117)
     return out
+
+
+def _strip_tags_collapse(b: bytes) -> bytes:
+    """Remove ``<...>`` spans and collapse whitespace runs to single
+    spaces (trimmed) — the anchor-TEXT normalization rule."""
+    parts: List[bytes] = []
+    p, e = 0, len(b)
+    while p < e:
+        lt = b.find(b"<", p)
+        if lt < 0:
+            parts.append(b[p:])
+            break
+        parts.append(b[p:lt])
+        gt = b.find(b">", lt)
+        if gt < 0:
+            break
+        p = gt + 1
+    return b" ".join(b"".join(parts).split())
+
+
+def extract_anchor_texts(buf: bytes) -> List[Tuple[bytes, bytes]]:
+    """[(href_raw, anchor_text)] for ``<a>`` tags in document order —
+    an EXTENSION operator (libmetha extracts refs only, html.c:334-337;
+    anchor text is the classic web-corpus signal the reference never
+    needed).  Grammar decisions, kept consistent with the transcribed
+    extractor where they overlap:
+
+    * first ``href`` per tag via the same ``_tag_next_attr`` scanner
+      (quoted/unquoted/case-insensitive attributes);
+    * ``#``-refs and hrefless ``<a>`` tags are skipped (html.c:334);
+    * ``<script>`` / ``<style>`` / ``<textarea>`` content is never
+      scanned (container semantics of html.c:72-75);
+    * anchor text = bytes between the tag end and the next ``</a``
+      (case-insensitive), nested tags stripped, whitespace collapsed.
+    """
+    out: List[Tuple[bytes, bytes]] = []
+    e = len(buf)
+    lower = buf.lower()
+    p = 0
+    while p < e:
+        tb = lower.find(b"<", p)
+        if tb < 0:
+            break
+        skipped = False
+        for name in _TAGS:
+            if lower[tb + 1 : tb + 1 + len(name)] == name:
+                close = lower.find(b"</" + name, tb + 1)
+                p = e if close < 0 else close + 2 + len(name)
+                skipped = True
+                break
+        if skipped:
+            continue
+        nxt = buf[tb + 2 : tb + 3]
+        if lower[tb + 1 : tb + 2] == b"a" and (
+            tb + 2 >= e or nxt in (b" ", b"\t", b"\n", b"\r", b"\v",
+                                   b"\f", b">", b"/")
+        ):
+            te = buf.find(b">", tb)
+            if te < 0:
+                break
+            href = None
+            q = tb + 2
+            while True:
+                r = _tag_next_attr(buf, q, te)
+                if r is None:
+                    break
+                q, attr, val = r
+                if attr.lower() == b"href":
+                    href = val
+                    break
+            if href and href[:1] != b"#":
+                ce = lower.find(b"</a", te + 1)
+                inner = buf[te + 1 : ce if ce >= 0 else e]
+                out.append((href, _strip_tags_collapse(inner)))
+            p = te + 1
+        else:
+            p = tb + 1
+    return out

@@ -128,12 +128,16 @@ def _base_dir(path: str) -> str:
 def _build_html_page(host: str, j: int, k: int, hosts: List[str],
                      heavy: bool = False):
     """Returns (html_bytes, expected_text_str, raw_links_in_order, lang,
-    expected_canon_links, expected_xml_bytes) — all predictions are by
-    construction from the known template shapes, not by running parsers."""
+    expected_canon_links, expected_xml_bytes, expected_anchors) — all
+    predictions are by construction from the known template shapes, not
+    by running parsers.  expected_anchors = [(href_raw, anchor_text,
+    canon)] for every ``<a href>`` whose ref is extracted (``#``-refs
+    excluded), in document order."""
     lang = ("en", "sv", "de")[j % 3]
     title = f"Page {j} of {host}"
     links: List[str] = []  # predicted extraction output, document order
     canons: List[str] = []  # predicted canonical absolute URL per link
+    anchors: List[Tuple[str, str, str]] = []  # (href_raw, text, canon)
     bdir = _base_dir(_page_path(j))
 
     def canon_of(ref: str) -> str:
@@ -157,6 +161,9 @@ def _build_html_page(host: str, j: int, k: int, hosts: List[str],
         if extracted:
             links.append(href)
             canons.append(canon_of(href))
+        # anchor-text golden: the template writes the href as the inner
+        # text, so text == href as written (raw, pre-entity-decode)
+        anchors.append((href, href, canon_of(href)))
         xml_parts.append(f'<a href="{_xesc(href)}">{_xesc(href)}</a>')
         return f'<a href="{href}">{href}</a>'
 
@@ -220,6 +227,8 @@ def _build_html_page(host: str, j: int, k: int, hosts: List[str],
             f'<a href="{_page_path(1)}">uppercase-unquoted</a>')
         links.append(_page_path(1))
         canons.append(canon_of(_page_path(1)))
+        anchors.append((_page_path(1), "uppercase-unquoted",
+                        canon_of(_page_path(1))))
     if j % 21 == 9:
         # encoded-content element: inner '<' → '&lt;' (the close tag scan
         # lowercases the final chunk — already lowercase here)
@@ -264,7 +273,7 @@ def _build_html_page(host: str, j: int, k: int, hosts: List[str],
     expected = converted
     for name, ch in _ENTS.items():
         expected = expected.replace(f"&{name};", ch)
-    return html_bytes, expected, links, lang, canons, xml_bytes
+    return html_bytes, expected, links, lang, canons, xml_bytes, anchors
 
 
 def _build_text_page(host: str, j: int) -> Tuple[bytes, str, List[str]]:
@@ -339,6 +348,11 @@ def generate(n_pages: int, heavy: bool = False) -> Dict[str, pa.Table]:
     link_canons: List[Optional[str]] = []
     xml_urls: List[str] = []
     xml_bodies: List[str] = []
+    anch_urls: List[str] = []
+    anch_seqs: List[int] = []
+    anch_refs: List[str] = []
+    anch_texts: List[str] = []
+    anch_canons: List[str] = []
 
     idx = 0
 
@@ -346,7 +360,8 @@ def generate(n_pages: int, heavy: bool = False) -> Dict[str, pa.Table]:
              location: Optional[str], ctype: str,
              links: Optional[List[str]] = None,
              canons: Optional[List[str]] = None,
-             xml: Optional[bytes] = None) -> None:
+             xml: Optional[bytes] = None,
+             anchors=None) -> None:
         nonlocal idx
         urls.append(url)
         ts.append(BASE_TS + idx * 1_000_000)
@@ -359,6 +374,12 @@ def generate(n_pages: int, heavy: bool = False) -> Dict[str, pa.Table]:
             link_seqs.append(i)
             link_refs.append(r)
             link_canons.append(canons[i] if canons else None)
+        for i, (ref, txt, cn) in enumerate(anchors or ()):
+            anch_urls.append(url)
+            anch_seqs.append(i)
+            anch_refs.append(ref)
+            anch_texts.append(txt)
+            anch_canons.append(cn)
         if xml is not None:
             xml_urls.append(url)
             # hex string, matching page_xmlconv: binary golden columns
@@ -401,12 +422,12 @@ def generate(n_pages: int, heavy: bool = False) -> Dict[str, pa.Table]:
                      "text/css", links,
                      canons=[f"http://{host}/i{j}.png"])
             else:
-                (html, text, links, lang,
-                 canons, xml) = _build_html_page(host, j, k, hosts, heavy)
+                (html, text, links, lang, canons, xml,
+                 anchors) = _build_html_page(host, j, k, hosts, heavy)
                 ctype = ("text/html; charset=ISO-8859-1"
                          if _charset_latin1(host, j) else "text/html")
                 emit(_url_of(host, j), html, text, lang, 200, None,
-                     ctype, links, canons=canons, xml=xml)
+                     ctype, links, canons=canons, xml=xml, anchors=anchors)
 
     pages = pa.table(
         {
@@ -471,9 +492,19 @@ def generate(n_pages: int, heavy: bool = False) -> Dict[str, pa.Table]:
             "xhtml": pa.array(xml_bodies, pa.string()),
         }
     )
+    golden_anchors = pa.table(
+        {
+            "url": pa.array(anch_urls, pa.string()),
+            "anchor_seq": pa.array(anch_seqs, pa.int32()),
+            "href_raw": pa.array(anch_refs, pa.string()),
+            "anchor": pa.array(anch_texts, pa.string()),
+            "canon": pa.array(anch_canons, pa.string()),
+        }
+    )
     return {"pages": pages, "page_meta": page_meta, "seeds": seeds,
             "golden_links": golden_links, "golden_canon": golden_canon,
-            "golden_classify": golden_classify, "golden_xml": golden_xml}
+            "golden_classify": golden_classify, "golden_xml": golden_xml,
+            "golden_anchors": golden_anchors}
 
 
 # table sizes per driver sf tier (FIXTURES.md: tiny/small/bench)

@@ -483,3 +483,93 @@ def url_depth_dist(pages_dir: str):
         .map_batches(partial, batch_format="pyarrow") \
         .groupby("depth").sum("n_pages")
     return rename(agg, {"sum(n_pages)": "n_pages"})
+
+
+def page_anchors(pages_dir: str, batch_size: int = 256):
+    """(url, anchor_seq, href_raw, anchor): ``<a>``-tag href + anchor
+    text in document order per 200-status html page — the extension
+    kernel (htmlparse.extract_anchor_texts; libmetha extracts refs only,
+    html.c:334-337).  Oracled against the generator's by-construction
+    golden_anchors table."""
+    from ..functions.htmlparse import extract_anchor_texts
+
+    def ex(batch: pa.Table) -> pa.Table:
+        out_url, out_seq, out_ref, out_txt = [], [], [], []
+        for url, body, ctype, status in zip(
+            batch.column("url").to_pylist(),
+            batch.column("body").to_pylist(),
+            batch.column("content_type").to_pylist(),
+            batch.column("status").to_pylist(),
+        ):
+            if status != 200 or (ctype or "").split(";")[0] != "text/html":
+                continue
+            for i, (href, txt) in enumerate(extract_anchor_texts(body or b"")):
+                out_url.append(url)
+                out_seq.append(i)
+                out_ref.append(href.decode("utf-8", "surrogateescape"))
+                out_txt.append(txt.decode("utf-8", "surrogateescape"))
+        return pa.table(
+            {
+                "url": pa.array(out_url, pa.string()),
+                "anchor_seq": pa.array(out_seq, pa.int32()),
+                "href_raw": pa.array(out_ref, pa.string()),
+                "anchor": pa.array(out_txt, pa.string()),
+            }
+        )
+
+    return _store_ds(
+        pages_dir, ["url", "content_type", "status", "body"]
+    ).map_batches(ex, batch_format="pyarrow", batch_size=batch_size)
+
+
+def anchor_text_agg(pages_dir: str, batch_size: int = 256):
+    """(target, n_anchors, n_sources, top_anchor): inlink anchor-text
+    aggregation per canonical target URL — the classic web-corpus signal
+    (anchor text as a target-page description, a training-data staple
+    the crawler's link table enables).
+
+    Scale shape: extraction → per-page resolve (M1-M4 kernel) → TWO
+    builtin-aggregate groupbys, (target, url) then (target).  Both use
+    Sum/Count/Min so Ray Data pre-aggregates per block before the
+    shuffle — a hot target (every page links "/") never materializes as
+    one giant Python group, unlike a map_groups formulation."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    from ..functions.urlkit import resolve, url_set
+
+    def canon(batch: pa.Table) -> pa.Table:
+        targets = []
+        base_cache = {}
+        for url, ref in zip(batch.column("url").to_pylist(),
+                            batch.column("href_raw").to_pylist()):
+            base = base_cache.get(url)
+            if base is None:
+                base = url_set(url)
+                base_cache[url] = base
+            u = resolve(base, ref) if base is not None else None
+            targets.append(u.s if u is not None else None)
+        t = pa.table({"target": pa.array(targets, pa.string()),
+                      "url": batch.column("url"),
+                      "anchor": batch.column("anchor")})
+        # unresolvable refs drop here (cheaper than a filter stage)
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_valid(t.column("target")))
+
+    ds = page_anchors(pages_dir, batch_size=batch_size).map_batches(
+        canon, batch_format="pyarrow"
+    )
+    per_src = ds.groupby(["target", "url"]).aggregate(
+        Count(), Min("anchor"))
+    agg = per_src.groupby("target").aggregate(
+        Sum("count()"), Count(), Min("min(anchor)"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "target": batch.column("target"),
+            "n_anchors": batch.column("sum(count())").cast(pa.int64()),
+            "n_sources": batch.column("count()").cast(pa.int64()),
+            "top_anchor": batch.column("min(min(anchor))"),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")

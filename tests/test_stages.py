@@ -281,3 +281,55 @@ def test_url_depth_dist_vs_bruteforce(ray_session, sf_dir):
            for r in url_depth_dist(sf_dir_pages).take_all()}
     assert got == dict(exp)
     assert sum(got.values()) == len(urls)
+
+
+def test_anchor_kernel_grammar():
+    """extract_anchor_texts: href grammar, container skip, text strip."""
+    from methanol_web_crawler_ray.functions.htmlparse import (
+        extract_anchor_texts)
+
+    html = (b"<html><body>"
+            b"<a href=\"/x/y.html\">Link <b>one</b>  here</a>"
+            b"<a href=\"#frag\">skip</a>"
+            b"<A HREF=rel.html>UPPER</A>"
+            b"<script>var x = '<a href=\"fake.html\">no</a>';</script>"
+            b"<a name=anchor>no href</a>"
+            b"<a href=\"http://other/\"><img src=i.png></a>"
+            b"</body></html>")
+    assert extract_anchor_texts(html) == [
+        (b"/x/y.html", b"Link one here"),
+        (b"rel.html", b"UPPER"),
+        (b"http://other/", b""),
+    ]
+
+
+def test_page_anchors_vs_golden(ray_session):
+    """Distributed anchor extraction == the by-construction golden."""
+    import pyarrow.parquet as pq
+
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+    got = sorted(
+        (r["url"], r["anchor_seq"], r["href_raw"], r["anchor"])
+        for r in extract.page_anchors(d).take_all())
+    exp = sorted(
+        (r["url"], r["anchor_seq"], r["href_raw"], r["anchor"])
+        for r in pq.read_table(f"{d}/golden_anchors.parquet")
+        .drop_columns("canon").to_pylist())
+    assert got == exp and len(got) > 0
+
+
+def test_anchor_text_agg_vs_bruteforce(ray_session):
+    """Per-target aggregation matches a sequential replay over the
+    golden (counts, distinct sources, lexicographic min anchor)."""
+    import pyarrow.parquet as pq
+
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+    exp = {}
+    for r in pq.read_table(f"{d}/golden_anchors.parquet").to_pylist():
+        e = exp.setdefault(r["canon"], [0, set(), None])
+        e[0] += 1
+        e[1].add(r["url"])
+        e[2] = r["anchor"] if e[2] is None else min(e[2], r["anchor"])
+    got = {r["target"]: (r["n_anchors"], r["n_sources"], r["top_anchor"])
+           for r in extract.anchor_text_agg(d).take_all()}
+    assert got == {t: (n, len(s), m) for t, (n, s, m) in exp.items()}
