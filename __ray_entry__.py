@@ -434,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_reciprocal": graph.link_reciprocal,
         # global triangle count (Cohen MR wedge-join, no broadcast)
         "graph_triangles": graph.link_triangles,
+        "graph_neighbor_jaccard": graph.link_neighbor_jaccard,
         # WIMBD-style boolean AND corpus search, tf-ranked top-k
         "doc_search": textops.search_topk,
         # Heaps-law vocabulary growth curve (corpus saturation signal)
@@ -1410,6 +1411,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_reciprocal": graph.reciprocal_oracle_sql(pdir),
         # triangle count: undirected distinct edges, ordered 3-way join
         "graph_triangles": graph.triangles_oracle_sql(pdir),
+        "graph_neighbor_jaccard": graph.neighbor_jaccard_oracle_sql(pdir),
         # boolean AND search: list_filter token tf, same ranking
         "doc_search": textops.search_oracle_sql(),
         # Heaps growth: min(doc_id) per token, integer-division buckets

@@ -1023,3 +1023,128 @@ def assortativity_oracle_sql(pdir: str) -> str:
         "SELECT count(*)::BIGINT AS n_edges, sum(x)::BIGINT AS sum_x, "
         "sum(y)::BIGINT AS sum_y, sum(x*x)::BIGINT AS sum_xx, "
         "sum(y*y)::BIGINT AS sum_yy, sum(x*y)::BIGINT AS sum_xy FROM xy")
+
+
+# ---------------------------------------------------------------------------
+# per-edge neighborhood Jaccard — link-spam / community-boundary signal
+# (edge "embeddedness": how much two linked pages share a neighborhood;
+# low-Jaccard edges are bridges, high-Jaccard edges are intra-community)
+
+
+def link_neighbor_jaccard(sf_dir: str):
+    """(url_a, url_b, n_common, jaccard_permille) per undirected distinct
+    closed edge (a<b): Jaccard of the two endpoints' UNDIRECTED neighbor
+    sets, in exact integer permille — ``(1000·|N(a)∩N(b)|) //
+    (deg(a)+deg(b)−|N(a)∩N(b)|)`` — so the DuckDB oracle replays
+    bit-for-bit.
+
+    Scale shape — all maps, groupbys and hash joins, nothing
+    driver-resident:
+      1. undirect+distinct (one groupby), full adjacency = both
+         directions;
+      2. common-neighbor counts by the Cohen wedge exchange (the
+         link_triangles shape): groupby(center).map_groups emits each
+         neighbor pair once per shared center, union with edge-marker
+         rows, groupby(pair).sum — edges with ZERO common neighbors
+         survive via the marker rows.  Fan-out is Σ deg(v)²; at web
+         scale center by degree (see link_triangles note);
+      3. degrees attach via two hash joins on a then b (node-sized
+         build sides, partitioned)."""
+    import pyarrow.compute as pc
+
+    from ._util import ensure_schema, materialize_clean
+
+    def undirect(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("src"), t.column("dst")))
+        src, dst = t.column("src"), t.column("dst")
+        fwd = pc.less(src, dst)
+        out = pa.table({"a": pc.if_else(fwd, src, dst),
+                        "b": pc.if_else(fwd, dst, src)})
+        return out.group_by(["a", "b"]).aggregate([])
+
+    und = materialize_clean(
+        _edges_ds(sf_dir).map_batches(undirect, batch_format="pyarrow")
+        .groupby(["a", "b"]).count().select_columns(["a", "b"]),
+        pa.schema([("a", pa.string()), ("b", pa.string())]))
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"v": t.column("a"), "n": t.column("b")}),
+            pa.table({"v": t.column("b"), "n": t.column("a")})])
+
+    full = und.map_batches(both_dirs, batch_format="pyarrow")
+
+    deg = full.groupby("v").count()  # (v, count())
+
+    def wedges(df: pd.DataFrame) -> pa.Table:
+        ns = np.sort(df["n"].to_numpy())
+        i, j = np.triu_indices(len(ns), k=1)
+        return pa.table({
+            "a": pa.array(ns[i], pa.string()),
+            "b": pa.array(ns[j], pa.string()),
+            "w": pa.array(np.ones(len(i), dtype=np.int64)),
+            "e": pa.array(np.zeros(len(i), dtype=np.int64))})
+
+    def edge_marks(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"a": t.column("a"), "b": t.column("b"),
+                         "w": pa.array(np.zeros(n, dtype=np.int64)),
+                         "e": pa.array(np.ones(n, dtype=np.int64))})
+
+    w = full.groupby("v").map_groups(wedges, batch_format="pandas")
+    e = und.map_batches(edge_marks, batch_format="pyarrow")
+    closed = w.union(e).groupby(["a", "b"]).sum(["w", "e"])
+
+    def keep_edges(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("sum(e)"), 0))
+        return pa.table({"a": t.column("a"), "b": t.column("b"),
+                         "n_common": t.column("sum(w)").cast(pa.int64())})
+
+    pairs = closed.map_batches(keep_edges, batch_format="pyarrow")
+
+    from ._util import rename
+
+    deg_a = rename(deg, {"v": "a", "count()": "deg_a"})
+    deg_b = rename(deg, {"v": "b", "count()": "deg_b"})
+    n_edges = und.count()
+    nparts = _num_partitions(n_edges)
+    joined = pairs.join(deg_a, join_type="inner", on=("a",),
+                        num_partitions=nparts) \
+        .join(deg_b, join_type="inner", on=("b",), num_partitions=nparts)
+
+    def fin(t: pa.Table) -> pa.Table:
+        c = t.column("n_common").cast(pa.int64())
+        da = t.column("deg_a").cast(pa.int64())
+        db = t.column("deg_b").cast(pa.int64())
+        union = pc.subtract(pc.add(da, db), c)
+        jac = pc.divide(pc.multiply(c, 1000), union)  # integer floor-div
+        return pa.table({"url_a": t.column("a"), "url_b": t.column("b"),
+                         "n_common": c,
+                         "jaccard_permille": jac.cast(pa.int64())})
+
+    return ensure_schema(
+        joined.map_batches(fin, batch_format="pyarrow"),
+        pa.schema([("url_a", pa.string()), ("url_b", pa.string()),
+                   ("n_common", pa.int64()),
+                   ("jaccard_permille", pa.int64())]))
+
+
+def neighbor_jaccard_oracle_sql(pdir: str) -> str:
+    """DuckDB replay: same undirected edges, wedge-free 3-way join for
+    the intersection, integer floor-div permille."""
+    return (
+        _EDGE_CTE.format(pdir=pdir) +
+        ", u AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM e WHERE src <> dst GROUP BY 1, 2), "
+        "f AS (SELECT a AS v, b AS n FROM u "
+        "UNION ALL SELECT b, a FROM u), "
+        "deg AS (SELECT v, count(*)::BIGINT AS d FROM f GROUP BY v), "
+        "inter AS (SELECT u.a, u.b, count(*)::BIGINT AS c FROM u "
+        "JOIN f fa ON fa.v = u.a JOIN f fb ON fb.v = u.b "
+        "AND fb.n = fa.n GROUP BY 1, 2) "
+        "SELECT u.a AS url_a, u.b AS url_b, "
+        "COALESCE(i.c, 0)::BIGINT AS n_common, "
+        "((1000 * COALESCE(i.c, 0)) // "
+        "(da.d + db.d - COALESCE(i.c, 0)))::BIGINT AS jaccard_permille "
+        "FROM u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b "
+        "LEFT JOIN inter i ON i.a = u.a AND i.b = u.b")

@@ -241,3 +241,24 @@ def test_assortativity_vs_bruteforce(ray_session, sf_dir):
     row = graph.link_assortativity(sf_dir).iloc[0]
     assert (row["n_edges"], row["sum_x"], row["sum_y"], row["sum_xx"],
             row["sum_yy"], row["sum_xy"]) == exp
+
+
+def test_neighbor_jaccard_vs_bruteforce(ray_session, sf_dir):
+    """Per-edge Jaccard equals a set-based sequential replay."""
+    edges = [(r["src"], r["dst"])
+             for r in graph._edges_ds(sf_dir).take_all()]
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    exp = {}
+    for a, b in und:
+        inter = len(adj[a] & adj[b])
+        union = len(adj[a]) + len(adj[b]) - inter
+        exp[(a, b)] = (inter, (1000 * inter) // union)
+    got = {(r["url_a"], r["url_b"]): (r["n_common"], r["jaccard_permille"])
+           for r in graph.link_neighbor_jaccard(sf_dir).take_all()}
+    assert got == exp and len(got) == len(und) > 0
+    # zero-common edges must be present, not dropped
+    assert any(c == 0 for c, _ in got.values())
