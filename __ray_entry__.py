@@ -373,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": textops.length_quantiles,
         "doc_global_rank": textops.global_rank,
         "doc_pack_shards": textops.pack_shards,
+        "doc_pack_sequences": textops.pack_sequences,
         "doc_lm_coverage": textops.lm_coverage,
         "doc_decontaminate": textops.decontaminate,
         "doc_sample_stratified": textops.sample_stratified,
@@ -967,6 +968,9 @@ def oracle_sql() -> dict[str, str]:
             f"(offset_bytes // {textops.SHARD_BYTES})::BIGINT AS shard_id "
             "FROM o"
         ),
+        # concat-and-chunk sequence packing: per-(doc, sequence) span
+        # rows over the (n_tokens, doc_id)-ordered token stream
+        "doc_pack_sequences": textops.pack_sequences_oracle_sql(),
         # decontamination: distinct word-3-gram keys (the minhash shingle
         # key) of the doc_id % BENCH_MOD benchmark members, probed by
         # every other document

@@ -3867,3 +3867,103 @@ def source_overlap_oracle_sql() -> str:
         "SELECT a.source AS source_a, b.source AS source_b, "
         "count(*)::BIGINT AS n_shared FROM p a "
         "JOIN p b ON b.x = a.x AND b.source >= a.source GROUP BY 1, 2")
+
+
+# ---------------------------------------------------------------------------
+# training-sequence packing (concat-and-chunk)
+
+SEQ_LEN = 512  # tokens per packed training sequence
+
+
+def pack_sequences(sf_dir: str, seq_len: int = SEQ_LEN,
+                   hist_gate: int = 2_000_000):
+    """(doc_id, seq_id, tok_start, tok_len): concat-and-chunk sequence
+    packing — the corpus laid out in (n_tokens, doc_id) total order and
+    cut into fixed ``seq_len``-token training sequences; each row is one
+    document∩sequence intersection span (GPT-style pretraining batching:
+    a document crossing a boundary is split, a sequence holds several
+    short documents).  tok_start is 0-based within the document.
+
+    Distributed construction: the ``global_rank``/``pack_shards``
+    histogram machinery on the TOKEN-count domain — the n_tokens
+    histogram gives every distinct count its exclusive cumulative token
+    offset (broadcast once); (doc_id, n_tokens) rows — never text —
+    shuffle ONCE keyed by n_tokens, each group computes offsets by
+    local doc_id sort and emits its span rows vectorized.  Zero-token
+    documents occupy no span and emit no rows (both sides)."""
+    import ray
+    import ray.data
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n": pd.Series([len(_TOKEN_RE.findall(t)) for t in df["text"]],
+                           dtype="int64")})
+
+    pre = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        keyed, batch_format="pandas").materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t.column("n"))
+        return pa.table({"n": vc.field("values").cast(pa.int64()),
+                         "c": vc.field("counts").cast(pa.int64())})
+
+    parts = pre.map_batches(partial, batch_format="pyarrow").materialize()
+    if parts.count() > hist_gate:
+        hist = collect_df(parts.groupby("n").sum("c")) \
+            .rename(columns={"sum(c)": "c"})
+    else:
+        hist = collect_df(parts).groupby("n", as_index=False)["c"].sum()
+    hist = hist.sort_values("n").reset_index(drop=True)
+    tok = (hist["n"] * hist["c"]).to_numpy(dtype=np.int64)
+    cumt = np.concatenate(([0], np.cumsum(tok)[:-1]))
+    tok_off = {int(v): int(o) for v, o in zip(hist["n"], cumt)}
+    oref = ray.put(tok_off)
+
+    def spans_group(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].iloc[0])
+        empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "seq_id": pd.Series([], dtype="int64"),
+            "tok_start": pd.Series([], dtype="int64"),
+            "tok_len": pd.Series([], dtype="int64")})
+        if n == 0:
+            return empty
+        base = ray.get(oref)[n]
+        ids = np.sort(g["doc_id"].to_numpy(dtype=np.int64))
+        offs = base + np.arange(len(ids), dtype=np.int64) * n
+        s0 = offs // seq_len
+        s1 = (offs + n - 1) // seq_len
+        cnt = (s1 - s0 + 1).astype(np.int64)
+        rep_ids = np.repeat(ids, cnt)
+        rep_off = np.repeat(offs, cnt)
+        # per-doc consecutive seq indices, fully vectorized
+        seqs = (np.arange(cnt.sum(), dtype=np.int64)
+                - np.repeat(np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt)
+                + np.repeat(s0, cnt))
+        start_g = np.maximum(rep_off, seqs * seq_len)
+        end_g = np.minimum(rep_off + n, (seqs + 1) * seq_len)
+        return pd.DataFrame({"doc_id": rep_ids, "seq_id": seqs,
+                             "tok_start": start_g - rep_off,
+                             "tok_len": end_g - start_g})
+
+    return pre.groupby("n").map_groups(spans_group, batch_format="pandas")
+
+
+def pack_sequences_oracle_sql(seq_len: int = SEQ_LEN) -> str:
+    """DuckDB replay: cumulative token offsets by (n, doc_id) window
+    order, one UNNEST row per crossed sequence."""
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "len(regexp_extract_all(text, '\\S+'))::BIGINT AS n "
+        "FROM documents), "
+        "o AS (SELECT doc_id, n, COALESCE(sum(n) OVER ("
+        "ORDER BY n, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "1 PRECEDING), 0)::BIGINT AS o FROM t), "
+        "x AS (SELECT doc_id, n, o FROM o WHERE n > 0) "
+        "SELECT doc_id, CAST(s AS BIGINT) AS seq_id, "
+        f"(GREATEST(o, s * {seq_len}) - o)::BIGINT AS tok_start, "
+        f"(LEAST(o + n, (s + 1) * {seq_len}) "
+        f"- GREATEST(o, s * {seq_len}))::BIGINT AS tok_len "
+        f"FROM x, UNNEST(range(o // {seq_len}, "
+        f"(o + n - 1) // {seq_len} + 1)) AS u(s)")

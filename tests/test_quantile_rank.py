@@ -210,3 +210,35 @@ def test_lm_coverage_top_v_cap(ray_session, sf_dir, docs):
                          r["coverage_permille"])
            for r in textops.lm_coverage(sf_dir, top_v=top_v).take_all()}
     assert got == want
+
+
+def test_pack_sequences_vs_bruteforce(ray_session, sf_dir, docs):
+    """Span rows equal a sequential concat-and-chunk replay; spans tile
+    each document exactly and each sequence holds exactly SEQ_LEN tokens
+    (except the last)."""
+    import re
+
+    L = textops.SEQ_LEN
+    toks = {d["doc_id"]: len(re.findall(r"\S+", d["text"])) for d in docs}
+    order = sorted((n, did) for did, n in toks.items())
+    off, want = 0, []
+    for n, did in order:
+        if n == 0:
+            continue
+        for s in range(off // L, (off + n - 1) // L + 1):
+            a = max(off, s * L)
+            b = min(off + n, (s + 1) * L)
+            want.append((did, s, a - off, b - a))
+        off += n
+    got = sorted((r["doc_id"], r["seq_id"], r["tok_start"], r["tok_len"])
+                 for r in textops.pack_sequences(sf_dir).take_all())
+    assert got == sorted(want)
+    # per-doc spans tile the doc; per-seq token mass == SEQ_LEN
+    per_doc, per_seq = {}, {}
+    for did, s, ts, tl in got:
+        per_doc[did] = per_doc.get(did, 0) + tl
+        per_seq[s] = per_seq.get(s, 0) + tl
+    assert per_doc == {d: n for d, n in toks.items() if n > 0}
+    total = sum(n for n in toks.values())
+    for s, mass in per_seq.items():
+        assert mass == (L if s < total // L else total % L)
