@@ -220,6 +220,14 @@ def _q_page_anchor_text(sf_dir: str):
     return anchor_text_agg(_pages_dir(sf_dir))
 
 
+def _q_page_titles(sf_dir: str):
+    """The stock 'title' parser (M15) distributed through the real
+    parse-chain runtime, vs the generator's by-construction titles."""
+    from methanol_web_crawler_ray.stages.extract import page_titles
+
+    return page_titles(_pages_dir(sf_dir))
+
+
 def _q_media_stdlib_decode(sf_dir: str):
     """REAL stdlib-format decode (BMP/PPM/WAV/PPM-stream) — the same
     DecodeMeta actor stage with codec='stdlib' over real-format payloads,
@@ -407,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_links": _q_page_links,
         "page_anchors": _q_page_anchors,
         "page_anchor_text": _q_page_anchor_text,
+        "page_titles": _q_page_titles,
         "page_canonicalize": _q_page_canonicalize,
         "doc_quality": textops.quality,
         "doc_bpe_tokens": textops.bpe_token_stats,
@@ -619,6 +628,11 @@ def oracle_sql() -> dict[str, str]:
             f"count(DISTINCT url)::BIGINT AS n_sources, "
             f"min(anchor) AS top_anchor FROM "
             f"read_parquet('{pdir}/golden_anchors.parquet') GROUP BY canon"
+        ),
+        # M15 stock 'title' parser via the real chain runtime
+        "page_titles": (
+            f"SELECT url, title FROM "
+            f"read_parquet('{pdir}/golden_titles.parquet')"
         ),
         "page_classify": (
             f"SELECT url, filetype FROM "

@@ -353,6 +353,8 @@ def generate(n_pages: int, heavy: bool = False) -> Dict[str, pa.Table]:
     anch_refs: List[str] = []
     anch_texts: List[str] = []
     anch_canons: List[str] = []
+    title_urls: List[str] = []
+    title_vals: List[str] = []
 
     idx = 0
 
@@ -428,6 +430,9 @@ def generate(n_pages: int, heavy: bool = False) -> Dict[str, pa.Table]:
                          if _charset_latin1(host, j) else "text/html")
                 emit(_url_of(host, j), html, text, lang, 200, None,
                      ctype, links, canons=canons, xml=xml, anchors=anchors)
+                # title golden: the template's <title> content verbatim
+                title_urls.append(_url_of(host, j))
+                title_vals.append(f"Page {j} of {host}")
 
     pages = pa.table(
         {
@@ -501,10 +506,17 @@ def generate(n_pages: int, heavy: bool = False) -> Dict[str, pa.Table]:
             "canon": pa.array(anch_canons, pa.string()),
         }
     )
+    golden_titles = pa.table(
+        {
+            "url": pa.array(title_urls, pa.string()),
+            "title": pa.array(title_vals, pa.string()),
+        }
+    )
     return {"pages": pages, "page_meta": page_meta, "seeds": seeds,
             "golden_links": golden_links, "golden_canon": golden_canon,
             "golden_classify": golden_classify, "golden_xml": golden_xml,
-            "golden_anchors": golden_anchors}
+            "golden_anchors": golden_anchors,
+            "golden_titles": golden_titles}
 
 
 # table sizes per driver sf tier (FIXTURES.md: tiny/small/bench)

@@ -573,3 +573,39 @@ def anchor_text_agg(pages_dir: str, batch_size: int = 256):
         })
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def page_titles(pages_dir: str, batch_size: int = 256):
+    """(url, title): the stock ``title`` parser (M15, the scripts/misc.js
+    / conf/title.conf analog — first ``<title>…</title>`` content as a
+    declared attribute) run distributed through the real parse-chain
+    runtime (parsechain.run_chain with an AttrList, worker.c:842-911
+    semantics) over every 200-status html page.  Pages without a title
+    emit no row.  Oracled against the generator's by-construction
+    golden_titles table."""
+    from ..functions.parsechain import AttrList, run_chain
+    from ..functions.urlkit import url_set
+
+    def ex(batch: pa.Table) -> pa.Table:
+        out_url, out_title = [], []
+        for url, body, ctype, status in zip(
+            batch.column("url").to_pylist(),
+            batch.column("body").to_pylist(),
+            batch.column("content_type").to_pylist(),
+            batch.column("status").to_pylist(),
+        ):
+            if status != 200 or (ctype or "").split(";")[0] != "text/html":
+                continue
+            attrs = AttrList(declared=("title",))
+            run_chain(("title",), body or b"", url_set(url), ctype,
+                      status, attrs, lambda _u: None)
+            t = attrs.values.get("title")
+            if t is not None:
+                out_url.append(url)
+                out_title.append(t.decode("utf-8", "surrogateescape"))
+        return pa.table({"url": pa.array(out_url, pa.string()),
+                         "title": pa.array(out_title, pa.string())})
+
+    return _store_ds(
+        pages_dir, ["url", "content_type", "status", "body"]
+    ).map_batches(ex, batch_format="pyarrow", batch_size=batch_size)

@@ -333,3 +333,17 @@ def test_anchor_text_agg_vs_bruteforce(ray_session):
     got = {r["target"]: (r["n_anchors"], r["n_sources"], r["top_anchor"])
            for r in extract.anchor_text_agg(d).take_all()}
     assert got == {t: (n, len(s), m) for t, (n, s, m) in exp.items()}
+
+
+def test_page_titles_vs_golden(ray_session):
+    """M15 stock 'title' parser through the real chain runtime == the
+    generator's by-construction golden_titles table."""
+    import pyarrow.parquet as pq
+
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+    got = sorted((r["url"], r["title"])
+                 for r in extract.page_titles(d).take_all())
+    exp = sorted((r["url"], r["title"])
+                 for r in pq.read_table(f"{d}/golden_titles.parquet")
+                 .to_pylist())
+    assert got == exp and len(got) > 0
