@@ -319,6 +319,15 @@ def _q_page_url_filter(sf_dir: str):
     return url_filter(_pages_dir(sf_dir))
 
 
+def _q_page_redirects(sf_dir: str):
+    """Redirect-chain terminal resolution over page_meta (worker.c:809
+    20-cap), pointer-doubling above the size gate — loops and over-cap
+    chains emit ('', -1)."""
+    from methanol_web_crawler_ray.stages.extract import redirect_resolve
+
+    return redirect_resolve(_pages_dir(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # DICT ORDER IS THE GATING ORDER: the round-3 driver recorded exactly
     # the FIRST 50 entries, so the 6 tail queries never reached
@@ -491,6 +500,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_assortativity": graph.link_assortativity,
         # grouped exact quantiles (per-type percentile_disc, no sort)
         "rel_value_quantiles": relops.value_quantiles,
+        # redirect-chain resolution (pointer doubling, 20-cap)
+        "page_redirects": _q_page_redirects,
     }
 
 
@@ -1477,6 +1488,24 @@ def oracle_sql() -> dict[str, str]:
         "graph_assortativity": graph.assortativity_oracle_sql(pdir),
         # grouped quantiles: window-cumsum percentile_disc replay
         "rel_value_quantiles": relops.value_quantiles_oracle_sql(),
+        # redirect resolution: bounded recursive-CTE chase, 20-cap
+        "page_redirects": (
+            "WITH RECURSIVE r AS ("
+            "SELECT url, location FROM "
+            f"read_parquet('{pdir}/page_meta.parquet') "
+            "WHERE status BETWEEN 300 AND 399 "
+            "AND location IS NOT NULL), "
+            "chase(u, cur, h) AS ("
+            "SELECT url, location, 1 FROM r UNION ALL "
+            "SELECT c.u, r.location, c.h + 1 FROM chase c "
+            "JOIN r ON c.cur = r.url WHERE c.h <= 21), "
+            "term AS (SELECT c.u, c.cur, c.h FROM chase c "
+            "LEFT JOIN r ON c.cur = r.url WHERE r.url IS NULL) "
+            "SELECT r0.url, "
+            "coalesce(CASE WHEN t.h <= 20 THEN t.cur END, '') "
+            "AS final_url, "
+            "coalesce(CASE WHEN t.h <= 20 THEN t.h END, -1)::BIGINT "
+            "AS hops FROM r r0 LEFT JOIN term t ON t.u = r0.url"),
     }
     # confusion matrix replays the full doc_langid decision SQL as a CTE
     d["doc_lang_confusion"] = textops.lang_confusion_oracle_sql(

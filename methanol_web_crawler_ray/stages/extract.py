@@ -609,3 +609,124 @@ def page_titles(pages_dir: str, batch_size: int = 256):
     return _store_ds(
         pages_dir, ["url", "content_type", "status", "body"]
     ).map_batches(ex, batch_format="pyarrow", batch_size=batch_size)
+
+
+REDIR_CAP = 20             # redirect chain cap (worker.c:809)
+REDIR_DOUBLE_GATE = 200_000  # redirect rows; above → pointer doubling
+
+
+def redirect_resolve(pages_dir: str, gate: int = REDIR_DOUBLE_GATE,
+                     batch_size: int = 4096):
+    """(url, final_url, hops): terminal resolution of every redirect row
+    (3xx status with a Location) through the redirect map, under the
+    reference's 20-redirects-per-chain cap (worker.c:809 semantics,
+    applied to the whole stored chain at once instead of per fetch).
+    ``hops`` = number of redirect edges followed to the first
+    non-redirect URL; chains needing more than REDIR_CAP edges — and
+    loops, which never terminate — emit ``final_url=''`` / ``hops=-1``.
+
+    Scale shape: redirect rows are a small fraction of the corpus
+    (~2 % of a Common-Crawl-ish frontier), and resolution touches ONLY
+    that subset.  Above the gate it runs POINTER DOUBLING (Wyllie
+    list-ranking): ceil(log2(cap)) + 1 = 5 bounded rounds, each one
+    co-partitioned exchange of the redirect table keyed by the chased
+    pointer — after round r every still-chasing row has advanced
+    ≥ 2^r hops, so 5 rounds either terminate a chain or prove it over
+    the 20-cap.  Never a per-hop sequential walk, nothing corpus-sized
+    on the driver.  Below the gate the same semantics collapse to an
+    exact driver chase over the (tiny by construction) edge dict;
+    parity between the two paths is pinned by test.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    def edges(batch: pa.Table) -> pa.Table:
+        st = batch.column("status").cast(pa.int32())
+        m = pc.and_(
+            pc.and_(pc.greater_equal(st, 300), pc.less_equal(st, 399)),
+            pc.is_valid(batch.column("location")))
+        t = batch.filter(m)
+        return pa.table({"u": t.column("url").cast(pa.string()),
+                         "cur": t.column("location").cast(pa.string())})
+
+    E = _store_ds(pages_dir, ["url", "status", "location"]).map_batches(
+        edges, batch_format="pyarrow", batch_size=batch_size)
+    n = E.count()
+
+    if n <= gate:
+        df = E.to_pandas()
+        nxt = dict(zip(df["u"], df["cur"]))
+        finals, hops = [], []
+        for u in df["u"]:
+            cur, h = nxt[u], 1
+            while cur in nxt and h <= REDIR_CAP:
+                cur, h = nxt[cur], h + 1
+            if cur not in nxt and h <= REDIR_CAP:
+                finals.append(cur)
+                hops.append(h)
+            else:
+                finals.append("")
+                hops.append(-1)
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array(list(df["u"]), pa.string()),
+            "final_url": pa.array(finals, pa.string()),
+            "hops": pa.array(hops, pa.int64())}))
+
+    # ---- pointer-doubling path ------------------------------------
+    # state: u, cur (chased pointer), h (edges accounted), st
+    # (0 chasing / 1 resolved / 2 over-cap)
+    S = E.map_batches(
+        lambda df: pd.DataFrame({
+            "u": df["u"], "cur": df["cur"],
+            "h": np.int64(1), "st": np.int8(0)}),
+        batch_format="pandas", batch_size=batch_size)
+
+    def step(g: pd.DataFrame) -> pd.DataFrame:
+        tgt = g[g["role"] == 1]
+        out = []
+        for p in g[g["role"] == 0].itertuples(index=False):
+            if p.st != 0:
+                out.append((p.u, p.cur, p.h, p.st))
+                continue
+            if len(tgt) == 0:           # cur is terminal (not a source)
+                out.append((p.u, p.cur, p.h,
+                            1 if p.h <= REDIR_CAP else 2))
+                continue
+            t = tgt.iloc[0]
+            if t["st"] == 2:            # tail already proven over-cap
+                out.append((p.u, p.cur, p.h, 2))
+                continue
+            h2 = int(p.h) + int(t["h"])
+            if h2 > REDIR_CAP:
+                out.append((p.u, t["cur"], h2, 2))
+            else:                       # inherit tail state (0 or 1)
+                out.append((p.u, t["cur"], h2, int(t["st"])))
+        return pd.DataFrame(out, columns=["u", "cur", "h", "st"]) \
+            .astype({"h": "int64", "st": "int8"})
+
+    rounds = 1
+    while (1 << rounds) <= REDIR_CAP:
+        rounds += 1                     # ceil(log2(cap)) + 1
+    for _ in range(rounds):
+        probes = S.map_batches(
+            lambda df: df.assign(
+                key=np.where(df["st"] == 0, df["cur"], df["u"]),
+                role=np.int8(0)),
+            batch_format="pandas", batch_size=batch_size)
+        targets = S.map_batches(
+            lambda df: df.assign(key=df["u"], role=np.int8(1)),
+            batch_format="pandas", batch_size=batch_size)
+        S = probes.union(targets).groupby("key").map_groups(
+            step, batch_format="pandas")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        res = df["st"] == 1             # st==0 after rounds ⇒ h ≥ 2^5 > cap
+        return pd.DataFrame({
+            "url": df["u"],
+            "final_url": df["cur"].where(res, ""),
+            "hops": df["h"].where(res, -1).astype("int64")})
+
+    return S.map_batches(fin, batch_format="pandas",
+                         batch_size=batch_size)

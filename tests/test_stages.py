@@ -347,3 +347,35 @@ def test_page_titles_vs_golden(ray_session):
                  for r in pq.read_table(f"{d}/golden_titles.parquet")
                  .to_pylist())
     assert got == exp and len(got) > 0
+
+
+def test_redirect_resolve_paths_and_cap(ray_session):
+    """Pointer-doubling path == driver-chase path; 20-cap, loop, and
+    ghost-target semantics on a hand-built chain fixture."""
+    from _pagetools import html, write_pages
+
+    rows = [{"url": "http://t.x/", "body": html("root")}]
+    for i in range(21):   # 21-hop chain: head is over-cap
+        rows.append({"url": f"http://t.x/c{i}.html", "status": 301,
+                     "location": (f"http://t.x/c{i+1}.html" if i < 20
+                                  else "http://t.x/term.html")})
+    rows.append({"url": "http://t.x/term.html", "body": html("term")})
+    rows.append({"url": "http://t.x/l0.html", "status": 301,
+                 "location": "http://t.x/l1.html"})
+    rows.append({"url": "http://t.x/l1.html", "status": 301,
+                 "location": "http://t.x/l0.html"})
+    rows.append({"url": "http://t.x/r.html", "status": 302,
+                 "location": "http://t.x/ghost.html"})
+    d = write_pages("/tmp/mwc_test_redir", rows)
+
+    a = sorted((r["url"], r["final_url"], r["hops"])
+               for r in extract.redirect_resolve(d).take_all())
+    b = sorted((r["url"], r["final_url"], r["hops"])
+               for r in extract.redirect_resolve(d, gate=0).take_all())
+    assert a == b
+    m = {u: (f, h) for u, f, h in a}
+    assert m["http://t.x/c0.html"] == ("", -1)        # 21 hops > cap
+    assert m["http://t.x/c1.html"] == ("http://t.x/term.html", 20)
+    assert m["http://t.x/c20.html"] == ("http://t.x/term.html", 1)
+    assert m["http://t.x/l0.html"] == ("", -1)        # loop
+    assert m["http://t.x/r.html"] == ("http://t.x/ghost.html", 1)
