@@ -502,6 +502,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_value_quantiles": relops.value_quantiles,
         # redirect-chain resolution (pointer doubling, 20-cap)
         "page_redirects": _q_page_redirects,
+        # TrustRank: seed-host-personalized PageRank (spam demotion)
+        "graph_trustrank": graph.link_trustrank,
     }
 
 
@@ -1506,6 +1508,8 @@ def oracle_sql() -> dict[str, str]:
             "AS final_url, "
             "coalesce(CASE WHEN t.h <= 20 THEN t.h END, -1)::BIGINT "
             "AS hops FROM r r0 LEFT JOIN term t ON t.u = r0.url"),
+        # TrustRank: unrolled fixed point, CASE-gated teleport
+        "graph_trustrank": graph.trustrank_oracle_sql(pdir),
     }
     # confusion matrix replays the full doc_langid decision SQL as a CTE
     d["doc_lang_confusion"] = textops.lang_confusion_oracle_sql(

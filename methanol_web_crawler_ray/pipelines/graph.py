@@ -167,7 +167,38 @@ def link_pagerank(sf_dir: str, iters: int = PR_ITERS):
     return _pagerank_large(edges, n_edges, iters)
 
 
-def _pagerank_small(edges, n_edges: int, iters: int):
+# TrustRank teleport whitelist: the crawl's seed hosts (the operator is
+# personalized PageRank — Gyöngyi et al. 2004 — with the teleport mass
+# restricted to a vetted seed set, the classic spam-demotion signal a
+# frontier scheduler feeds on)
+TRUST_HOSTS = ("host-0000.example", "host-0001.example",
+               "host-0002.example")
+
+
+def _trust_prefixes(hosts) -> tuple:
+    return tuple(f"http://{h}/" for h in hosts)
+
+
+def link_trustrank(sf_dir: str, iters: int = PR_ITERS,
+                   hosts: tuple = TRUST_HOSTS):
+    """(url, score): TrustRank — the same integer fixed point as
+    link_pagerank but with BOTH the initial mass and the per-iteration
+    teleport base restricted to pages on the trusted seed hosts:
+    score_0 = PR_SCALE·[trusted]; score_{t+1}(n) = PR_BASE·[trusted(n)]
+    + (85 · Σ_{src→n} score_t(src) // deg(src)) // 100.  Identical
+    exchange shape (and size gate) to PageRank — the trusted flag is a
+    vectorized per-node prefix test, never a broadcast set."""
+    from ._util import materialize_clean
+
+    edges = materialize_clean(_edges_ds(sf_dir), EDGE_SCHEMA)
+    n_edges = edges.count()
+    pfx = _trust_prefixes(hosts)
+    if n_edges <= GRAPH_DRIVER_GATE:
+        return _pagerank_small(edges, n_edges, iters, trusted=pfx)
+    return _pagerank_large(edges, n_edges, iters, trusted=pfx)
+
+
+def _pagerank_small(edges, n_edges: int, iters: int, trusted=None):
     """≤gate: driver-folded score/degree dicts re-broadcast per
     iteration (one ray.put per iteration, freed by replacing the ref —
     one live copy)."""
@@ -187,7 +218,13 @@ def _pagerank_small(edges, n_edges: int, iters: int):
         edges.map_batches(ones("dst"), batch_format="pandas"),
         "dst", "c", "sum", n_edges)
     nodes = sorted(set(deg) | set(indeg))
-    scores = {n: PR_SCALE for n in nodes}
+    if trusted is None:
+        base = {n: PR_BASE for n in nodes}
+        scores = {n: PR_SCALE for n in nodes}
+    else:
+        tr = {n: n.startswith(trusted) for n in nodes}
+        base = {n: (PR_BASE if tr[n] else 0) for n in nodes}
+        scores = {n: (PR_SCALE if tr[n] else 0) for n in nodes}
 
     ref = None
     for _ in range(iters):
@@ -203,7 +240,7 @@ def _pagerank_small(edges, n_edges: int, iters: int):
         inc = _fold_agg(
             edges.map_batches(contrib, batch_format="pandas"),
             "dst", "c", "sum", n_edges)
-        scores = {n: PR_BASE
+        scores = {n: base[n]
                   + (PR_DAMP_NUM * int(inc.get(n, 0))) // PR_DAMP_DEN
                   for n in nodes}
         del ref  # single live broadcast copy across iterations
@@ -214,7 +251,7 @@ def _pagerank_small(edges, n_edges: int, iters: int):
     }))
 
 
-def _pagerank_large(edges, n_edges: int, iters: int):
+def _pagerank_large(edges, n_edges: int, iters: int, trusted=None):
     """>gate: scores stay a DATASET; each iteration is
     edges⋈deg⋈scores (hash join on src) → contribution map →
     groupby(dst).sum → nodes⟕inflow.  No node-sized driver structure,
@@ -241,10 +278,22 @@ def _pagerank_large(edges, n_edges: int, iters: int):
     nodes = materialize_clean(_nodes_ds(edges),
                               pa.schema([("url", pa.string())]))
 
+    def _tmask(urls):
+        """Per-node trusted flag as an int64 0/1 vector (no broadcast
+        set — a handful of prefix scans)."""
+        m = pa.array([False] * len(urls), pa.bool_())
+        for p in trusted:
+            m = pc.or_(m, pc.starts_with(urls, p))
+        return pc.cast(m, pa.int64())
+
     def init_fn(t: pa.Table) -> pa.Table:
+        if trusted is None:
+            sc = pa.array([PR_SCALE] * len(t), pa.int64())
+        else:
+            sc = pc.multiply(_tmask(t.column("url")), PR_SCALE)
         return pa.table({
             "url": t.column("url"),
-            "score": pa.array([PR_SCALE] * len(t), pa.int64()),
+            "score": pc.cast(sc, pa.int64()),
         })
 
     score_schema = pa.schema([("url", pa.string()),
@@ -261,7 +310,11 @@ def _pagerank_large(edges, n_edges: int, iters: int):
 
     def newscore_fn(t: pa.Table) -> pa.Table:
         inc = pc.fill_null(t.column("sum(c)"), 0)
-        sc = pc.add(PR_BASE,
+        if trusted is None:
+            b = PR_BASE
+        else:
+            b = pc.multiply(_tmask(t.column("url")), PR_BASE)
+        sc = pc.add(b,
                     pc.divide(pc.multiply(inc, PR_DAMP_NUM), PR_DAMP_DEN))
         return pa.table({"url": t.column("url"),
                          "score": pc.cast(sc, pa.int64())})
@@ -304,6 +357,39 @@ def pagerank_oracle_sql(pdir: str, iters: int = PR_ITERS) -> str:
     for i in range(1, iters + 1):
         cte.append(
             f"s{i} AS (SELECT n.u, {PR_BASE} + ({PR_DAMP_NUM} * "
+            f"COALESCE(SUM(s.sc // d.d), 0)) // {PR_DAMP_DEN} AS sc "
+            "FROM nodes n LEFT JOIN e ON e.dst = n.u "
+            f"LEFT JOIN s{i - 1} s ON s.u = e.src "
+            "LEFT JOIN deg d ON d.src = e.src GROUP BY n.u), ")
+    return ("WITH " + "".join(cte)[:-2] + " "
+            f"SELECT u AS url, sc::BIGINT AS score FROM s{iters}")
+
+
+def trustrank_oracle_sql(pdir: str, iters: int = PR_ITERS,
+                         hosts: tuple = TRUST_HOSTS) -> str:
+    """pagerank_oracle_sql with init mass and teleport base CASE-gated
+    on the trusted-host prefix — the exact link_trustrank fixed point."""
+    tr = " OR ".join(
+        f"starts_with(u, '{p}')" for p in _trust_prefixes(hosts))
+    cte = [
+        f"pl AS (SELECT url AS src, canon AS dst FROM "
+        f"read_parquet('{pdir}/golden_canon.parquet') "
+        "WHERE canon IS NOT NULL), ",
+        f"pu AS (SELECT DISTINCT url FROM "
+        f"read_parquet('{pdir}/pages.parquet')), ",
+        "e AS (SELECT DISTINCT pl.src, pl.dst FROM pl "
+        "JOIN pu ON pu.url = pl.dst), ",
+        "deg AS (SELECT src, count(*)::BIGINT AS d FROM e GROUP BY src), ",
+        "nodes AS (SELECT DISTINCT u FROM "
+        "(SELECT src AS u FROM e UNION ALL SELECT dst AS u FROM e)), ",
+        f"s0 AS (SELECT u, (CASE WHEN {tr} THEN {PR_SCALE} ELSE 0 END)"
+        "::BIGINT AS sc FROM nodes), ",
+    ]
+    for i in range(1, iters + 1):
+        cte.append(
+            f"s{i} AS (SELECT n.u, "
+            f"(CASE WHEN {tr.replace('(u,', '(n.u,')} "
+            f"THEN {PR_BASE} ELSE 0 END) + ({PR_DAMP_NUM} * "
             f"COALESCE(SUM(s.sc // d.d), 0)) // {PR_DAMP_DEN} AS sc "
             "FROM nodes n LEFT JOIN e ON e.dst = n.u "
             f"LEFT JOIN s{i - 1} s ON s.u = e.src "

@@ -262,3 +262,46 @@ def test_neighbor_jaccard_vs_bruteforce(ray_session, sf_dir):
     assert got == exp and len(got) == len(und) > 0
     # zero-common edges must be present, not dropped
     assert any(c == 0 for c, _ in got.values())
+
+
+def test_trustrank_vs_bruteforce(ray_session, sf_dir):
+    out = {r["url"]: r["score"]
+           for r in graph.link_trustrank(sf_dir).take_all()}
+
+    edges = [(r["src"], r["dst"])
+             for r in graph._edges_ds(sf_dir).take_all()]
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    pfx = graph._trust_prefixes(graph.TRUST_HOSTS)
+    tr = {n: n.startswith(pfx) for n in nodes}
+    scores = {n: (graph.PR_SCALE if tr[n] else 0) for n in nodes}
+    for _ in range(graph.PR_ITERS):
+        inc = {n: 0 for n in nodes}
+        for s, d in edges:
+            inc[d] += scores[s] // deg[s]
+        scores = {n: (graph.PR_BASE if tr[n] else 0)
+                  + (graph.PR_DAMP_NUM * inc[n]) // graph.PR_DAMP_DEN
+                  for n in nodes}
+
+    assert out == scores
+    # trust decays with distance: untrusted-host pages linked from the
+    # seed hosts carry rank, unreachable ones carry none
+    untr = [v for n, v in out.items() if not tr[n]]
+    assert any(v > 0 for v in untr) and any(v == 0 for v in untr)
+
+
+def test_trustrank_large_path_parity(ray_session, sf_dir, monkeypatch):
+    small = sorted(graph.link_trustrank(sf_dir).take_all(),
+                   key=lambda r: r["url"])
+
+    def no_fold(*a, **k):
+        raise AssertionError("large path must not fold node state "
+                             "onto the driver")
+
+    monkeypatch.setattr(graph, "GRAPH_DRIVER_GATE", 0)
+    monkeypatch.setattr(graph, "_fold_agg", no_fold)
+    large = sorted(graph.link_trustrank(sf_dir).take_all(),
+                   key=lambda r: r["url"])
+    assert large == small
