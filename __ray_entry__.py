@@ -319,6 +319,14 @@ def _q_page_url_filter(sf_dir: str):
     return url_filter(_pages_dir(sf_dir))
 
 
+def _q_page_url_templates(sf_dir: str):
+    """Per-host digit-collapsed URL path templates with counts — the
+    crawler-trap / URL-pattern audit signal."""
+    from methanol_web_crawler_ray.stages.extract import url_templates
+
+    return url_templates(_pages_dir(sf_dir))
+
+
 def _q_page_redirects(sf_dir: str):
     """Redirect-chain terminal resolution over page_meta (worker.c:809
     20-cap), pointer-doubling above the size gate — loops and over-cap
@@ -504,6 +512,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_redirects": _q_page_redirects,
         # TrustRank: seed-host-personalized PageRank (spam demotion)
         "graph_trustrank": graph.link_trustrank,
+        # URL path-template mining (crawler-trap audit)
+        "page_url_templates": _q_page_url_templates,
     }
 
 
@@ -1510,6 +1520,15 @@ def oracle_sql() -> dict[str, str]:
             "AS hops FROM r r0 LEFT JOIN term t ON t.u = r0.url"),
         # TrustRank: unrolled fixed point, CASE-gated teleport
         "graph_trustrank": graph.trustrank_oracle_sql(pdir),
+        # URL templates: same two regex rewrites, two-key count
+        "page_url_templates": (
+            "WITH p AS (SELECT split_part(url, '/', 3) AS host, "
+            "regexp_replace(regexp_replace(url, '^[a-z]+://[^/]*', "
+            "''), '[0-9]+', 'N', 'g') AS raw FROM "
+            f"read_parquet('{pdir}/pages.parquet')) "
+            "SELECT host, CASE WHEN raw = '' THEN '/' ELSE raw END "
+            "AS template, count(*)::BIGINT AS n_urls FROM p "
+            "GROUP BY host, template"),
     }
     # confusion matrix replays the full doc_langid decision SQL as a CTE
     d["doc_lang_confusion"] = textops.lang_confusion_oracle_sql(

@@ -730,3 +730,45 @@ def redirect_resolve(pages_dir: str, gate: int = REDIR_DOUBLE_GATE,
 
     return S.map_batches(fin, batch_format="pandas",
                          batch_size=batch_size)
+
+
+def url_templates(pages_dir: str, batch_size: int = 4096):
+    """(host, template, n_urls): per-host URL path templates with digit
+    runs collapsed to 'N' — the classic crawler-trap / URL-pattern
+    audit (a template whose n_urls explodes relative to its host is a
+    calendar/session-id trap; the scheduler caps or drops it).
+
+    Scale shape: map-only vectorized regex (RE2 via Arrow) + in-batch
+    partial count, then one (host, template)-keyed groupby-sum whose
+    cardinality is the number of distinct TEMPLATES (tiny vs URL
+    count) — the same pre-aggregate-then-shuffle shape as ft counters.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        url = batch.column("url")
+        host = pc.binary_join(
+            pc.list_slice(pc.split_pattern(url, "/"), 2, 3), "")
+        path = pc.replace_substring_regex(url, r"^[a-z]+://[^/]*", "")
+        path = pc.if_else(pc.equal(path, ""), "/", path)
+        tmpl = pc.replace_substring_regex(path, r"[0-9]+", "N")
+        t = pa.table({
+            "host": host, "template": tmpl,
+            "n_urls": pa.array(np.ones(len(batch), dtype=np.int64))})
+        return t.group_by(["host", "template"]).aggregate(
+            [("n_urls", "sum")]).rename_columns(
+            ["host", "template", "n_urls"])
+
+    agg = (_store_ds(pages_dir, ["url"])
+           .map_batches(partial, batch_format="pyarrow",
+                        batch_size=batch_size)
+           .groupby(["host", "template"]).sum("n_urls"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "host": t.column("host"),
+            "template": t.column("template"),
+            "n_urls": pc.cast(t.column("sum(n_urls)"), pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")

@@ -379,3 +379,27 @@ def test_redirect_resolve_paths_and_cap(ray_session):
     assert m["http://t.x/c20.html"] == ("http://t.x/term.html", 1)
     assert m["http://t.x/l0.html"] == ("", -1)        # loop
     assert m["http://t.x/r.html"] == ("http://t.x/ghost.html", 1)
+
+
+def test_url_templates_bruteforce(ray_session):
+    """Template collapse + counts == a sequential replay over the
+    store's url column."""
+    import re
+
+    from methanol_web_crawler_ray.sources.pagestore import build_store
+    import pyarrow.dataset as pads
+
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+    urls = pads.dataset(build_store(d), partitioning="hive") \
+        .to_table(columns=["url"]).column("url").to_pylist()
+    exp = {}
+    for u in urls:
+        host = u.split("/")[2] if len(u.split("/")) > 2 else ""
+        path = re.sub(r"^[a-z]+://[^/]*", "", u) or "/"
+        tmpl = re.sub(r"[0-9]+", "N", path)
+        exp[(host, tmpl)] = exp.get((host, tmpl), 0) + 1
+    got = {(r["host"], r["template"]): r["n_urls"]
+           for r in extract.url_templates(d).take_all()}
+    assert got == exp
+    # the fixture's /p/NN.html family collapses into one hot template
+    assert max(exp.values()) > 10
