@@ -327,6 +327,14 @@ def _q_page_url_templates(sf_dir: str):
     return url_templates(_pages_dir(sf_dir))
 
 
+def _q_page_mirrors(sf_dir: str):
+    """Cross-host mirror families: page texts verbatim on >=2 hosts
+    (md5-keyed, 16-byte shuffle), via the live extraction chain."""
+    from methanol_web_crawler_ray.stages.extract import page_mirrors
+
+    return page_mirrors(_pages_dir(sf_dir))
+
+
 def _q_page_redirects(sf_dir: str):
     """Redirect-chain terminal resolution over page_meta (worker.c:809
     20-cap), pointer-doubling above the size gate — loops and over-cap
@@ -514,6 +522,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_trustrank": graph.link_trustrank,
         # URL path-template mining (crawler-trap audit)
         "page_url_templates": _q_page_url_templates,
+        # cross-host mirror detection by exact text digest
+        "page_mirrors": _q_page_mirrors,
     }
 
 
@@ -1520,6 +1530,16 @@ def oracle_sql() -> dict[str, str]:
             "AS hops FROM r r0 LEFT JOIN term t ON t.u = r0.url"),
         # TrustRank: unrolled fixed point, CASE-gated teleport
         "graph_trustrank": graph.trustrank_oracle_sql(pdir),
+        # mirrors: md5 over the GOLDEN text column (page_text is
+        # gate-proven byte-identical to it), >=2-host groups
+        "page_mirrors": (
+            "WITH p AS (SELECT url, split_part(url, '/', 3) AS host, "
+            "md5(text) AS dg FROM "
+            f"read_parquet('{pdir}/pages.parquet') WHERE text <> '') "
+            "SELECT dg AS text_md5, count(*)::BIGINT AS n_urls, "
+            "count(DISTINCT host)::BIGINT AS n_hosts, "
+            "min(url) AS canonical_url FROM p GROUP BY dg "
+            "HAVING count(DISTINCT host) >= 2"),
         # URL templates: same two regex rewrites, two-key count
         "page_url_templates": (
             "WITH p AS (SELECT split_part(url, '/', 3) AS host, "

@@ -772,3 +772,54 @@ def url_templates(pages_dir: str, batch_size: int = 4096):
             "n_urls": pc.cast(t.column("sum(n_urls)"), pa.int64())})
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def page_mirrors(pages_dir: str, batch_size: int = 2048):
+    """(text_md5, n_urls, n_hosts, canonical_url): cross-host MIRROR
+    detection — page texts that appear verbatim on ≥2 distinct hosts
+    (mirror sites / CDNs / boilerplate robots files).  The crawler's
+    dedup-by-content audit: a mirror family fetches once, not per host.
+
+    Scale shape: text comes from the live utf8conv→entityconv chain
+    (page_text — independently gate-proven byte-identical to golden);
+    the shuffle key is md5(text) — 16 bytes per page move, never the
+    text; in-batch partial aggregation collapses to one row per
+    (digest, host) per batch before the digest-keyed groupby."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch.column("text"), ""))
+        url = t.column("url")
+        host = pc.binary_join(
+            pc.list_slice(pc.split_pattern(url, "/"), 2, 3), "")
+        dg = [hashlib.md5(x.encode("utf-8", "surrogateescape")).hexdigest()
+              for x in t.column("text").to_pylist()]
+        part = pa.table({"dg": pa.array(dg, pa.string()), "host": host,
+                         "url": url})
+        # collapse to one row per (dg, host) carrying in-batch counts/min
+        return part.group_by(["dg", "host"]).aggregate(
+            [("url", "count"), ("url", "min")]).rename_columns(
+            ["dg", "host", "n_urls", "min_url"])
+
+    def per_digest(g: pd.DataFrame) -> pd.DataFrame:
+        nh = g["host"].nunique()
+        if nh < 2:
+            return pd.DataFrame({
+                "text_md5": pd.Series([], dtype=object),
+                "n_urls": pd.Series([], dtype="int64"),
+                "n_hosts": pd.Series([], dtype="int64"),
+                "canonical_url": pd.Series([], dtype=object)})
+        return pd.DataFrame({
+            "text_md5": [g["dg"].iloc[0]],
+            "n_urls": np.array([g["n_urls"].sum()], dtype=np.int64),
+            "n_hosts": np.array([nh], dtype=np.int64),
+            "canonical_url": [g["min_url"].min()]})
+
+    return (page_text(pages_dir)
+            .map_batches(keyed, batch_format="pyarrow",
+                         batch_size=batch_size)
+            .groupby("dg").map_groups(per_digest, batch_format="pandas"))

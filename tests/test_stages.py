@@ -403,3 +403,28 @@ def test_url_templates_bruteforce(ray_session):
     assert got == exp
     # the fixture's /p/NN.html family collapses into one hot template
     assert max(exp.values()) > 10
+
+
+def test_page_mirrors_bruteforce(ray_session):
+    """Mirror families == a sequential replay over the golden text
+    column (>=2 distinct hosts, counts and canonical url)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+    fam = {}
+    for r in pq.read_table(f"{d}/pages.parquet",
+                           columns=["url", "text"]).to_pylist():
+        if r["text"] == "":
+            continue
+        dg = hashlib.md5(r["text"].encode()).hexdigest()
+        e = fam.setdefault(dg, [0, set(), None])
+        e[0] += 1
+        e[1].add(r["url"].split("/")[2])
+        e[2] = r["url"] if e[2] is None else min(e[2], r["url"])
+    exp = {dg: (n, len(h), u) for dg, (n, h, u) in fam.items()
+           if len(h) >= 2}
+    got = {r["text_md5"]: (r["n_urls"], r["n_hosts"], r["canonical_url"])
+           for r in extract.page_mirrors(d).take_all()}
+    assert got == exp and len(exp) > 0
