@@ -335,6 +335,15 @@ def _q_page_mirrors(sf_dir: str):
     return page_mirrors(_pages_dir(sf_dir))
 
 
+def _q_page_revisit_schedule(sf_dir: str):
+    """Integer-exact adaptive revisit schedule over the captures
+    history (mean observed change interval / 2x-span backoff / cold
+    default)."""
+    from methanol_web_crawler_ray.stages.extract import revisit_schedule
+
+    return revisit_schedule(_pages_dir(sf_dir))
+
+
 def _q_page_redirects(sf_dir: str):
     """Redirect-chain terminal resolution over page_meta (worker.c:809
     20-cap), pointer-doubling above the size gate — loops and over-cap
@@ -524,6 +533,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_url_templates": _q_page_url_templates,
         # cross-host mirror detection by exact text digest
         "page_mirrors": _q_page_mirrors,
+        # adaptive revisit schedule (Cho-Garcia-Molina integers)
+        "page_revisit_schedule": _q_page_revisit_schedule,
     }
 
 
@@ -1530,6 +1541,19 @@ def oracle_sql() -> dict[str, str]:
             "AS hops FROM r r0 LEFT JOIN term t ON t.u = r0.url"),
         # TrustRank: unrolled fixed point, CASE-gated teleport
         "graph_trustrank": graph.trustrank_oracle_sql(pdir),
+        # revisit schedule: distinct-version CTE, integer gap CASE
+        "page_revisit_schedule": (
+            "WITH c AS (SELECT url, md5(text) AS k, "
+            "epoch_us(warc_ts)::BIGINT AS ts FROM "
+            f"read_parquet('{cap}')), "
+            "u AS (SELECT url, count(*)::BIGINT AS nc, "
+            "count(DISTINCT k)::BIGINT AS nv, min(ts) AS lo, "
+            "max(ts) AS hi FROM c GROUP BY url) "
+            "SELECT url, nc AS n_captures, nv AS n_versions, "
+            "hi AS last_ts_us, (hi + CASE "
+            "WHEN nv > 1 THEN (hi - lo) // (nv - 1) "
+            "WHEN nc > 1 THEN 2 * (hi - lo) "
+            "ELSE 2592000000000 END)::BIGINT AS next_fetch_us FROM u"),
         # mirrors: md5 over the GOLDEN text column (page_text is
         # gate-proven byte-identical to it), >=2-host groups
         "page_mirrors": (

@@ -823,3 +823,74 @@ def page_mirrors(pages_dir: str, batch_size: int = 2048):
             .map_batches(keyed, batch_format="pyarrow",
                          batch_size=batch_size)
             .groupby("dg").map_groups(per_digest, batch_format="pandas"))
+
+
+REVISIT_DEFAULT_US = 30 * 86_400 * 1_000_000  # never-observed-change cold gap
+
+
+def revisit_schedule(pages_dir: str, batch_size: int = 2048):
+    """(url, n_captures, n_versions, last_ts_us, next_fetch_us): the
+    adaptive revisit SCHEDULE the recrawl planner feeds from — the
+    integer-exact Cho–Garcia-Molina '03 policy over the captures table:
+
+      changed URLs (>1 distinct text version) refetch after the mean
+      observed change interval (span // (n_versions-1));
+      multi-capture static URLs back off to 2× the observed span;
+      single-capture URLs get the cold default (30 days).
+
+    Scale shape: identical exchange to snapshot_change_rate — per-batch
+    partial collapses captures to DISTINCT (url, md5) rows carrying a
+    count and a ts min/max, so the groupby(url) merge moves a bounded
+    handful of ~60-byte rows per URL, never text."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ..sources.captures import captures_path
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "url": df["url"],
+            "k": [hashlib.md5(t.encode()).hexdigest()
+                  for t in df["text"]],
+            "ts": df["ts_us"].astype("int64"),
+            "c": np.int64(1)})
+        agg = g.groupby(["url", "k"], sort=False).agg(
+            c=("c", "sum"), lo=("ts", "min"), hi=("ts", "max"))
+        return agg.reset_index().astype(
+            {"c": "int64", "lo": "int64", "hi": "int64"})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        nv = int(df["k"].nunique())
+        nc = int(df["c"].sum())
+        first, last = int(df["lo"].min()), int(df["hi"].max())
+        span = last - first
+        if nv > 1:
+            gap = span // (nv - 1)
+        elif nc > 1:
+            gap = 2 * span
+        else:
+            gap = REVISIT_DEFAULT_US
+        return pd.DataFrame({
+            "url": [df["url"].iloc[0]],
+            "n_captures": [np.int64(nc)],
+            "n_versions": [np.int64(nv)],
+            "last_ts_us": [np.int64(last)],
+            "next_fetch_us": [np.int64(last + gap)]})
+
+    def to_us(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "url": t.column("url"),
+            "text": t.column("text"),
+            "ts_us": pc.cast(t.column("warc_ts"), pa.int64())})
+
+    ds = ray.data.read_parquet(
+        captures_path(pages_dir), columns=["url", "warc_ts", "text"]) \
+        .map_batches(to_us, batch_format="pyarrow",
+                     batch_size=batch_size) \
+        .map_batches(partial, batch_format="pandas",
+                     batch_size=batch_size)
+    return ds.groupby("url").map_groups(merge, batch_format="pandas")

@@ -428,3 +428,39 @@ def test_page_mirrors_bruteforce(ray_session):
     got = {r["text_md5"]: (r["n_urls"], r["n_hosts"], r["canonical_url"])
            for r in extract.page_mirrors(d).take_all()}
     assert got == exp and len(exp) > 0
+
+
+def test_revisit_schedule_bruteforce(ray_session):
+    """Schedule == sequential Cho-Garcia-Molina replay over captures."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from methanol_web_crawler_ray.sources.captures import captures_path
+
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+    hist = {}
+    for r in pq.read_table(captures_path(d)).to_pylist():
+        ts = int(r["warc_ts"].timestamp() * 1_000_000)
+        hist.setdefault(r["url"], []).append(
+            (ts, hashlib.md5(r["text"].encode()).hexdigest()))
+    exp = {}
+    for u, rows in hist.items():
+        nc = len(rows)
+        nv = len({k for _, k in rows})
+        lo = min(t for t, _ in rows)
+        hi = max(t for t, _ in rows)
+        if nv > 1:
+            gap = (hi - lo) // (nv - 1)
+        elif nc > 1:
+            gap = 2 * (hi - lo)
+        else:
+            gap = extract.REVISIT_DEFAULT_US
+        exp[u] = (nc, nv, hi, hi + gap)
+    got = {r["url"]: (r["n_captures"], r["n_versions"],
+                      r["last_ts_us"], r["next_fetch_us"])
+           for r in extract.revisit_schedule(d).take_all()}
+    assert got == exp
+    # the fixture has changed, static-multi and single-capture URLs
+    ncs = {v[0] for v in exp.values()}
+    assert 1 in ncs and len(ncs) > 1
