@@ -344,6 +344,14 @@ def _q_page_revisit_schedule(sf_dir: str):
     return revisit_schedule(_pages_dir(sf_dir))
 
 
+def _q_page_snapshot_diff(sf_dir: str):
+    """Line-level added/removed counts between consecutive captures of
+    each URL (md5-per-line identity on both sides)."""
+    from methanol_web_crawler_ray.stages.extract import snapshot_diff
+
+    return snapshot_diff(_pages_dir(sf_dir))
+
+
 def _q_page_redirects(sf_dir: str):
     """Redirect-chain terminal resolution over page_meta (worker.c:809
     20-cap), pointer-doubling above the size gate — loops and over-cap
@@ -535,6 +543,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_mirrors": _q_page_mirrors,
         # adaptive revisit schedule (Cho-Garcia-Molina integers)
         "page_revisit_schedule": _q_page_revisit_schedule,
+        # line-level deltas between consecutive captures
+        "page_snapshot_diff": _q_page_snapshot_diff,
     }
 
 
@@ -1541,6 +1551,20 @@ def oracle_sql() -> dict[str, str]:
             "AS hops FROM r r0 LEFT JOIN term t ON t.u = r0.url"),
         # TrustRank: unrolled fixed point, CASE-gated teleport
         "graph_trustrank": graph.trustrank_oracle_sql(pdir),
+        # snapshot diff: lag() window over per-capture line-hash
+        # lists, list_filter set differences
+        "page_snapshot_diff": (
+            "WITH c AS (SELECT url, epoch_us(warc_ts)::BIGINT AS ts, "
+            "list_distinct(list_transform(string_split(text, chr(10)), "
+            "x -> md5(x))) AS ls FROM "
+            f"read_parquet('{cap}')), "
+            "w AS (SELECT url, ts, ls, lag(ls) OVER "
+            "(PARTITION BY url ORDER BY ts) AS pls FROM c) "
+            "SELECT url, ts AS ts_us, "
+            "len(list_filter(ls, x -> NOT list_contains(pls, x)))"
+            "::BIGINT AS n_added, "
+            "len(list_filter(pls, x -> NOT list_contains(ls, x)))"
+            "::BIGINT AS n_removed FROM w WHERE pls IS NOT NULL"),
         # revisit schedule: distinct-version CTE, integer gap CASE
         "page_revisit_schedule": (
             "WITH c AS (SELECT url, md5(text) AS k, "

@@ -894,3 +894,60 @@ def revisit_schedule(pages_dir: str, batch_size: int = 2048):
         .map_batches(partial, batch_format="pandas",
                      batch_size=batch_size)
     return ds.groupby("url").map_groups(merge, batch_format="pandas")
+
+
+def snapshot_diff(pages_dir: str, batch_size: int = 1024):
+    """(url, ts_us, n_added, n_removed): per-URL LINE-LEVEL deltas
+    between consecutive captures — the incremental-indexing signal (an
+    updater reprocesses only changed lines, a near-dup pipeline skips
+    unchanged spans).  Line identity is md5-per-line on BOTH sides, so
+    the DuckDB replay shares collision behavior exactly.
+
+    Scale shape: the map side collapses every capture to its DISTINCT
+    line-hash set (≈33 bytes/line, never the text), so the groupby(url)
+    exchange moves one bounded hash-set row per capture (per-URL capture
+    count ~ crawl cadence, single digits); the per-group diff is a few
+    set operations."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ..sources.captures import captures_path
+
+    def to_sets(df: pd.DataFrame) -> pd.DataFrame:
+        # the hash set travels as one comma-joined string column so the
+        # shuffle block stays Arrow-encodable
+        sets = [
+            ",".join(sorted({hashlib.md5(ln.encode()).hexdigest()
+                             for ln in t.split("\n")}))
+            for t in df["text"]]
+        return pd.DataFrame({
+            "url": df["url"],
+            "ts_us": df["warc_ts"].astype("int64"),
+            "ls": sets})
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts_us")
+        urls, tss, add, rem = [], [], [], []
+        prev = None
+        for r in g.itertuples(index=False):
+            cur = set(r.ls.split(","))
+            if prev is not None:
+                urls.append(r.url)
+                tss.append(int(r.ts_us))
+                add.append(len(cur - prev))
+                rem.append(len(prev - cur))
+            prev = cur
+        return pd.DataFrame({
+            "url": pd.Series(urls, dtype=object),
+            "ts_us": pd.Series(tss, dtype="int64"),
+            "n_added": pd.Series(add, dtype="int64"),
+            "n_removed": pd.Series(rem, dtype="int64")})
+
+    ds = ray.data.read_parquet(
+        captures_path(pages_dir), columns=["url", "warc_ts", "text"]) \
+        .map_batches(to_sets, batch_format="pandas",
+                     batch_size=batch_size)
+    return ds.groupby("url").map_groups(diff, batch_format="pandas")

@@ -464,3 +464,27 @@ def test_revisit_schedule_bruteforce(ray_session):
     # the fixture has changed, static-multi and single-capture URLs
     ncs = {v[0] for v in exp.values()}
     assert 1 in ncs and len(ncs) > 1
+
+
+def test_snapshot_diff_bruteforce(ray_session):
+    """Consecutive-capture line-set deltas == sequential replay."""
+    import pyarrow.parquet as pq
+
+    from methanol_web_crawler_ray.sources.captures import captures_path
+
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+    hist = {}
+    for r in pq.read_table(captures_path(d)).to_pylist():
+        ts = int(r["warc_ts"].timestamp() * 1_000_000)
+        hist.setdefault(r["url"], []).append(
+            (ts, set(r["text"].split("\n"))))
+    exp = {}
+    for u, rows in hist.items():
+        rows.sort()
+        for (pt, pl), (ct, cl) in zip(rows, rows[1:]):
+            exp[(u, ct)] = (len(cl - pl), len(pl - cl))
+    got = {(r["url"], r["ts_us"]): (r["n_added"], r["n_removed"])
+           for r in extract.snapshot_diff(d).take_all()}
+    assert got == exp and len(exp) > 0
+    # drifted recrawls produce nonzero deltas
+    assert any(a or r for a, r in exp.values())
