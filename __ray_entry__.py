@@ -545,6 +545,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_revisit_schedule": _q_page_revisit_schedule,
         # line-level deltas between consecutive captures
         "page_snapshot_diff": _q_page_snapshot_diff,
+        # recall@k of the LSH path vs exact brute force
+        "ann_recall": ann.ann_recall,
     }
 
 
@@ -1601,4 +1603,14 @@ def oracle_sql() -> dict[str, str]:
     # confusion matrix replays the full doc_langid decision SQL as a CTE
     d["doc_lang_confusion"] = textops.lang_confusion_oracle_sql(
         d["doc_langid"])
+    # recall@k composes the exact and LSH oracles as subqueries
+    d["ann_recall"] = (
+        f"SELECT e.query_id, count(*)::BIGINT AS n_exact, "
+        f"(SELECT count(*) FROM ({d['ann_topk_lsh']}) x "
+        f"WHERE x.query_id = e.query_id)::BIGINT AS n_approx, "
+        f"(1000 * sum(CASE WHEN a.neighbor_id IS NOT NULL "
+        f"THEN 1 ELSE 0 END) // 10)::BIGINT AS recall_permille "
+        f"FROM ({d['ann_topk']}) e LEFT JOIN ({d['ann_topk_lsh']}) a "
+        f"ON a.query_id = e.query_id "
+        f"AND a.neighbor_id = e.neighbor_id GROUP BY e.query_id")
     return d

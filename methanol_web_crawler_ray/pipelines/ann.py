@@ -1106,3 +1106,36 @@ def emb_kmeans_oracle_sql(k: int = KM_K, iters: int = KM_ITERS) -> str:
             "SELECT vec_id, cid FROM df s WHERE NOT EXISTS "
             "(SELECT 1 FROM df m WHERE m.vec_id = s.vec_id "
             "AND (m.d2 < s.d2 OR (m.d2 = s.d2 AND m.cid < s.cid)))")
+
+
+def ann_recall(sf_dir: str, k: int = 10, n_queries: int = 5):
+    """(query_id, n_exact, n_approx, recall_permille): the evaluation
+    harness for the approximate path — recall@k of the LSH top-k
+    against the exact brute-force top-k, integer permille.  The number
+    a 100 TB deployment watches when trading probe count against
+    throughput.
+
+    Scale shape: both inputs are the existing pipelines (their own
+    scale stories apply); the comparison itself moves k rows per query
+    per side through one query-keyed groupby — query-count-sized, never
+    corpus-sized."""
+    import numpy as np
+    import pandas as pd
+
+    ex = ann_topk(sf_dir, k=k, n_queries=n_queries).map_batches(
+        lambda df: df.assign(src=np.int8(0)), batch_format="pandas")
+    ap = ann_topk_lsh(sf_dir, k=k, n_queries=n_queries).map_batches(
+        lambda df: df.assign(src=np.int8(1)), batch_format="pandas")
+
+    def rec(g: pd.DataFrame) -> pd.DataFrame:
+        e = set(g.loc[g["src"] == 0, "neighbor_id"])
+        a = set(g.loc[g["src"] == 1, "neighbor_id"])
+        return pd.DataFrame({
+            "query_id": pd.Series([g["query_id"].iloc[0]], dtype="int64"),
+            "n_exact": pd.Series([len(e)], dtype="int64"),
+            "n_approx": pd.Series([len(a)], dtype="int64"),
+            "recall_permille": pd.Series([1000 * len(e & a) // k],
+                                         dtype="int64")})
+
+    return ex.union(ap).groupby("query_id").map_groups(
+        rec, batch_format="pandas")

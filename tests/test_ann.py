@@ -272,3 +272,24 @@ def test_emb_kmeans_vs_bruteforce(ray_session, sf_dir):
            for r in ann.emb_kmeans(sf_dir).take_all()}
     assert got == exp
     assert len(set(got.values())) > 1  # clusters actually separate
+
+
+def test_ann_recall_bruteforce(ray_session, sf_dir):
+    """recall@k == set intersection of the two pipelines' outputs."""
+    from methanol_web_crawler_ray.pipelines import ann
+
+    ex = {}
+    for r in ann.ann_topk(sf_dir).take_all():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ap = {}
+    for r in ann.ann_topk_lsh(sf_dir).take_all():
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {r["query_id"]: (r["n_exact"], r["n_approx"],
+                           r["recall_permille"])
+           for r in ann.ann_recall(sf_dir).take_all()}
+    assert set(got) == set(ex)
+    for q, (ne, na, rp) in got.items():
+        assert ne == len(ex[q]) and na == len(ap.get(q, set()))
+        assert rp == 1000 * len(ex[q] & ap.get(q, set())) // 10
+    # the multiprobe LSH should find most of the true neighbors
+    assert sum(v[2] for v in got.values()) / len(got) >= 500
