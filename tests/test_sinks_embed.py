@@ -100,3 +100,55 @@ def test_crawl_log_roundtrip(ray_session, sink_ckpt):
     hashes = [r["url_hash"] for r in log]
     assert len(hashes) == len(set(hashes))
     assert 0 < len(hashes) <= n
+
+
+def test_export_corpus_resumable(ray_session):
+    """Partitioned export skips finished buckets on re-run, rebuilds
+    partials, and the completed corpus equals the store's pages."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from methanol_web_crawler_ray.pipelines.sinks import export_corpus
+    from methanol_web_crawler_ray.sources import pagegen
+
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+    out = "/tmp/mwc_test_export"
+    shutil.rmtree(out, ignore_errors=True)
+
+    r1 = export_corpus(d, out)
+    assert r1["skipped"] == 0 and r1["written"] > 1
+    total = pads.dataset(out, partitioning="hive").count_rows()
+    n_pages = pq.read_metadata(f"{d}/pages.parquet").num_rows
+    assert total == n_pages
+
+    # simulate a crashed run: one bucket unfinished (marker gone,
+    # partial files present), the rest done
+    done = sorted(int(m.rsplit(".", 1)[1])
+                  for m in glob.glob(os.path.join(out, "_DONE.*")))
+    victim = done[-1]
+    os.remove(os.path.join(out, f"_DONE.{victim}"))
+    part = glob.glob(os.path.join(out, f"bucket={victim}", "*"))[0]
+    with open(part, "wb") as f:
+        f.write(b"garbage partial")
+    keepf = glob.glob(os.path.join(out, f"bucket={done[0]}", "*"))[0]
+    keep_bytes = open(keepf, "rb").read()  # finished bucket: untouched
+
+    r2 = export_corpus(d, out)
+    assert r2["written"] == 1 and r2["skipped"] == r1["written"] - 1
+    assert open(keepf, "rb").read() == keep_bytes  # bucket skipped
+    assert pads.dataset(out, partitioning="hive").count_rows() == total
+
+    # texts byte-equal the golden column for every exported row
+    exp = {r["url"]: r["text"]
+           for r in pq.read_table(f"{d}/pages.parquet",
+                                  columns=["url", "text"]).to_pylist()}
+    got = pads.dataset(out, partitioning="hive") \
+        .to_table(columns=["url", "text"]).to_pylist()
+    assert all(exp[r["url"]] == r["text"] for r in got)
+
+    r3 = export_corpus(d, out)               # idempotent when complete
+    assert r3 == {"written": 0, "skipped": r1["written"]}
