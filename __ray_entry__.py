@@ -547,6 +547,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_snapshot_diff": _q_page_snapshot_diff,
         # recall@k of the LSH path vs exact brute force
         "ann_recall": ann.ann_recall,
+        # frontier expansion: inlink-ranked uncrawled URLs
+        "graph_frontier_candidates": graph.frontier_candidates,
     }
 
 
@@ -1553,6 +1555,18 @@ def oracle_sql() -> dict[str, str]:
             "AS hops FROM r r0 LEFT JOIN term t ON t.u = r0.url"),
         # TrustRank: unrolled fixed point, CASE-gated teleport
         "graph_trustrank": graph.trustrank_oracle_sql(pdir),
+        # frontier candidates: anti-join vs pages, per-dst rollup
+        "graph_frontier_candidates": (
+            "WITH pl AS (SELECT url AS src, canon AS dst FROM "
+            f"read_parquet('{pdir}/golden_canon.parquet') "
+            "WHERE canon IS NOT NULL), "
+            "pu AS (SELECT DISTINCT url FROM "
+            f"read_parquet('{pdir}/pages.parquet')), "
+            "e AS (SELECT DISTINCT src, dst FROM pl "
+            "LEFT JOIN pu ON pu.url = pl.dst WHERE pu.url IS NULL) "
+            "SELECT dst AS url, count(*)::BIGINT AS n_inlinks, "
+            "count(DISTINCT split_part(src, '/', 3))::BIGINT "
+            "AS n_src_hosts, min(src) AS first_src FROM e GROUP BY dst"),
         # snapshot diff: lag() window over per-capture line-hash
         # lists, list_filter set differences
         "page_snapshot_diff": (

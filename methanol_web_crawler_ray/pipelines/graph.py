@@ -1234,3 +1234,77 @@ def neighbor_jaccard_oracle_sql(pdir: str) -> str:
         "(da.d + db.d - COALESCE(i.c, 0)))::BIGINT AS jaccard_permille "
         "FROM u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b "
         "LEFT JOIN inter i ON i.a = u.a AND i.b = u.b")
+
+
+def frontier_candidates(sf_dir: str):
+    """(url, n_inlinks, n_src_hosts, first_src): the OPEN side of the
+    link graph — canonicalized outlinks with NO page row, ranked by
+    how many distinct crawled pages (and hosts) point at them.  This is
+    frontier EXPANSION: the scheduler's next-wave priority signal
+    (OPIC-style in-degree, host-diversity bonus) for URLs the crawl has
+    discovered but not fetched.
+
+    Scale shape: the same size-gated membership test as the closed
+    graph (_edges_ds) with the polarity flipped — ≤gate broadcasts the
+    page-URL column once and keeps dst NOT is_in; >gate is a
+    distributed left_anti hash join.  In-batch (src,dst) dedup bounds
+    the exchange; the final groupby moves one row per distinct
+    (candidate, src) pair."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from ..sources import pagegen
+    from ..stages.extract import page_canonicalize_links
+    from ._util import ensure_schema
+
+    pdir = pagegen.pages_dir_for(sf_dir)
+    pages_path = f"{pdir}/pages.parquet"
+    n_pages = pq.ParquetFile(pages_path).metadata.num_rows
+
+    def pair_fn(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("canon")))
+        t = pa.table({"src": t.column("url"), "dst": t.column("canon")})
+        return t.group_by(["src", "dst"]).aggregate([])
+
+    pairs = page_canonicalize_links(pdir).map_batches(
+        pair_fn, batch_format="pyarrow")
+
+    if n_pages <= GRAPH_DRIVER_GATE:
+        urls = pq.read_table(pages_path, columns=["url"]) \
+            .column("url").combine_chunks()
+        ref = ray.put(urls)
+
+        def open_fn(batch: pa.Table, _r=ref) -> pa.Table:
+            return batch.filter(pc.invert(
+                pc.is_in(batch.column("dst"), value_set=ray.get(_r))))
+
+        cand = pairs.map_batches(open_fn, batch_format="pyarrow")
+    else:
+        pages = ray.data.read_parquet(pages_path, columns=["url"])
+        cand = pairs.join(pages, "left_anti", _num_partitions(n_pages),
+                          on=("dst",), right_on=("url",))
+
+    dist = ensure_schema(
+        cand.groupby(["src", "dst"]).count().select_columns(
+            ["src", "dst"]),
+        EDGE_SCHEMA)
+
+    def shape(t: pa.Table) -> pa.Table:
+        host = pc.binary_join(
+            pc.list_slice(pc.split_pattern(t.column("src"), "/"), 2, 3),
+            "")
+        return pa.table({"dst": t.column("dst"), "src": t.column("src"),
+                         "src_host": host})
+
+    def per_cand(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "url": [g["dst"].iloc[0]],
+            "n_inlinks": np.array([len(g)], dtype=np.int64),
+            "n_src_hosts": np.array([g["src_host"].nunique()],
+                                    dtype=np.int64),
+            "first_src": [g["src"].min()]})
+
+    return dist.map_batches(shape, batch_format="pyarrow") \
+        .groupby("dst").map_groups(per_cand, batch_format="pandas")

@@ -305,3 +305,30 @@ def test_trustrank_large_path_parity(ray_session, sf_dir, monkeypatch):
     large = sorted(graph.link_trustrank(sf_dir).take_all(),
                    key=lambda r: r["url"])
     assert large == small
+
+
+def test_frontier_candidates_bruteforce(ray_session, sf_dir):
+    """Open-side candidates == sequential replay over the live canon
+    chain minus the pages set."""
+    import pyarrow.parquet as pq
+
+    from methanol_web_crawler_ray.sources import pagegen
+    from methanol_web_crawler_ray.stages.extract import (
+        page_canonicalize_links)
+
+    pdir = pagegen.pages_dir_for(sf_dir)
+    pages = set(pq.read_table(f"{pdir}/pages.parquet", columns=["url"])
+                .column("url").to_pylist())
+    pairs = {(r["url"], r["canon"])
+             for r in page_canonicalize_links(pdir).take_all()
+             if r["canon"] is not None and r["canon"] not in pages}
+    exp = {}
+    for src, dst in pairs:
+        e = exp.setdefault(dst, [0, set(), None])
+        e[0] += 1
+        e[1].add(src.split("/")[2])
+        e[2] = src if e[2] is None else min(e[2], src)
+    got = {r["url"]: (r["n_inlinks"], r["n_src_hosts"], r["first_src"])
+           for r in graph.frontier_candidates(sf_dir).take_all()}
+    assert got == {d: (n, len(h), m) for d, (n, h, m) in exp.items()}
+    assert len(got) > 0
