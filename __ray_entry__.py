@@ -352,6 +352,14 @@ def _q_page_snapshot_diff(sf_dir: str):
     return snapshot_diff(_pages_dir(sf_dir))
 
 
+def _q_page_cdx(sf_dir: str):
+    """CDX-style index records (SURT urlkey, capture ts, content
+    digest) over the captures history."""
+    from methanol_web_crawler_ray.stages.extract import cdx_index
+
+    return cdx_index(_pages_dir(sf_dir))
+
+
 def _q_page_redirects(sf_dir: str):
     """Redirect-chain terminal resolution over page_meta (worker.c:809
     20-cap), pointer-doubling above the size gate — loops and over-cap
@@ -549,6 +557,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall": ann.ann_recall,
         # frontier expansion: inlink-ranked uncrawled URLs
         "graph_frontier_candidates": graph.frontier_candidates,
+        # CDX index records (SURT urlkey + ts + digest)
+        "page_cdx": _q_page_cdx,
     }
 
 
@@ -1555,6 +1565,15 @@ def oracle_sql() -> dict[str, str]:
             "AS hops FROM r r0 LEFT JOIN term t ON t.u = r0.url"),
         # TrustRank: unrolled fixed point, CASE-gated teleport
         "graph_trustrank": graph.trustrank_oracle_sql(pdir),
+        # CDX records: list_reverse SURT + path regex + md5
+        "page_cdx": (
+            "SELECT array_to_string(list_reverse(string_split("
+            "split_part(url, '/', 3), '.')), ',') || ')' || "
+            "(CASE WHEN regexp_replace(url, '^[a-z]+://[^/]*', '') "
+            "= '' THEN '/' ELSE "
+            "regexp_replace(url, '^[a-z]+://[^/]*', '') END) AS surt, "
+            "epoch_us(warc_ts)::BIGINT AS ts_us, url, md5(text) "
+            f"AS digest FROM read_parquet('{cap}')"),
         # frontier candidates: anti-join vs pages, per-dst rollup
         "graph_frontier_candidates": (
             "WITH pl AS (SELECT url AS src, canon AS dst FROM "

@@ -951,3 +951,50 @@ def snapshot_diff(pages_dir: str, batch_size: int = 1024):
         .map_batches(to_sets, batch_format="pandas",
                      batch_size=batch_size)
     return ds.groupby("url").map_groups(diff, batch_format="pandas")
+
+
+def cdx_index(pages_dir: str, batch_size: int = 2048):
+    """(surt, ts_us, url, digest): CDX-style index records over the
+    captures history — the Common-Crawl/IA index format: urlkey is the
+    SURT (Sort-friendly URI Reordering Transform — host components
+    reversed and comma-joined, then ')' + path) so one host's pages and
+    subdomains of one domain sort adjacently; timestamp + content
+    digest complete the record.  Downstream consumers range-scan the
+    surt order; this op emits the records, the reader sorts/merges
+    (emitting pre-sorted runs per block would pin a global sort here —
+    that is the consumer's merge, not the builder's).
+
+    Scale shape: map-only — two vectorized regex/split passes plus a
+    per-row host-reverse (bounded label count) and an md5 per capture;
+    no shuffle at all."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data
+
+    from ..sources.captures import captures_path
+
+    import re
+
+    scheme_re = re.compile(r"^[a-z]+://[^/]*")
+
+    def rec(df: pd.DataFrame) -> pd.DataFrame:
+        surts = []
+        digests = []
+        for u, t in zip(df["url"], df["text"]):
+            parts = u.split("/")
+            host = parts[2] if len(parts) > 2 else ""
+            path = scheme_re.sub("", u) or "/"
+            surts.append(
+                ",".join(reversed(host.split("."))) + ")" + path)
+            digests.append(hashlib.md5(t.encode()).hexdigest())
+        return pd.DataFrame({
+            "surt": pd.Series(surts, dtype=object),
+            "ts_us": df["warc_ts"].astype("int64"),
+            "url": df["url"],
+            "digest": pd.Series(digests, dtype=object)})
+
+    return ray.data.read_parquet(
+        captures_path(pages_dir),
+        columns=["url", "warc_ts", "text"]).map_batches(
+        rec, batch_format="pandas", batch_size=batch_size)

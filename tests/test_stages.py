@@ -488,3 +488,28 @@ def test_snapshot_diff_bruteforce(ray_session):
     assert got == exp and len(exp) > 0
     # drifted recrawls produce nonzero deltas
     assert any(a or r for a, r in exp.values())
+
+
+def test_cdx_index_bruteforce(ray_session):
+    """CDX records == sequential SURT replay over captures."""
+    import hashlib
+    import re
+
+    import pyarrow.parquet as pq
+
+    from methanol_web_crawler_ray.sources.captures import captures_path
+
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+    sch = re.compile(r"^[a-z]+://[^/]*")
+    exp = set()
+    for r in pq.read_table(captures_path(d)).to_pylist():
+        host = r["url"].split("/")[2]
+        path = sch.sub("", r["url"]) or "/"
+        surt = ",".join(reversed(host.split("."))) + ")" + path
+        exp.add((surt, int(r["warc_ts"].timestamp() * 1_000_000),
+                 r["url"], hashlib.md5(r["text"].encode()).hexdigest()))
+    got = {(r["surt"], r["ts_us"], r["url"], r["digest"])
+           for r in extract.cdx_index(d).take_all()}
+    assert got == exp and len(exp) > 0
+    # SURT groups a host's pages under one prefix
+    assert any(s.startswith("example,host-0000)") for s, *_ in exp)
