@@ -360,6 +360,14 @@ def _q_page_cdx(sf_dir: str):
     return cdx_index(_pages_dir(sf_dir))
 
 
+def _q_page_host_budget(sf_dir: str):
+    """Per-host polite fetch budget: robots Crawl-delay floored at the
+    friendly-mode spacing, times page count."""
+    from methanol_web_crawler_ray.stages.extract import host_budget
+
+    return host_budget(_pages_dir(sf_dir))
+
+
 def _q_page_redirects(sf_dir: str):
     """Redirect-chain terminal resolution over page_meta (worker.c:809
     20-cap), pointer-doubling above the size gate — loops and over-cap
@@ -559,6 +567,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_frontier_candidates": graph.frontier_candidates,
         # CDX index records (SURT urlkey + ts + digest)
         "page_cdx": _q_page_cdx,
+        # politeness budget planner (robots delay x page count)
+        "page_host_budget": _q_page_host_budget,
     }
 
 
@@ -1565,6 +1575,19 @@ def oracle_sql() -> dict[str, str]:
             "AS hops FROM r r0 LEFT JOIN term t ON t.u = r0.url"),
         # TrustRank: unrolled fixed point, CASE-gated teleport
         "graph_trustrank": graph.trustrank_oracle_sql(pdir),
+        # host budget: robots delay extract + host rollup join
+        "page_host_budget": (
+            "WITH p AS (SELECT split_part(url, '/', 3) AS host, url, "
+            f"text FROM read_parquet('{pdir}/pages.parquet')), "
+            "c AS (SELECT host, count(*)::BIGINT AS n_pages FROM p "
+            "GROUP BY host), "
+            "d AS (SELECT host, coalesce(max(CASE WHEN url LIKE "
+            "'%/robots.txt' THEN try_cast(regexp_extract(text, "
+            "'Crawl-delay: ([0-9]+)', 1) AS BIGINT) END), 0) AS delay "
+            "FROM p GROUP BY host) "
+            "SELECT c.host, c.n_pages, d.delay::BIGINT AS crawl_delay_s, "
+            "(c.n_pages * greatest(d.delay, 10))::BIGINT AS budget_s "
+            "FROM c JOIN d ON c.host = d.host"),
         # CDX records: list_reverse SURT + path regex + md5
         "page_cdx": (
             "SELECT array_to_string(list_reverse(string_split("

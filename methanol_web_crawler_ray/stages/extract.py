@@ -998,3 +998,57 @@ def cdx_index(pages_dir: str, batch_size: int = 2048):
         captures_path(pages_dir),
         columns=["url", "warc_ts", "text"]).map_batches(
         rec, batch_format="pandas", batch_size=batch_size)
+
+
+FRIENDLY_GET_DELAY_S = 10  # friendly-mode GET spacing (metha.c:71-79)
+
+
+def host_budget(pages_dir: str, batch_size: int = 2048):
+    """(host, n_pages, crawl_delay_s, budget_s): the politeness BUDGET
+    planner — per host, how long a single polite worker needs to fetch
+    everything: page count × effective inter-GET delay, where the
+    delay is the host's robots.txt Crawl-delay floored by the friendly
+    mode's 10 s spacing (metha.c:71-79).  The scheduler's input for
+    sizing worker counts and spotting makespan-dominating hosts (the
+    long-pole host IS the crawl's wall clock under politeness).
+
+    Scale shape: in-batch partial (count + robots-delay extract) →
+    hosts-sized groupby merge; nothing page-sized shuffles."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    delay_re = re.compile(r"Crawl-delay: ([0-9]+)")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hosts = [u.split("/")[2] if len(u.split("/")) > 2 else ""
+                 for u in df["url"]]
+        delays = []
+        for u, t in zip(df["url"], df["text"]):
+            if u.endswith("/robots.txt"):
+                m = delay_re.search(t)
+                delays.append(int(m.group(1)) if m else 0)
+            else:
+                delays.append(0)
+        g = pd.DataFrame({"host": hosts, "n": np.int64(1),
+                          "delay": pd.Series(delays, dtype="int64")})
+        return g.groupby("host", sort=False).agg(
+            n=("n", "sum"), delay=("delay", "max")).reset_index()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum())
+        d = int(g["delay"].max())
+        eff = max(d, FRIENDLY_GET_DELAY_S)
+        return pd.DataFrame({
+            "host": [g["host"].iloc[0]],
+            "n_pages": pd.Series([n], dtype="int64"),
+            "crawl_delay_s": pd.Series([d], dtype="int64"),
+            "budget_s": pd.Series([n * eff], dtype="int64")})
+
+    return ray.data.read_parquet(
+        f"{pages_dir}/pages.parquet", columns=["url", "text"]) \
+        .map_batches(partial, batch_format="pandas",
+                     batch_size=batch_size) \
+        .groupby("host").map_groups(merge, batch_format="pandas")

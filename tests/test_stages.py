@@ -513,3 +513,29 @@ def test_cdx_index_bruteforce(ray_session):
     assert got == exp and len(exp) > 0
     # SURT groups a host's pages under one prefix
     assert any(s.startswith("example,host-0000)") for s, *_ in exp)
+
+
+def test_host_budget_bruteforce(ray_session):
+    """Budget == sequential replay (count, delay extract, 10s floor)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+    cnt, dly = {}, {}
+    for r in pq.read_table(f"{d}/pages.parquet",
+                           columns=["url", "text"]).to_pylist():
+        h = r["url"].split("/")[2]
+        cnt[h] = cnt.get(h, 0) + 1
+        if r["url"].endswith("/robots.txt"):
+            m = re.search(r"Crawl-delay: ([0-9]+)", r["text"])
+            if m:
+                dly[h] = int(m.group(1))
+    exp = {h: (n, dly.get(h, 0), n * max(dly.get(h, 0), 10))
+           for h, n in cnt.items()}
+    got = {r["host"]: (r["n_pages"], r["crawl_delay_s"], r["budget_s"])
+           for r in extract.host_budget(d).take_all()}
+    assert got == exp
+    # fixture has both delayed and default hosts
+    assert any(v[1] > 0 for v in exp.values())
+    assert any(v[1] == 0 for v in exp.values())
