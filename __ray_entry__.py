@@ -368,6 +368,14 @@ def _q_page_host_budget(sf_dir: str):
     return host_budget(_pages_dir(sf_dir))
 
 
+def _q_page_boilerplate(sf_dir: str):
+    """Per-host boilerplate-line detection: distinct text lines on >=50%
+    of a host's pages (template chrome)."""
+    from methanol_web_crawler_ray.stages.extract import boilerplate_stats
+
+    return boilerplate_stats(_pages_dir(sf_dir))
+
+
 def _q_page_redirects(sf_dir: str):
     """Redirect-chain terminal resolution over page_meta (worker.c:809
     20-cap), pointer-doubling above the size gate — loops and over-cap
@@ -569,6 +577,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_cdx": _q_page_cdx,
         # politeness budget planner (robots delay x page count)
         "page_host_budget": _q_page_host_budget,
+        # host-template boilerplate detection (>=50% line rule)
+        "page_boilerplate": _q_page_boilerplate,
     }
 
 
@@ -1575,6 +1585,23 @@ def oracle_sql() -> dict[str, str]:
             "AS hops FROM r r0 LEFT JOIN term t ON t.u = r0.url"),
         # TrustRank: unrolled fixed point, CASE-gated teleport
         "graph_trustrank": graph.trustrank_oracle_sql(pdir),
+        # boilerplate: distinct (host,url,line-md5) unnest, per-line
+        # page counts vs host totals, 50% threshold
+        "page_boilerplate": (
+            "WITH p AS (SELECT split_part(url, '/', 3) AS host, url, "
+            f"text FROM read_parquet('{pdir}/pages.parquet') "
+            "WHERE text <> ''), "
+            "hp AS (SELECT host, count(*)::BIGINT AS n_pages FROM p "
+            "GROUP BY host), "
+            "l AS (SELECT DISTINCT host, url, md5(u.line) AS k FROM p, "
+            "UNNEST(string_split(text, chr(10))) AS u(line)), "
+            "lc AS (SELECT host, k, count(*)::BIGINT AS c FROM l "
+            "GROUP BY host, k) "
+            "SELECT lc.host, max(hp.n_pages)::BIGINT AS n_pages, "
+            "count(*)::BIGINT AS n_lines, "
+            "sum(CASE WHEN 2 * lc.c >= hp.n_pages THEN 1 ELSE 0 END)"
+            "::BIGINT AS n_boilerplate "
+            "FROM lc JOIN hp ON hp.host = lc.host GROUP BY lc.host"),
         # host budget: robots delay extract + host rollup join
         "page_host_budget": (
             "WITH p AS (SELECT split_part(url, '/', 3) AS host, url, "

@@ -1052,3 +1052,82 @@ def host_budget(pages_dir: str, batch_size: int = 2048):
         .map_batches(partial, batch_format="pandas",
                      batch_size=batch_size) \
         .groupby("host").map_groups(merge, batch_format="pandas")
+
+
+def boilerplate_stats(pages_dir: str, batch_size: int = 1024):
+    """(host, n_pages, n_lines, n_boilerplate): per-host TEMPLATE
+    detection — distinct text lines that appear on at least half of the
+    host's pages are boilerplate (nav/footer/doctype chrome); the
+    content-extraction step strips them before the corpus sees them
+    (the host-template counterpart of C4's corpus-wide line dedup).
+
+    Scale shape: lines collapse to md5 keys in the map pass (a page's
+    text lives in exactly one row, so in-batch (host,line,url) dedup is
+    globally exact); the (host,line)-keyed groupby moves one 16-byte
+    key row per distinct line per page.  The ≥50 % threshold needs the
+    host's page count — a HOSTS-sized dict broadcast once via ray.put
+    (the host-directory precedent), never joined per line at this
+    cardinality."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data
+
+    def lines(df: pd.DataFrame) -> pd.DataFrame:
+        hs, ks = [], []
+        for u, t in zip(df["url"], df["text"]):
+            if t == "":
+                continue
+            h = u.split("/")[2] if len(u.split("/")) > 2 else ""
+            for ln in set(t.split("\n")):
+                hs.append(h)
+                ks.append(hashlib.md5(ln.encode()).hexdigest())
+        g = pd.DataFrame({"host": pd.Series(hs, dtype=object),
+                          "k": pd.Series(ks, dtype=object),
+                          "c": np.ones(len(hs), dtype=np.int64)})
+        # in-batch partial: pages in one batch share template lines
+        return g.groupby(["host", "k"], sort=False)["c"].sum() \
+            .reset_index()
+
+    src = ray.data.read_parquet(f"{pages_dir}/pages.parquet",
+                                columns=["url", "text"])
+
+    def hostcount(df: pd.DataFrame) -> pd.DataFrame:
+        hs = [u.split("/")[2] if len(u.split("/")) > 2 else ""
+              for u, t in zip(df["url"], df["text"]) if t != ""]
+        g = pd.Series(hs).value_counts()
+        return pd.DataFrame({"host": g.index, "n": g.values})
+
+    hp = src.map_batches(hostcount, batch_format="pandas",
+                         batch_size=batch_size).to_pandas() \
+        .groupby("host")["n"].sum().to_dict()  # hosts-sized
+    ref = ray.put(hp)
+
+    lc = src.map_batches(lines, batch_format="pandas",
+                         batch_size=batch_size) \
+        .groupby(["host", "k"]).sum("c")
+
+    def per_host_partial(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
+        npg = ray.get(_r)
+        need = df["host"].map(npg).astype("int64")
+        boiler = (2 * df["sum(c)"].astype("int64") >= need)
+        g = pd.DataFrame({"host": df["host"],
+                          "n_lines": np.int64(1),
+                          "n_boilerplate": boiler.astype("int64")})
+        return g.groupby("host", sort=False).sum().reset_index()
+
+    def fin(g: pd.DataFrame, _r=ref) -> pd.DataFrame:
+        npg = ray.get(_r)
+        h = g["host"].iloc[0]
+        return pd.DataFrame({
+            "host": [h],
+            "n_pages": pd.Series([int(npg[h])], dtype="int64"),
+            "n_lines": pd.Series([int(g["n_lines"].sum())],
+                                 dtype="int64"),
+            "n_boilerplate": pd.Series(
+                [int(g["n_boilerplate"].sum())], dtype="int64")})
+
+    return lc.map_batches(per_host_partial, batch_format="pandas") \
+        .groupby("host").map_groups(fin, batch_format="pandas")

@@ -539,3 +539,30 @@ def test_host_budget_bruteforce(ray_session):
     # fixture has both delayed and default hosts
     assert any(v[1] > 0 for v in exp.values())
     assert any(v[1] == 0 for v in exp.values())
+
+
+def test_boilerplate_bruteforce(ray_session):
+    """Boilerplate counts == sequential >=50%-of-pages line replay."""
+    import pyarrow.parquet as pq
+
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+    per_host = {}
+    for r in pq.read_table(f"{d}/pages.parquet",
+                           columns=["url", "text"]).to_pylist():
+        if r["text"] == "":
+            continue
+        h = r["url"].split("/")[2]
+        per_host.setdefault(h, []).append(set(r["text"].split("\n")))
+    exp = {}
+    for h, pages in per_host.items():
+        cnt = {}
+        for ls in pages:
+            for ln in ls:
+                cnt[ln] = cnt.get(ln, 0) + 1
+        boiler = sum(1 for c in cnt.values() if 2 * c >= len(pages))
+        exp[h] = (len(pages), len(cnt), boiler)
+    got = {r["host"]: (r["n_pages"], r["n_lines"], r["n_boilerplate"])
+           for r in extract.boilerplate_stats(d).take_all()}
+    assert got == exp
+    # template chrome (doctype/comment lines) is detected as boilerplate
+    assert any(v[2] > 0 for v in exp.values())
