@@ -376,6 +376,14 @@ def _q_page_boilerplate(sf_dir: str):
     return boilerplate_stats(_pages_dir(sf_dir))
 
 
+def _q_page_canon_rules(sf_dir: str):
+    """Canonicalization-rule firing counts over every extracted ref
+    (the M1-M4 regression dashboard)."""
+    from methanol_web_crawler_ray.stages.extract import canon_rules_audit
+
+    return canon_rules_audit(_pages_dir(sf_dir))
+
+
 def _q_page_redirects(sf_dir: str):
     """Redirect-chain terminal resolution over page_meta (worker.c:809
     20-cap), pointer-doubling above the size gate — loops and over-cap
@@ -579,6 +587,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_host_budget": _q_page_host_budget,
         # host-template boilerplate detection (>=50% line rule)
         "page_boilerplate": _q_page_boilerplate,
+        # canonicalizer rule-firing audit (M1-M4 dashboard)
+        "page_canon_rules": _q_page_canon_rules,
     }
 
 
@@ -1602,6 +1612,30 @@ def oracle_sql() -> dict[str, str]:
             "sum(CASE WHEN 2 * lc.c >= hp.n_pages THEN 1 ELSE 0 END)"
             "::BIGINT AS n_boilerplate "
             "FROM lc JOIN hp ON hp.host = lc.host GROUP BY lc.host"),
+        # canonicalizer-rule audit: same string predicates as the Ray
+        # classifier, one FILTER arm per rule over links ⋈ canon
+        "page_canon_rules": (
+            "WITH c AS (SELECT gl.ref_raw, gc.canon FROM "
+            f"read_parquet('{pdir}/golden_links.parquet') gl JOIN "
+            f"read_parquet('{pdir}/golden_canon.parquet') gc "
+            "USING (url, link_seq)) "
+            "SELECT 'absolute_url' AS rule, count(*) FILTER ("
+            "regexp_matches(ref_raw, '^[a-zA-Z][a-zA-Z0-9+.-]*://'))"
+            "::BIGINT AS n_refs FROM c "
+            "UNION ALL SELECT 'absolute_path', count(*) FILTER ("
+            "NOT regexp_matches(ref_raw, '^[a-zA-Z][a-zA-Z0-9+.-]*://') "
+            "AND ref_raw LIKE '/%')::BIGINT FROM c "
+            "UNION ALL SELECT 'relative', count(*) FILTER ("
+            "NOT regexp_matches(ref_raw, '^[a-zA-Z][a-zA-Z0-9+.-]*://') "
+            "AND ref_raw NOT LIKE '/%')::BIGINT FROM c "
+            "UNION ALL SELECT 'fragment', count(*) FILTER ("
+            "contains(ref_raw, '#'))::BIGINT FROM c "
+            "UNION ALL SELECT 'entity_amp', count(*) FILTER ("
+            "contains(ref_raw, '&amp;'))::BIGINT FROM c "
+            "UNION ALL SELECT 'dynamic', count(*) FILTER ("
+            "contains(ref_raw, '?'))::BIGINT FROM c "
+            "UNION ALL SELECT 'dropped', count(*) FILTER ("
+            "canon IS NULL)::BIGINT FROM c"),
         # host budget: robots delay extract + host rollup join
         "page_host_budget": (
             "WITH p AS (SELECT split_part(url, '/', 3) AS host, url, "

@@ -1131,3 +1131,76 @@ def boilerplate_stats(pages_dir: str, batch_size: int = 1024):
 
     return lc.map_batches(per_host_partial, batch_format="pandas") \
         .groupby("host").map_groups(fin, batch_format="pandas")
+
+
+CANON_RULES = ("absolute_url", "absolute_path", "relative", "fragment",
+               "entity_amp", "dynamic", "dropped")
+
+
+def canon_rules_audit(pages_dir: str, batch_size: int = 2048):
+    """(rule, n_refs): canonicalization-rule audit over every extracted
+    ref — how often each M1-M4 rewrite family fires (absolute / 
+    absolute-path / relative dispatch, '#fragment' handling, encodecpy's
+    '&amp;' decode, '?' dynamic URLs, unresolvable refs).  The
+    regression dashboard for the canonicalizer: a rule whose count
+    moves between crawler versions flags a behavior change before any
+    diff of per-URL output does.
+
+    Scale shape: map-only vectorized classification over the live
+    extract→resolve chain, seven-row output via in-batch partials +
+    one tiny groupby."""
+    import numpy as np
+    import pandas as pd
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        import re
+
+        absu = re.compile(r"^[a-z][a-z0-9+.-]*://", re.IGNORECASE)
+        counts = dict.fromkeys(CANON_RULES, 0)
+        for ref, canon in zip(df["ref_raw"], df["canon"]):
+            if absu.match(ref):
+                counts["absolute_url"] += 1
+            elif ref.startswith("/"):
+                counts["absolute_path"] += 1
+            else:
+                counts["relative"] += 1
+            if "#" in ref:
+                counts["fragment"] += 1
+            if "&amp;" in ref:
+                counts["entity_amp"] += 1
+            if "?" in ref:
+                counts["dynamic"] += 1
+            if canon is None:
+                counts["dropped"] += 1
+        return pd.DataFrame({
+            "rule": pd.Series(list(counts), dtype=object),
+            "n_refs": pd.Series([counts[r] for r in counts],
+                                dtype="int64")})
+
+    # page_canonicalize_links drops ref_raw, so run the same resolve
+    # chain here keeping it (identical per-ref results by construction)
+    from ..functions.urlkit import resolve, url_set
+
+    def with_raw(batch: pa.Table) -> pa.Table:
+        canons = []
+        base_cache = {}
+        for url, ref in zip(batch.column("url").to_pylist(),
+                            batch.column("ref_raw").to_pylist()):
+            base = base_cache.get(url)
+            if base is None:
+                base = url_set(url)
+                base_cache[url] = base
+            u = resolve(base, ref) if base is not None else None
+            canons.append(u.s if u is not None else None)
+        return pa.table({"ref_raw": batch.column("ref_raw"),
+                         "canon": pa.array(canons, pa.string())})
+
+    return page_links(pages_dir, batch_size=batch_size) \
+        .map_batches(with_raw, batch_format="pyarrow") \
+        .map_batches(classify, batch_format="pandas",
+                     batch_size=batch_size) \
+        .groupby("rule").sum("n_refs") \
+        .map_batches(lambda t: pa.table({
+            "rule": t.column("rule"),
+            "n_refs": t.column("sum(n_refs)").cast(pa.int64())}),
+                     batch_format="pyarrow")

@@ -566,3 +566,43 @@ def test_boilerplate_bruteforce(ray_session):
     assert got == exp
     # template chrome (doctype/comment lines) is detected as boilerplate
     assert any(v[2] > 0 for v in exp.values())
+
+
+def test_canon_rules_bruteforce(ray_session):
+    """Rule-firing counts == sequential replay of the same predicates
+    over the by-construction golden link/canon tables."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+    links = pq.read_table(f"{d}/golden_links.parquet").to_pylist()
+    canon = {(r["url"], r["link_seq"]): r["canon"]
+             for r in pq.read_table(f"{d}/golden_canon.parquet").to_pylist()}
+    absu = re.compile(r"^[a-z][a-z0-9+.-]*://", re.IGNORECASE)
+    exp = dict.fromkeys(extract.CANON_RULES, 0)
+    for r in links:
+        ref = r["ref_raw"]
+        if absu.match(ref):
+            exp["absolute_url"] += 1
+        elif ref.startswith("/"):
+            exp["absolute_path"] += 1
+        else:
+            exp["relative"] += 1
+        if "#" in ref:
+            exp["fragment"] += 1
+        if "&amp;" in ref:
+            exp["entity_amp"] += 1
+        if "?" in ref:
+            exp["dynamic"] += 1
+        if canon[(r["url"], r["link_seq"])] is None:
+            exp["dropped"] += 1
+    got = {r["rule"]: r["n_refs"]
+           for r in extract.canon_rules_audit(d).take_all()}
+    assert got == exp
+    # the generator sprinkles these ref families even at tiny scale
+    # (FIXTURES.md §1); fragment/dropped are regression tripwires that
+    # stay 0 while extraction keeps skipping '#refs' / resolving all
+    assert exp["relative"] > 0 and exp["dynamic"] > 0
+    assert exp["entity_amp"] > 0
+    assert exp["fragment"] == 0 and exp["dropped"] == 0
