@@ -384,6 +384,22 @@ def _q_page_canon_rules(sf_dir: str):
     return canon_rules_audit(_pages_dir(sf_dir))
 
 
+def _q_page_robots_audit(sf_dir: str):
+    """Per-host robots coverage: allowed/denied page counts under the
+    reference's allow-first filter (M13), real kernel per URL."""
+    from methanol_web_crawler_ray.stages.extract import robots_audit
+
+    return robots_audit(_pages_dir(sf_dir))
+
+
+def _q_page_outlink_stats(sf_dir: str):
+    """Per-page outlink audit (ref/resolve/external/dynamic counts,
+    M4 hostcmp semantics for the external flag)."""
+    from methanol_web_crawler_ray.stages.extract import outlink_stats
+
+    return outlink_stats(_pages_dir(sf_dir))
+
+
 def _q_page_redirects(sf_dir: str):
     """Redirect-chain terminal resolution over page_meta (worker.c:809
     20-cap), pointer-doubling above the size gate — loops and over-cap
@@ -523,6 +539,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_search": textops.search_topk,
         # Heaps-law vocabulary growth curve (corpus saturation signal)
         "doc_vocab_growth": textops.vocab_growth,
+        # per-doc OOV rate vs the corpus top-k vocab (coverage audit)
+        "doc_oov_rate": textops.oov_rate,
+        # RAG sliding-window chunking (overlapping windows + digest)
+        "doc_chunks": textops.doc_chunks,
+        # MinHash banding recall vs exact ground truth (dedup eval)
+        "doc_dedup_recall": textops.dedup_recall,
         # ordered-stage product-analytics funnel per user
         "rel_events_funnel": relops.events_funnel,
         # product-quantization codes (FAISS-style vector compression)
@@ -589,6 +611,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_boilerplate": _q_page_boilerplate,
         # canonicalizer rule-firing audit (M1-M4 dashboard)
         "page_canon_rules": _q_page_canon_rules,
+        # per-host robots allow/deny coverage (M13 allow-first filter)
+        "page_robots_audit": _q_page_robots_audit,
+        # per-page outlink audit (external flag = M4 hostcmp)
+        "page_outlink_stats": _q_page_outlink_stats,
     }
 
 
@@ -1532,6 +1558,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_search": textops.search_oracle_sql(),
         # Heaps growth: min(doc_id) per token, integer-division buckets
         "doc_vocab_growth": textops.vocab_growth_oracle_sql(),
+        # OOV: top-k vocab CTE + per-doc LEFT JOIN membership counts
+        "doc_oov_rate": textops.oov_rate_oracle_sql(),
+        # chunking: UNNEST(range) starts, char substr, md5 digests
+        "doc_chunks": textops.doc_chunks_oracle_sql(),
         # funnel: chained min-ts stage CTEs, >= semantics
         "rel_events_funnel": relops.funnel_oracle_sql(),
         # PQ assignment: quantized unnest ⋈ codebook, integer argmin
@@ -1636,6 +1666,61 @@ def oracle_sql() -> dict[str, str]:
             "contains(ref_raw, '?'))::BIGINT FROM c "
             "UNION ALL SELECT 'dropped', count(*) FILTER ("
             "canon IS NULL)::BIGINT FROM c"),
+        # robots coverage audit: line-state machine replayed in SQL —
+        # UA enable via last_value IGNORE NULLS window, allow-first
+        # verdict = any-allow-prefix OR no-deny-prefix (the add_rule
+        # hoist makes all allows precede all denys, filter.c:60-97)
+        "page_robots_audit": (
+            "WITH p AS (SELECT split_part(url, '/', 3) AS host, url, "
+            "regexp_replace(url, '^[a-z]+://[^/]*', '') AS path, text "
+            f"FROM read_parquet('{pdir}/pages.parquet')), "
+            "r AS (SELECT host, text FROM p "
+            "WHERE url LIKE '%/robots.txt'), "
+            "ln AS (SELECT host, generate_subscripts(ls, 1) AS i, "
+            "unnest(ls) AS line FROM (SELECT host, "
+            "string_split(text, chr(10)) AS ls FROM r)), "
+            "kv AS (SELECT host, i, split_part(line, ':', 1) AS opt, "
+            "ltrim(substr(line, strpos(line, ':') + 1)) AS val "
+            "FROM ln WHERE contains(line, ':') "
+            "AND NOT starts_with(ltrim(line), '#')), "
+            "st AS (SELECT host, opt, val, coalesce(last_value("
+            "CASE WHEN opt = 'User-agent' THEN (val = '*' OR "
+            "contains('Methabot', val)) END IGNORE NULLS) "
+            "OVER (PARTITION BY host ORDER BY i "
+            "ROWS UNBOUNDED PRECEDING), true) AS en FROM kv), "
+            "al AS (SELECT host, list(val) AS lv FROM st "
+            "WHERE en AND opt = 'Allow' GROUP BY host), "
+            "di AS (SELECT host, list(val) AS lv FROM st "
+            "WHERE en AND opt = 'Disallow' GROUP BY host), "
+            "pg AS (SELECT p.host, (coalesce(len(list_filter(al.lv, "
+            "x -> starts_with(p.path, x))), 0) > 0 OR "
+            "coalesce(len(list_filter(di.lv, "
+            "x -> starts_with(p.path, x))), 0) = 0) AS ok "
+            "FROM p LEFT JOIN al ON al.host = p.host "
+            "LEFT JOIN di ON di.host = p.host "
+            "WHERE p.url NOT LIKE '%/robots.txt') "
+            "SELECT host, count(*)::BIGINT AS n_pages, "
+            "sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_allowed, "
+            "sum(CASE WHEN ok THEN 0 ELSE 1 END)::BIGINT AS n_denied "
+            "FROM pg GROUP BY host"),
+        # outlink stats: links ⋈ canon rollup; external via the M4
+        # www-equivalence (lower + optional 'www.' strip on either side)
+        "page_outlink_stats": (
+            "WITH l AS (SELECT gl.url, gc.canon, "
+            "lower(split_part(gl.url, '/', 3)) AS h1, "
+            "lower(split_part(coalesce(gc.canon, ''), '/', 3)) AS h2 "
+            f"FROM read_parquet('{pdir}/golden_links.parquet') gl JOIN "
+            f"read_parquet('{pdir}/golden_canon.parquet') gc "
+            "USING (url, link_seq)) "
+            "SELECT url, count(*)::BIGINT AS n_refs, "
+            "sum(CASE WHEN canon IS NOT NULL THEN 1 ELSE 0 END)"
+            "::BIGINT AS n_resolved, "
+            "sum(CASE WHEN canon IS NOT NULL AND NOT (h1 = h2 OR "
+            "h1 = 'www.' || h2 OR 'www.' || h1 = h2) THEN 1 ELSE 0 END)"
+            "::BIGINT AS n_external, "
+            "sum(CASE WHEN canon IS NOT NULL AND contains(canon, '?') "
+            "THEN 1 ELSE 0 END)::BIGINT AS n_dynamic "
+            "FROM l GROUP BY url"),
         # host budget: robots delay extract + host rollup join
         "page_host_budget": (
             "WITH p AS (SELECT split_part(url, '/', 3) AS host, url, "
@@ -1730,4 +1815,19 @@ def oracle_sql() -> dict[str, str]:
         f"FROM ({d['ann_topk']}) e LEFT JOIN ({d['ann_topk_lsh']}) a "
         f"ON a.query_id = e.query_id "
         f"AND a.neighbor_id = e.neighbor_id GROUP BY e.query_id")
+    # dedup banding-recall composes the exact-pairs and minhash oracles
+    d["doc_dedup_recall"] = (
+        f"WITH tt AS (SELECT DISTINCT id_b AS doc FROM "
+        f"({d['doc_ngram_jaccard']})), "
+        f"ff AS (SELECT DISTINCT doc_id AS doc FROM "
+        f"({d['doc_minhash_dedup']})), "
+        "s AS (SELECT (SELECT count(*) FROM tt)::BIGINT AS n_true, "
+        "(SELECT count(*) FROM ff)::BIGINT AS n_flagged, "
+        "(SELECT count(*) FROM tt JOIN ff USING (doc))::BIGINT "
+        "AS n_hit) "
+        "SELECT n_true, n_flagged, n_hit, "
+        "CASE WHEN n_true > 0 THEN n_hit * 1000 // n_true "
+        "ELSE 0 END::BIGINT AS recall_permille, "
+        "CASE WHEN n_flagged > 0 THEN n_hit * 1000 // n_flagged "
+        "ELSE 0 END::BIGINT AS precision_permille FROM s")
     return d

@@ -3967,3 +3967,195 @@ def pack_sequences_oracle_sql(seq_len: int = SEQ_LEN) -> str:
         f"- GREATEST(o, s * {seq_len}))::BIGINT AS tok_len "
         f"FROM x, UNNEST(range(o // {seq_len}, "
         f"(o + n - 1) // {seq_len} + 1)) AS u(s)")
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage / OOV rate
+
+OOV_VOCAB_K = 16
+
+
+def oov_rate(sf_dir: str, k: int = OOV_VOCAB_K):
+    """(doc_id, n_tokens, n_oov, oov_permille): per-document OUT-OF-
+    VOCABULARY rate against the corpus top-``k`` token vocabulary — the
+    tokenizer-fit / coverage audit run before committing a vocab (a doc
+    whose OOV share is high will fragment into byte-fallback pieces;
+    corpus-level OOV drift between snapshots flags domain shift).
+
+    oov_permille is INTEGER (n_oov * 1000 // n_tokens, 0 for empty
+    docs), so the DuckDB oracle replays the exact value.
+
+    Scale shape: the vocabulary comes from :func:`top_tokens` (Misra-
+    Gries sketch partials at scale — no token-stream shuffle), is
+    k-sized, and is broadcast once via ray.put; the per-doc pass is
+    map-only vectorized membership (np.isin over the token array).
+    Nothing doc-sized shuffles."""
+    import ray
+
+    vocab_rows = collect_df(top_tokens(sf_dir, k=k))
+    vocab = np.sort(np.asarray(vocab_rows["token"], dtype=object)
+                    .astype(str)) if len(vocab_rows) else \
+        np.asarray([], dtype=str)
+    ref = ray.put(vocab)
+
+    def per_doc(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
+        v = ray.get(_r)
+        n_tok = np.empty(len(df), dtype=np.int64)
+        n_oov = np.empty(len(df), dtype=np.int64)
+        for i, text in enumerate(df["text"]):
+            toks = np.asarray(_TOKEN_RE.findall(text), dtype=str)
+            n_tok[i] = toks.shape[0]
+            n_oov[i] = n_tok[i] - int(np.isin(toks, v).sum()) \
+                if n_tok[i] else 0
+        pm = np.where(n_tok > 0, n_oov * 1000 // np.maximum(n_tok, 1), 0)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_tokens": n_tok, "n_oov": n_oov,
+            "oov_permille": pm.astype("int64")})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(per_doc, batch_format="pandas")
+
+
+def oov_rate_oracle_sql(k: int = OOV_VOCAB_K) -> str:
+    """Vocab = top-k by (count DESC, token ASC); per-doc LEFT JOIN
+    membership counts; identical integer permille."""
+    return (
+        "WITH t AS (SELECT unnest(regexp_extract_all(text, '\\S+')) "
+        "AS token FROM documents), "
+        "tc AS (SELECT token, count(*)::BIGINT AS c FROM t "
+        "GROUP BY token), "
+        f"v AS (SELECT token FROM tc ORDER BY c DESC, token LIMIT {k}), "
+        "u AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) "
+        "AS tok FROM documents), "
+        "o AS (SELECT u.doc_id, count(*)::BIGINT AS n, "
+        "sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT "
+        "AS oov FROM u LEFT JOIN v ON v.token = u.tok "
+        "GROUP BY u.doc_id) "
+        "SELECT d.doc_id, coalesce(o.n, 0)::BIGINT AS n_tokens, "
+        "coalesce(o.oov, 0)::BIGINT AS n_oov, "
+        "CASE WHEN coalesce(o.n, 0) > 0 THEN "
+        "(o.oov * 1000) // o.n ELSE 0 END::BIGINT AS oov_permille "
+        "FROM documents d LEFT JOIN o ON o.doc_id = d.doc_id")
+
+
+# ---------------------------------------------------------------------------
+# RAG-style per-document sliding-window chunking
+
+CHUNK_CHARS = 512
+CHUNK_STRIDE = 384  # 128-char overlap between consecutive chunks
+
+
+def doc_chunks(sf_dir: str, size: int = CHUNK_CHARS,
+               stride: int = CHUNK_STRIDE):
+    """(doc_id, chunk_seq, n_chars, chunk_md5): overlapping fixed-size
+    character chunks per document — the retrieval-index build step (a
+    RAG embedder consumes bounded windows, and the overlap keeps
+    answers that straddle a boundary findable).  The md5 digest is the
+    chunk's content key for downstream chunk-level dedup.
+
+    Empty documents produce no chunks; every other document's chunks
+    start at offsets 0, stride, 2·stride, … < len(text), so the last
+    chunk may be short but is never empty.
+
+    Scale shape: map-only explode (each doc's chunks derive from its
+    own row — no shuffle); output rows carry a 16-byte digest + two
+    ints, never the chunk text."""
+    import hashlib
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, seqs, lens, digs = [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            n = len(text)
+            for s in range(0, n, stride):
+                ck = text[s:s + size]
+                ids.append(int(doc_id))
+                seqs.append(s // stride)
+                lens.append(len(ck))
+                digs.append(hashlib.md5(ck.encode("utf-8")).hexdigest())
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "chunk_seq": pd.Series(seqs, dtype="int64"),
+            "n_chars": pd.Series(lens, dtype="int64"),
+            "chunk_md5": pd.Series(digs, dtype=object)})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(explode, batch_format="pandas")
+
+
+def doc_chunks_oracle_sql(size: int = CHUNK_CHARS,
+                          stride: int = CHUNK_STRIDE) -> str:
+    """Chunk starts via UNNEST(range(...)), char-based substr, md5 —
+    the same offsets and digests."""
+    return (
+        "WITH x AS (SELECT doc_id, text, length(text) AS n "
+        "FROM documents), "
+        "c AS (SELECT doc_id, u.s AS chunk_seq, "
+        f"substr(text, u.s * {stride} + 1, {size}) AS ck "
+        "FROM x, UNNEST(range(0, CASE WHEN n = 0 THEN 0 ELSE "
+        f"(n - 1) // {stride} + 1 END)) AS u(s)) "
+        "SELECT doc_id, chunk_seq::BIGINT AS chunk_seq, "
+        "length(ck)::BIGINT AS n_chars, md5(ck) AS chunk_md5 FROM c")
+
+
+# ---------------------------------------------------------------------------
+# MinHash-banding recall evaluation (the dedup analog of ann_recall)
+
+
+def dedup_recall(sf_dir: str):
+    """(n_true, n_flagged, n_hit, recall_permille, precision_permille):
+    evaluation of the MinHash+LSH dedup path against exact ground
+    truth — the banding-recall number a 100 TB deployment watches when
+    trading band/row shape against shuffle volume.
+
+    Ground truth: a doc is a TRUE dup iff it pairs with a smaller
+    doc_id at word-3-gram Jaccard ≥ τ in :func:`ngram_jaccard_pairs`
+    (prefix filtering, recall 1.0 by construction).  Flagged: the doc
+    appears in :func:`minhash_dedup` output (banding candidates,
+    exactly verified at the same τ over the same shingle unit — so
+    precision is structurally 1000 and the interesting number is
+    recall, the pairs the s-curve missed).
+
+    Scale shape: both inputs are the existing pipelines (their own
+    scale stories apply); the comparison moves only dup-doc-sized id
+    rows through one union + groupby, and only five scalars reach the
+    driver."""
+    import ray.data
+
+    ex = ngram_jaccard_pairs(sf_dir)
+    mh = minhash_dedup(sf_dir)
+
+    def truth(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc": df["id_b"].astype("int64"),
+            "is_true": np.ones(len(df), dtype="int64"),
+            "is_flag": np.zeros(len(df), dtype="int64")})
+
+    def flagged(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc": df["doc_id"].astype("int64"),
+            "is_true": np.zeros(len(df), dtype="int64"),
+            "is_flag": np.ones(len(df), dtype="int64")})
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        t = int(g["is_true"].max())
+        f = int(g["is_flag"].max())
+        return pd.DataFrame({"t": pd.Series([t], dtype="int64"),
+                             "f": pd.Series([f], dtype="int64"),
+                             "h": pd.Series([t & f], dtype="int64")})
+
+    u = ex.map_batches(truth, batch_format="pandas").union(
+        mh.map_batches(flagged, batch_format="pandas"))
+    sums = u.groupby("doc").map_groups(per_doc, batch_format="pandas") \
+        .sum(on=["t", "f", "h"])
+    n_t = int(sums["sum(t)"]) if sums else 0
+    n_f = int(sums["sum(f)"]) if sums else 0
+    n_h = int(sums["sum(h)"]) if sums else 0
+    return ray.data.from_arrow(pa.table({
+        "n_true": pa.array([n_t], pa.int64()),
+        "n_flagged": pa.array([n_f], pa.int64()),
+        "n_hit": pa.array([n_h], pa.int64()),
+        "recall_permille": pa.array(
+            [n_h * 1000 // n_t if n_t else 0], pa.int64()),
+        "precision_permille": pa.array(
+            [n_h * 1000 // n_f if n_f else 0], pa.int64())}))

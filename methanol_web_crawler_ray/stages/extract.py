@@ -1204,3 +1204,142 @@ def canon_rules_audit(pages_dir: str, batch_size: int = 2048):
             "rule": t.column("rule"),
             "n_refs": t.column("sum(n_refs)").cast(pa.int64())}),
                      batch_format="pyarrow")
+
+
+def robots_audit(pages_dir: str, batch_size: int = 2048):
+    """(host, n_pages, n_allowed, n_denied): robots COVERAGE audit —
+    per host, how much of its corpus the reference's allow-first filter
+    (M13: lm_filter_eval_url, src/libmetha/filter.c:34-54, over rules
+    parsed per src/libmetha/worker.c:989-1071) lets a compliant crawler
+    fetch.  The pre-crawl capacity report: a host whose denied share
+    jumps between snapshots changed its robots policy.
+
+    Per-URL verdicts call the REAL kernel (parse_robots +
+    Filter.eval_url) — not a reimplementation — so every preserved
+    reference quirk (allow-rule hoisting, empty-Disallow deny-all,
+    substring User-agent match) is in scope.
+
+    Scale shape: the robots side is hosts-sized — one column-pruned
+    suffix-filter scan, parsed once, broadcast via ray.put (fetched
+    once per task, never re-shipped per batch); the page side is a
+    map-only in-batch partial → hosts-sized groupby merge.  Nothing
+    page-sized shuffles."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from ..functions.robots import parse_robots
+    from ..functions.urlkit import url_set
+
+    def robots_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pc.ends_with(t.column("url"), "/robots.txt"))
+
+    per_host = {}
+    for row in ray.data.read_parquet(
+            f"{pages_dir}/pages.parquet", columns=["url", "text"]) \
+            .map_batches(robots_rows, batch_format="pyarrow") \
+            .take_all():
+        parts = row["url"].split("/")
+        if len(parts) > 2:
+            per_host[parts[2]] = parse_robots(row["text"])
+    ref = ray.put(per_host)
+
+    def partial(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
+        infos = ray.get(_r)
+        counts = {}  # host -> [n, n_allowed]
+        for u in df["url"]:
+            if u.endswith("/robots.txt"):
+                continue
+            parts = u.split("/")
+            host = parts[2] if len(parts) > 2 else ""
+            info = infos.get(host)
+            if info is None:
+                ok = True
+            else:
+                parsed = url_set(u)
+                ok = parsed is None or info.filter.eval_url(parsed)
+            c = counts.setdefault(host, [0, 0])
+            c[0] += 1
+            c[1] += ok
+        return pd.DataFrame({
+            "host": list(counts),
+            "n": pd.Series([c[0] for c in counts.values()],
+                           dtype="int64"),
+            "n_ok": pd.Series([c[1] for c in counts.values()],
+                              dtype="int64")})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum())
+        ok = int(g["n_ok"].sum())
+        return pd.DataFrame({
+            "host": [g["host"].iloc[0]],
+            "n_pages": pd.Series([n], dtype="int64"),
+            "n_allowed": pd.Series([ok], dtype="int64"),
+            "n_denied": pd.Series([n - ok], dtype="int64")})
+
+    return ray.data.read_parquet(
+        f"{pages_dir}/pages.parquet", columns=["url"]) \
+        .map_batches(partial, batch_format="pandas",
+                     batch_size=batch_size) \
+        .groupby("host").map_groups(merge, batch_format="pandas")
+
+
+def outlink_stats(pages_dir: str, batch_size: int = 2048):
+    """(url, n_refs, n_resolved, n_external, n_dynamic): per-page
+    outlink audit over the live extract→resolve chain — how many refs
+    each page yields, how many resolve, how many leave the host under
+    the reference's host equivalence (M4: lm_url_hostcmp's
+    case-insensitive ``www.X ≡ X``, url.c:96-114), and how many are
+    '?'-dynamic.  The per-page form of the crawl's external/jail
+    decision surface; pages with zero extracted refs yield no row.
+
+    Scale shape: map-only resolve + in-batch per-url partials, then
+    one groupby-sum over (url, 4 ints) rows — link rows never shuffle,
+    page text never leaves the extract stage."""
+    import pandas as pd
+
+    from ..functions.urlkit import hostcmp, resolve, url_set
+
+    def flags(batch: pa.Table) -> pa.Table:
+        per_url = {}
+        base_cache = {}
+        for url, ref in zip(batch.column("url").to_pylist(),
+                            batch.column("ref_raw").to_pylist()):
+            base = base_cache.get(url)
+            if base is None:
+                base = url_set(url)
+                base_cache[url] = base
+            u = resolve(base, ref) if base is not None else None
+            c = per_url.setdefault(url, [0, 0, 0, 0])
+            c[0] += 1
+            if u is not None:
+                c[1] += 1
+                c[2] += not hostcmp(base, u)
+                c[3] += "?" in u.s
+        return pa.table({
+            "url": pa.array(list(per_url), pa.string()),
+            "n_refs": pa.array([c[0] for c in per_url.values()],
+                               pa.int64()),
+            "n_resolved": pa.array([c[1] for c in per_url.values()],
+                                   pa.int64()),
+            "n_external": pa.array([c[2] for c in per_url.values()],
+                                   pa.int64()),
+            "n_dynamic": pa.array([c[3] for c in per_url.values()],
+                                  pa.int64())})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "url": [g["url"].iloc[0]],
+            "n_refs": pd.Series([int(g["n_refs"].sum())], dtype="int64"),
+            "n_resolved": pd.Series([int(g["n_resolved"].sum())],
+                                    dtype="int64"),
+            "n_external": pd.Series([int(g["n_external"].sum())],
+                                    dtype="int64"),
+            "n_dynamic": pd.Series([int(g["n_dynamic"].sum())],
+                                   dtype="int64")})
+
+    return page_links(pages_dir, batch_size=batch_size) \
+        .map_batches(flags, batch_format="pyarrow",
+                     batch_size=batch_size) \
+        .groupby("url").map_groups(merge, batch_format="pandas")

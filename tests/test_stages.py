@@ -606,3 +606,69 @@ def test_canon_rules_bruteforce(ray_session):
     assert exp["relative"] > 0 and exp["dynamic"] > 0
     assert exp["entity_amp"] > 0
     assert exp["fragment"] == 0 and exp["dropped"] == 0
+
+
+def test_robots_audit_bruteforce(ray_session):
+    """Per-host allow/deny coverage == sequential replay with the real
+    parse_robots + Filter.eval_url kernel over every page URL."""
+    import pyarrow.parquet as pq
+
+    from methanol_web_crawler_ray.functions.robots import parse_robots
+    from methanol_web_crawler_ray.functions.urlkit import url_set
+
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+    rows = pq.read_table(f"{d}/pages.parquet",
+                         columns=["url", "text"]).to_pylist()
+    infos = {r["url"].split("/")[2]: parse_robots(r["text"])
+             for r in rows if r["url"].endswith("/robots.txt")}
+    exp = {}
+    for r in rows:
+        u = r["url"]
+        if u.endswith("/robots.txt"):
+            continue
+        h = u.split("/")[2]
+        info = infos.get(h)
+        ok = True if info is None else info.filter.eval_url(url_set(u))
+        n, a = exp.get(h, (0, 0))
+        exp[h] = (n + 1, a + ok)
+    exp = {h: (n, a, n - a) for h, (n, a) in exp.items()}
+    got = {r["host"]: (r["n_pages"], r["n_allowed"], r["n_denied"])
+           for r in extract.robots_audit(d).take_all()}
+    assert got == exp
+    # the fixture's /private/ rules actually deny something somewhere
+    assert sum(v[2] for v in exp.values()) > 0
+
+
+def test_outlink_stats_bruteforce(ray_session):
+    """Per-page outlink counters == sequential replay with the real
+    resolve + hostcmp kernels over the golden links."""
+    import pyarrow.parquet as pq
+
+    from methanol_web_crawler_ray.functions.urlkit import (hostcmp,
+                                                           resolve,
+                                                           url_set)
+
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+    links = pq.read_table(f"{d}/golden_links.parquet").to_pylist()
+    exp = {}
+    bases = {}
+    for r in links:
+        url, ref = r["url"], r["ref_raw"]
+        base = bases.get(url)
+        if base is None:
+            base = url_set(url)
+            bases[url] = base
+        u = resolve(base, ref) if base is not None else None
+        c = exp.setdefault(url, [0, 0, 0, 0])
+        c[0] += 1
+        if u is not None:
+            c[1] += 1
+            c[2] += not hostcmp(base, u)
+            c[3] += "?" in u.s
+    got = {r["url"]: [r["n_refs"], r["n_resolved"], r["n_external"],
+                      r["n_dynamic"]]
+           for r in extract.outlink_stats(d).take_all()}
+    assert got == exp
+    # the fixture embeds cross-host and dynamic links (FIXTURES.md §1)
+    assert any(c[2] > 0 for c in exp.values())
+    assert any(c[3] > 0 for c in exp.values())

@@ -1349,3 +1349,84 @@ def test_source_overlap_vs_bruteforce(ray_session, sf_dir):
     assert got == dict(exp)
     for (a, b), n in got.items():
         assert n <= got[(a, a)] and n <= got[(b, b)]
+
+
+def test_oov_rate_bruteforce(ray_session, sf_dir):
+    """Per-doc OOV counts == sequential replay: top-k vocab by
+    (count desc, token asc), then token membership per doc."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    c = Counter()
+    for r in rows:
+        c.update(re.findall(r"\S+", r["text"]))
+    vocab = {t for t, _ in sorted(c.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))
+             [:textops.OOV_VOCAB_K]}
+    exp = {}
+    for r in rows:
+        toks = re.findall(r"\S+", r["text"])
+        n = len(toks)
+        oov = sum(1 for x in toks if x not in vocab)
+        exp[r["doc_id"]] = (n, oov, (oov * 1000) // n if n else 0)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_permille"])
+        for _, r in textops.collect_df(textops.oov_rate(sf_dir))
+        .iterrows()}
+    assert got == exp
+    # the synthetic corpus has >k distinct tokens, so OOV must fire
+    assert any(v[1] > 0 for v in exp.values())
+
+
+def test_doc_chunks_bruteforce(ray_session, sf_dir):
+    """Sliding-window chunks == sequential replay (offsets, lengths,
+    digests); overlap and short-tail semantics pinned."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    exp = {}
+    for r in rows:
+        text = r["text"]
+        for s in range(0, len(text), textops.CHUNK_STRIDE):
+            ck = text[s:s + textops.CHUNK_CHARS]
+            exp[(r["doc_id"], s // textops.CHUNK_STRIDE)] = (
+                len(ck), hashlib.md5(ck.encode("utf-8")).hexdigest())
+    got = {
+        (r["doc_id"], r["chunk_seq"]): (r["n_chars"], r["chunk_md5"])
+        for _, r in textops.collect_df(textops.doc_chunks(sf_dir))
+        .iterrows()}
+    assert got == exp
+    # consecutive chunks of a multi-chunk doc overlap by size-stride
+    multi = [r for r in rows
+             if len(r["text"]) > textops.CHUNK_STRIDE]
+    assert multi
+    r = multi[0]
+    a = r["text"][:textops.CHUNK_CHARS]
+    b = r["text"][textops.CHUNK_STRIDE:
+                  textops.CHUNK_STRIDE + textops.CHUNK_CHARS]
+    assert a[textops.CHUNK_STRIDE:] == b[:textops.CHUNK_CHARS -
+                                         textops.CHUNK_STRIDE]
+
+
+def test_dedup_recall_consistency(ray_session, sf_dir):
+    """Summary counters == replay from the two constituent pipelines;
+    precision is structurally perfect (flagged docs are verified at
+    the same threshold over the same shingles)."""
+    ex = {r["id_b"] for _, r in textops.collect_df(
+        textops.ngram_jaccard_pairs(sf_dir)).iterrows()}
+    mh = {r["doc_id"] for _, r in textops.collect_df(
+        textops.minhash_dedup(sf_dir)).iterrows()}
+    row = textops.collect_df(textops.dedup_recall(sf_dir)).iloc[0]
+    assert row["n_true"] == len(ex)
+    assert row["n_flagged"] == len(mh)
+    assert row["n_hit"] == len(ex & mh)
+    assert row["recall_permille"] == (
+        len(ex & mh) * 1000 // len(ex) if ex else 0)
+    assert row["precision_permille"] == 1000 or row["n_flagged"] == 0
