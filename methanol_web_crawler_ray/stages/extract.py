@@ -1149,33 +1149,29 @@ def canon_rules_audit(pages_dir: str, batch_size: int = 2048):
     Scale shape: map-only vectorized classification over the live
     extract→resolve chain, seven-row output via in-batch partials +
     one tiny groupby."""
-    import numpy as np
-    import pandas as pd
 
-    def classify(df: pd.DataFrame) -> pd.DataFrame:
-        import re
+    def classify(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-        absu = re.compile(r"^[a-z][a-z0-9+.-]*://", re.IGNORECASE)
-        counts = dict.fromkeys(CANON_RULES, 0)
-        for ref, canon in zip(df["ref_raw"], df["canon"]):
-            if absu.match(ref):
-                counts["absolute_url"] += 1
-            elif ref.startswith("/"):
-                counts["absolute_path"] += 1
-            else:
-                counts["relative"] += 1
-            if "#" in ref:
-                counts["fragment"] += 1
-            if "&amp;" in ref:
-                counts["entity_amp"] += 1
-            if "?" in ref:
-                counts["dynamic"] += 1
-            if canon is None:
-                counts["dropped"] += 1
-        return pd.DataFrame({
-            "rule": pd.Series(list(counts), dtype=object),
-            "n_refs": pd.Series([counts[r] for r in counts],
-                                dtype="int64")})
+        ref = batch.column("ref_raw")
+        is_abs = pc.match_substring_regex(
+            ref, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://")
+        is_path = pc.and_(pc.invert(is_abs), pc.starts_with(ref, "/"))
+        counts = {
+            "absolute_url": pc.sum(is_abs).as_py() or 0,
+            "absolute_path": pc.sum(is_path).as_py() or 0,
+            "relative": batch.num_rows
+            - (pc.sum(pc.or_(is_abs, is_path)).as_py() or 0),
+            "fragment": pc.sum(pc.match_substring(ref, "#")).as_py() or 0,
+            "entity_amp":
+                pc.sum(pc.match_substring(ref, "&amp;")).as_py() or 0,
+            "dynamic": pc.sum(pc.match_substring(ref, "?")).as_py() or 0,
+            "dropped": batch.column("canon").null_count,
+        }
+        return pa.table({
+            "rule": pa.array(list(CANON_RULES), pa.string()),
+            "n_refs": pa.array([counts[r] for r in CANON_RULES],
+                               pa.int64())})
 
     # page_canonicalize_links drops ref_raw, so run the same resolve
     # chain here keeping it (identical per-ref results by construction)
@@ -1197,7 +1193,7 @@ def canon_rules_audit(pages_dir: str, batch_size: int = 2048):
 
     return page_links(pages_dir, batch_size=batch_size) \
         .map_batches(with_raw, batch_format="pyarrow") \
-        .map_batches(classify, batch_format="pandas",
+        .map_batches(classify, batch_format="pyarrow",
                      batch_size=batch_size) \
         .groupby("rule").sum("n_refs") \
         .map_batches(lambda t: pa.table({
@@ -1297,8 +1293,6 @@ def outlink_stats(pages_dir: str, batch_size: int = 2048):
     Scale shape: map-only resolve + in-batch per-url partials, then
     one groupby-sum over (url, 4 ints) rows — link rows never shuffle,
     page text never leaves the extract stage."""
-    import pandas as pd
-
     from ..functions.urlkit import hostcmp, resolve, url_set
 
     def flags(batch: pa.Table) -> pa.Table:
@@ -1328,18 +1322,16 @@ def outlink_stats(pages_dir: str, batch_size: int = 2048):
             "n_dynamic": pa.array([c[3] for c in per_url.values()],
                                   pa.int64())})
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "url": [g["url"].iloc[0]],
-            "n_refs": pd.Series([int(g["n_refs"].sum())], dtype="int64"),
-            "n_resolved": pd.Series([int(g["n_resolved"].sum())],
-                                    dtype="int64"),
-            "n_external": pd.Series([int(g["n_external"].sum())],
-                                    dtype="int64"),
-            "n_dynamic": pd.Series([int(g["n_dynamic"].sum())],
-                                   dtype="int64")})
+    cols = ["n_refs", "n_resolved", "n_external", "n_dynamic"]
+
+    def unwrap(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"url": t.column("url"),
+             **{c: t.column(f"sum({c})").cast(pa.int64())
+                for c in cols}})
 
     return page_links(pages_dir, batch_size=batch_size) \
         .map_batches(flags, batch_format="pyarrow",
                      batch_size=batch_size) \
-        .groupby("url").map_groups(merge, batch_format="pandas")
+        .groupby("url").sum(cols) \
+        .map_batches(unwrap, batch_format="pyarrow")
