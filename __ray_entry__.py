@@ -545,8 +545,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": textops.doc_chunks,
         # MinHash banding recall vs exact ground truth (dedup eval)
         "doc_dedup_recall": textops.dedup_recall,
+        # corpus chunk-duplication profile (digest-count rollup)
+        "doc_chunk_dedup": textops.chunk_dedup_stats,
         # ordered-stage product-analytics funnel per user
         "rel_events_funnel": relops.events_funnel,
+        # daily volume vs per-type mean (integer anomaly score)
+        "rel_events_anomaly": relops.events_anomaly,
         # product-quantization codes (FAISS-style vector compression)
         "emb_pq_codes": ann.emb_pq_codes,
         # duplicated-n-gram fraction (MassiveText/RefinedWeb signal)
@@ -1562,8 +1566,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_oov_rate": textops.oov_rate_oracle_sql(),
         # chunking: UNNEST(range) starts, char substr, md5 digests
         "doc_chunks": textops.doc_chunks_oracle_sql(),
+        # chunk-dup profile: digest-count CTE over the chunking oracle
+        "doc_chunk_dedup": textops.chunk_dedup_oracle_sql(),
         # funnel: chained min-ts stage CTEs, >= semantics
         "rel_events_funnel": relops.funnel_oracle_sql(),
+        # anomaly: grouped daily counts + per-type integer permille
+        "rel_events_anomaly": relops.events_anomaly_oracle_sql(),
         # PQ assignment: quantized unnest ⋈ codebook, integer argmin
         "emb_pq_codes": ann.pq_oracle_sql(pqc),
         # dup n-grams: shared bigram-key CTE, df over distinct docs

@@ -736,3 +736,70 @@ def value_quantiles_oracle_sql(permille=VQ_PERMILLE) -> str:
         "JOIN t ON t.event_type = q.event_type "
         "JOIN w ON w.event_type = q.event_type "
         "AND w.cum1000 >= q.qp * t.tot GROUP BY 1, 2")
+
+
+US_PER_DAY = 86_400_000_000
+
+
+def events_anomaly(sf_dir: str):
+    """(event_type, day, n, permille_of_mean): daily volume per event
+    type scored against that type's mean daily volume — the ops
+    anomaly dashboard (a day at 3000‰ of mean is an incident; 0‰ days
+    are outages).  permille_of_mean = n · n_days · 1000 // total is
+    integer-exact (no float mean), so the oracle replays it.
+
+    Scale shape: in-batch (type, day) partials → grouped sum (keys =
+    types × days, far below event count); the per-type totals are
+    types-sized — collected once and broadcast via ray.put, never a
+    second pass over events."""
+    import ray
+    import ray.data
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        days = (df["ts"].astype("int64") // US_PER_DAY).astype("int64")
+        out = pd.DataFrame({"event_type": df["event_type"], "day": days,
+                            "one": 1})
+        return out.groupby(["event_type", "day"], as_index=False).agg(
+            n=("one", "sum"))
+
+    daily = _rename(
+        _read(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(pre, batch_format="pandas")
+        .groupby(["event_type", "day"])
+        .aggregate(ray.data.aggregate.Sum("n")),
+        {"sum(n)": "n"})
+
+    totals = {r["event_type"]: (int(r["total"]), int(r["n_days"]))
+              for r in _rename(
+                  daily.groupby("event_type").aggregate(
+                      ray.data.aggregate.Sum("n"),
+                      ray.data.aggregate.Count()),
+                  {"sum(n)": "total", "count()": "n_days"}).take_all()}
+    ref = ray.put(totals)
+
+    def score(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
+        t = ray.get(_r)
+        tot = df["event_type"].map(lambda k: t[k][0]).astype("int64")
+        nd = df["event_type"].map(lambda k: t[k][1]).astype("int64")
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "day": df["day"].astype("int64"),
+            "n": df["n"].astype("int64"),
+            "permille_of_mean":
+                (df["n"].astype("int64") * nd * 1000 // tot)})
+
+    return daily.map_batches(score, batch_format="pandas")
+
+
+def events_anomaly_oracle_sql() -> str:
+    """Two grouped CTEs + integer permille vs per-type daily mean."""
+    return (
+        "WITH e AS (SELECT event_type, "
+        f"epoch_us(ts) // {US_PER_DAY} AS day FROM events), "
+        "d AS (SELECT event_type, day, count(*)::BIGINT AS n FROM e "
+        "GROUP BY event_type, day), "
+        "t AS (SELECT event_type, sum(n)::BIGINT AS total, "
+        "count(*)::BIGINT AS n_days FROM d GROUP BY event_type) "
+        "SELECT d.event_type, d.day::BIGINT AS day, d.n, "
+        "(d.n * t.n_days * 1000 // t.total)::BIGINT "
+        "AS permille_of_mean FROM d JOIN t USING (event_type)")

@@ -4159,3 +4159,57 @@ def dedup_recall(sf_dir: str):
             [n_h * 1000 // n_t if n_t else 0], pa.int64()),
         "precision_permille": pa.array(
             [n_h * 1000 // n_f if n_f else 0], pa.int64())}))
+
+
+def chunk_dedup_stats(sf_dir: str, size: int = CHUNK_CHARS,
+                      stride: int = CHUNK_STRIDE):
+    """(n_chunks, n_distinct, n_dup_instances, dup_permille): corpus
+    chunk-duplication profile — how much of the chunked corpus is
+    verbatim-repeated content at chunk granularity (the Lee et al.
+    '21 dedup signal at the RAG/window unit instead of whole docs).
+    A chunk INSTANCE is duplicated when its digest occurs ≥ 2 times
+    corpus-wide; dup_permille = 1000 · n_dup_instances // n_chunks.
+
+    Scale shape: one digest-keyed groupby-count (16-byte keys + a
+    count travel, never chunk text), then in-batch partials over the
+    counts table fold four scalars — no join, nothing corpus-sized on
+    the driver."""
+    import ray.data
+
+    counts = doc_chunks(sf_dir, size=size, stride=stride) \
+        .groupby("chunk_md5").count()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["count()"].to_numpy()
+        return pd.DataFrame({
+            "n_chunks": pd.Series([int(c.sum())], dtype="int64"),
+            "n_distinct": pd.Series([len(c)], dtype="int64"),
+            "n_dup": pd.Series([int(c[c >= 2].sum())], dtype="int64")})
+
+    sums = counts.map_batches(partial, batch_format="pandas") \
+        .sum(on=["n_chunks", "n_distinct", "n_dup"])
+    nc = int(sums["sum(n_chunks)"]) if sums else 0
+    nd = int(sums["sum(n_distinct)"]) if sums else 0
+    du = int(sums["sum(n_dup)"]) if sums else 0
+    return ray.data.from_arrow(pa.table({
+        "n_chunks": pa.array([nc], pa.int64()),
+        "n_distinct": pa.array([nd], pa.int64()),
+        "n_dup_instances": pa.array([du], pa.int64()),
+        "dup_permille": pa.array([du * 1000 // nc if nc else 0],
+                                 pa.int64())}))
+
+
+def chunk_dedup_oracle_sql(size: int = CHUNK_CHARS,
+                           stride: int = CHUNK_STRIDE) -> str:
+    """Digest-count CTE over the chunking oracle, scalar rollup."""
+    return (
+        f"WITH c AS ({doc_chunks_oracle_sql(size, stride)}), "
+        "g AS (SELECT chunk_md5, count(*)::BIGINT AS c FROM c "
+        "GROUP BY chunk_md5), "
+        "s AS (SELECT coalesce(sum(c), 0)::BIGINT AS n_chunks, "
+        "count(*)::BIGINT AS n_distinct, "
+        "coalesce(sum(CASE WHEN c >= 2 THEN c ELSE 0 END), 0)::BIGINT "
+        "AS n_dup FROM g) "
+        "SELECT n_chunks, n_distinct, n_dup AS n_dup_instances, "
+        "CASE WHEN n_chunks > 0 THEN n_dup * 1000 // n_chunks "
+        "ELSE 0 END::BIGINT AS dup_permille FROM s")

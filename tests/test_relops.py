@@ -237,3 +237,31 @@ def test_value_quantiles_vs_bruteforce(ray_session, sf_dir):
     got = {(r["event_type"], r["q_permille"]): r["value_cents"]
            for r in relops.value_quantiles(sf_dir).take_all()}
     assert got == exp
+
+
+def test_events_anomaly_bruteforce(ray_session, sf_dir):
+    """Daily anomaly permille == sequential replay (integer mean)."""
+    from collections import Counter, defaultdict
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "ts"])
+    days = pc.cast(t.column("ts"), pa.int64()).to_pylist()
+    daily = Counter()
+    for et, us in zip(t.column("event_type").to_pylist(), days):
+        daily[(et, us // relops.US_PER_DAY)] += 1
+    per_type = defaultdict(lambda: [0, 0])
+    for (et, _), n in daily.items():
+        per_type[et][0] += n
+        per_type[et][1] += 1
+    exp = {k: (n, n * per_type[k[0]][1] * 1000 // per_type[k[0]][0])
+           for k, n in daily.items()}
+    got = {(r["event_type"], r["day"]): (r["n"], r["permille_of_mean"])
+           for r in relops.events_anomaly(sf_dir).take_all()}
+    assert got == exp
+    # volumes vary day to day, so scores straddle the mean
+    scores = [v[1] for v in exp.values()]
+    assert min(scores) < 1000 < max(scores)

@@ -1430,3 +1430,21 @@ def test_dedup_recall_consistency(ray_session, sf_dir):
     assert row["recall_permille"] == (
         len(ex & mh) * 1000 // len(ex) if ex else 0)
     assert row["precision_permille"] == 1000 or row["n_flagged"] == 0
+
+
+def test_chunk_dedup_stats_bruteforce(ray_session, sf_dir):
+    """Corpus chunk-dup scalars == replay from the chunk table."""
+    from collections import Counter
+
+    chunks = textops.collect_df(textops.doc_chunks(sf_dir))
+    c = Counter(chunks["chunk_md5"])
+    n_chunks = sum(c.values())
+    n_dup = sum(v for v in c.values() if v >= 2)
+    row = textops.collect_df(textops.chunk_dedup_stats(sf_dir)).iloc[0]
+    assert row["n_chunks"] == n_chunks
+    assert row["n_distinct"] == len(c)
+    assert row["n_dup_instances"] == n_dup
+    assert row["dup_permille"] == (n_dup * 1000 // n_chunks
+                                   if n_chunks else 0)
+    # the synthetic corpus contains exact-dup docs, so chunk dups exist
+    assert n_dup > 0
