@@ -400,6 +400,14 @@ def _q_page_outlink_stats(sf_dir: str):
     return outlink_stats(_pages_dir(sf_dir))
 
 
+def _q_page_recrawl_plan(sf_dir: str):
+    """Politeness-aware recrawl plan: per-host fetch order + scheduled
+    times from adaptive due-times and the host's effective delay."""
+    from methanol_web_crawler_ray.stages.extract import recrawl_plan
+
+    return recrawl_plan(_pages_dir(sf_dir))
+
+
 def _q_page_redirects(sf_dir: str):
     """Redirect-chain terminal resolution over page_meta (worker.c:809
     20-cap), pointer-doubling above the size gate — loops and over-cap
@@ -619,6 +627,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_robots_audit": _q_page_robots_audit,
         # per-page outlink audit (external flag = M4 hostcmp)
         "page_outlink_stats": _q_page_outlink_stats,
+        # politeness-aware recrawl plan over the captures family
+        "page_recrawl_plan": _q_page_recrawl_plan,
     }
 
 
@@ -1838,4 +1848,25 @@ def oracle_sql() -> dict[str, str]:
         "ELSE 0 END::BIGINT AS recall_permille, "
         "CASE WHEN n_flagged > 0 THEN n_hit * 1000 // n_flagged "
         "ELSE 0 END::BIGINT AS precision_permille FROM s")
+    # recrawl plan composes the revisit oracle: per-host row_number
+    # over due-times, schedule via the closed-form running max
+    # sched = delay*rn + max(due - delay*rn) over the ordered prefix
+    d["page_recrawl_plan"] = (
+        f"WITH rs AS ({d['page_revisit_schedule']}), "
+        "p AS (SELECT url, split_part(url, '/', 3) AS host, "
+        "next_fetch_us FROM rs), "
+        "dl AS (SELECT split_part(url, '/', 3) AS host, "
+        "greatest(coalesce(max(try_cast(regexp_extract(text, "
+        "'Crawl-delay: ([0-9]+)', 1) AS BIGINT)), 0), 10) * 1000000 "
+        f"AS delay_us FROM read_parquet('{pdir}/pages.parquet') "
+        "WHERE url LIKE '%/robots.txt' GROUP BY 1), "
+        "r AS (SELECT p.url, p.host, p.next_fetch_us, "
+        "coalesce(dl.delay_us, 10000000)::BIGINT AS delay_us, "
+        "row_number() OVER (PARTITION BY p.host "
+        "ORDER BY p.next_fetch_us, p.url) AS rn "
+        "FROM p LEFT JOIN dl ON dl.host = p.host) "
+        "SELECT url, host, rn::BIGINT AS fetch_seq, next_fetch_us, "
+        "(delay_us * rn + max(next_fetch_us - delay_us * rn) "
+        "OVER (PARTITION BY host ORDER BY rn "
+        "ROWS UNBOUNDED PRECEDING))::BIGINT AS scheduled_us FROM r")
     return d

@@ -1335,3 +1335,76 @@ def outlink_stats(pages_dir: str, batch_size: int = 2048):
                      batch_size=batch_size) \
         .groupby("url").sum(cols) \
         .map_batches(unwrap, batch_format="pyarrow")
+
+
+def recrawl_plan(pages_dir: str, batch_size: int = 2048):
+    """(url, host, fetch_seq, next_fetch_us, scheduled_us): the
+    politeness-aware RECRAWL PLAN — the product of the captures
+    family.  Each host's URLs are ordered by their adaptive revisit
+    due-time (:func:`revisit_schedule`, Cho–Garcia-Molina integers)
+    and scheduled against the host's effective inter-GET delay (robots
+    Crawl-delay floored by friendly-mode 10 s, as in
+    :func:`host_budget`): a fetch never starts before its due-time
+    NOR within the delay of the previous fetch —
+    ``sched_i = max(due_i, sched_{i-1} + delay)``.  The recurrence is
+    computed in closed form, ``delay·i + runmax(due_j − delay·j)``,
+    so both sides are one vectorized running max, integer-exact.
+
+    Scale shape: due-times come from the revisit pipeline (its own
+    bounded exchange); delays are hosts-sized, broadcast once via
+    ray.put; the plan itself is one groupby(host) with an O(n log n)
+    in-group sort — the same per-host partitioning the crawl's
+    politeness state already relies on (salt mega-hosts upstream)."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data
+
+    delay_re = re.compile(r"Crawl-delay: ([0-9]+)")
+
+    def robots_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.ends_with(t.column("url"), "/robots.txt"))
+
+    delays = {}
+    for row in ray.data.read_parquet(
+            f"{pages_dir}/pages.parquet", columns=["url", "text"]) \
+            .map_batches(robots_rows, batch_format="pyarrow") \
+            .take_all():
+        m = delay_re.search(row["text"])
+        d = int(m.group(1)) if m else 0
+        delays[row["url"].split("/")[2]] = \
+            max(d, FRIENDLY_GET_DELAY_S) * 1_000_000
+    ref = ray.put(delays)
+
+    default_us = FRIENDLY_GET_DELAY_S * 1_000_000
+
+    def with_host(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
+        d = ray.get(_r)
+        hosts = [u.split("/")[2] for u in df["url"]]
+        return pd.DataFrame({
+            "url": df["url"], "host": hosts,
+            "next_fetch_us": df["next_fetch_us"].astype("int64"),
+            "delay_us": pd.Series(
+                [d.get(h, default_us) for h in hosts], dtype="int64")})
+
+    def plan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["next_fetch_us", "url"],
+                          kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        rn = np.arange(1, n + 1, dtype=np.int64)
+        delay = g["delay_us"].to_numpy()
+        due = g["next_fetch_us"].to_numpy()
+        sched = delay * rn + np.maximum.accumulate(due - delay * rn)
+        return pd.DataFrame({
+            "url": g["url"], "host": g["host"],
+            "fetch_seq": pd.Series(rn, dtype="int64"),
+            "next_fetch_us": pd.Series(due, dtype="int64"),
+            "scheduled_us": pd.Series(sched, dtype="int64")})
+
+    return revisit_schedule(pages_dir, batch_size=batch_size) \
+        .map_batches(with_host, batch_format="pandas",
+                     batch_size=batch_size) \
+        .groupby("host").map_groups(plan, batch_format="pandas")

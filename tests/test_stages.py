@@ -672,3 +672,49 @@ def test_outlink_stats_bruteforce(ray_session):
     # the fixture embeds cross-host and dynamic links (FIXTURES.md §1)
     assert any(c[2] > 0 for c in exp.values())
     assert any(c[3] > 0 for c in exp.values())
+
+
+def test_recrawl_plan_bruteforce(ray_session):
+    """Schedule == sequential replay of sched_i = max(due_i,
+    sched_{i-1} + delay) per host, and both politeness invariants
+    hold (never before due, never within delay of the predecessor)."""
+    import re
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+    due = {r["url"]: r["next_fetch_us"]
+           for r in extract.revisit_schedule(d).take_all()}
+    delays = {}
+    for r in pq.read_table(f"{d}/pages.parquet",
+                           columns=["url", "text"]).to_pylist():
+        if r["url"].endswith("/robots.txt"):
+            m = re.search(r"Crawl-delay: ([0-9]+)", r["text"])
+            delays[r["url"].split("/")[2]] = max(
+                int(m.group(1)) if m else 0,
+                extract.FRIENDLY_GET_DELAY_S) * 1_000_000
+    per_host = defaultdict(list)
+    for u, nf in due.items():
+        per_host[u.split("/")[2]].append((nf, u))
+    exp = {}
+    for h, items in per_host.items():
+        delay = delays.get(h, extract.FRIENDLY_GET_DELAY_S * 1_000_000)
+        items.sort()
+        sched = None
+        for i, (nf, u) in enumerate(items, start=1):
+            sched = nf if sched is None else max(nf, sched + delay)
+            exp[u] = (h, i, nf, sched)
+    got = {r["url"]: (r["host"], r["fetch_seq"], r["next_fetch_us"],
+                      r["scheduled_us"])
+           for r in extract.recrawl_plan(d).take_all()}
+    assert got == exp
+    # invariants: never early, never impolite
+    for h, items in per_host.items():
+        delay = delays.get(h, extract.FRIENDLY_GET_DELAY_S * 1_000_000)
+        plan = sorted((exp[u][1], exp[u][2], exp[u][3])
+                      for _, u in items)
+        for (_, nf, s), (_, _, s2) in zip(plan, plan[1:]):
+            assert s >= nf and s2 - s >= delay
+    # some host is actually delay-bound (schedule pushed past due)
+    assert any(exp[u][3] > exp[u][2] for u in due)
