@@ -529,6 +529,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_url_filter": _q_page_url_filter,
         # SemDeDup (Abbas et al. 2023): kmeans-bucketed semantic near-dup
         "emb_semdedup": ann.emb_semdedup,
+        # embedding-norm distribution (batch-sanity audit, quantized)
+        "emb_norm_dist": ann.emb_norm_dist,
         # link-graph degree counts (inbound-link quality signal)
         "graph_degrees": graph.link_degrees,
         # WIMBD-style corpus bigram heavy hitters (Misra-Gries + verify)
@@ -555,6 +557,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_recall": textops.dedup_recall,
         # corpus chunk-duplication profile (digest-count rollup)
         "doc_chunk_dedup": textops.chunk_dedup_stats,
+        # per-doc novel-3-gram contribution (marginal-value curve)
+        "doc_novelty": textops.doc_novelty,
         # ordered-stage product-analytics funnel per user
         "rel_events_funnel": relops.events_funnel,
         # daily volume vs per-type mean (integer anomaly score)
@@ -963,6 +967,8 @@ def oracle_sql() -> dict[str, str]:
         # SemDeDup: IVF integer assignment + within-cluster pairwise
         # cosine (wide margins), cluster cap replicated
         "emb_semdedup": ann.semdedup_oracle_sql(emb_aug, ivfc),
+        # norm dist: quantized unnest + per-vector sum + bucket rollup
+        "emb_norm_dist": ann.emb_norm_dist_oracle_sql(),
         # KMV distinct-count sketch, replayed exactly: k smallest md5
         # hashes of the distinct tokens; < k distinct → exact count,
         # else (k-1)·2^64 // kth in HUGEINT, clamped to int64
@@ -1578,6 +1584,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": textops.doc_chunks_oracle_sql(),
         # chunk-dup profile: digest-count CTE over the chunking oracle
         "doc_chunk_dedup": textops.chunk_dedup_oracle_sql(),
+        # novelty: min(doc_id) per shingle key, per-doc novel counts
+        "doc_novelty": textops.doc_novelty_oracle_sql(),
         # funnel: chained min-ts stage CTEs, >= semantics
         "rel_events_funnel": relops.funnel_oracle_sql(),
         # anomaly: grouped daily counts + per-type integer permille

@@ -1139,3 +1139,58 @@ def ann_recall(sf_dir: str, k: int = 10, n_queries: int = 5):
 
     return ex.union(ap).groupby("query_id").map_groups(
         rec, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# embedding-norm distribution audit
+
+NORM_BUCKET = 10_000_000_000  # 1e10 on the 1e6-quantized squared norm
+
+
+def emb_norm_dist(sf_dir: str, bucket: int = NORM_BUCKET):
+    """(bucket, n_vectors, min_norm2, max_norm2): distribution of the
+    QUANTIZED squared embedding norm — the batch-sanity audit run
+    before any ANN/clustering stage (a bucket far from the corpus mode
+    is an un-normalized producer batch or a degenerate/zero embedding;
+    cosine pipelines silently tolerate both until recall craters).
+    norm² is summed over ×10⁶-quantized int64 components (exact — the
+    same :func:`_quantize` contract every ANN oracle replays), bucket
+    = norm2 // ``bucket``.
+
+    Scale shape: map-only vectorized quantize+matmul per batch with
+    in-batch bucket partials, then a buckets-sized grouped merge —
+    nothing vector-sized shuffles."""
+    import ray.data
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = _quantize(_to_matrix(df["embedding"]))
+        n2 = (q * q).sum(axis=1)
+        g = pd.DataFrame({"bucket": n2 // bucket, "n2": n2})
+        agg = g.groupby("bucket", as_index=False).agg(
+            n=("n2", "size"), lo=("n2", "min"), hi=("n2", "max"))
+        return agg.astype({"bucket": "int64", "n": "int64",
+                           "lo": "int64", "hi": "int64"})
+
+    from ._util import rename
+
+    agg = _read_emb(sf_dir).map_batches(
+        partial, batch_format="pandas").groupby("bucket").aggregate(
+        ray.data.aggregate.Sum("n"), ray.data.aggregate.Min("lo"),
+        ray.data.aggregate.Max("hi"))
+    return rename(agg, {"sum(n)": "n_vectors", "min(lo)": "min_norm2",
+                        "max(hi)": "max_norm2"})
+
+
+def emb_norm_dist_oracle_sql(bucket: int = NORM_BUCKET) -> str:
+    """Quantized per-component unnest, per-vector sum, bucket rollup."""
+    return (
+        "WITH qv AS (SELECT vec_id, CAST(round(CAST("
+        "embedding[CAST(i AS INT) + 1] AS DOUBLE) * 1000000) "
+        "AS BIGINT) AS q FROM embeddings, "
+        "UNNEST(range(64)) AS d(i)), "
+        "n AS (SELECT vec_id, SUM(q * q)::BIGINT AS norm2 FROM qv "
+        "GROUP BY vec_id) "
+        f"SELECT norm2 // {bucket} AS bucket, "
+        "count(*)::BIGINT AS n_vectors, "
+        "min(norm2)::BIGINT AS min_norm2, "
+        "max(norm2)::BIGINT AS max_norm2 FROM n GROUP BY bucket")

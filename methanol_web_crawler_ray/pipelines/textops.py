@@ -4213,3 +4213,96 @@ def chunk_dedup_oracle_sql(size: int = CHUNK_CHARS,
         "SELECT n_chunks, n_distinct, n_dup AS n_dup_instances, "
         "CASE WHEN n_chunks > 0 THEN n_dup * 1000 // n_chunks "
         "ELSE 0 END::BIGINT AS dup_permille FROM s")
+
+
+def doc_novelty(sf_dir: str):
+    """(doc_id, n_grams, n_novel, novelty_permille): per-document
+    NOVELTY — of the doc's distinct word-3-gram keys, how many first
+    occur in THIS doc (first = smallest doc_id containing the gram).
+    The marginal-contribution curve behind data-mixing decisions: a
+    doc whose novelty is near zero adds nothing the earlier corpus
+    does not already contain (the per-doc form of the Heaps saturation
+    signal :func:`vocab_growth` reports corpus-wide).
+
+    Scale shape: ALL native aggregates, no per-gram map_groups and no
+    join — n_grams is exact map-side (a doc's text lives in one row);
+    novel counts come from ``groupby(gram).min(doc_id)`` (THE
+    vocabulary-sized shuffle of fixed-width int rows, the
+    :func:`vocab_growth` exchange) re-aggregated as a count per
+    first_doc; the two doc-keyed partials merge in one grouped sum."""
+    import ray
+    import ray.data
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids, grams = [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            sh = shingle_hashes(text)
+            ids.extend([int(doc_id)] * sh.shape[0])
+            grams.extend(sh.tolist())
+        return pd.DataFrame({"gram": pd.Series(grams, dtype="int64"),
+                             "doc_id": pd.Series(ids, dtype="int64")})
+
+    gram_pairs = docs.map_batches(pairs, batch_format="pandas")
+
+    def totals(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).agg(n=("gram", "size"))
+        g["novel"] = np.int64(0)
+        return g.astype({"doc_id": "int64", "n": "int64"})
+
+    def novels(df: pd.DataFrame) -> pd.DataFrame:
+        # same block type as `totals` (union requires homogeneity)
+        return pd.DataFrame({
+            "doc_id": df["min(doc_id)"].astype("int64"),
+            "n": np.zeros(len(df), dtype=np.int64),
+            "novel": np.ones(len(df), dtype=np.int64)})
+
+    novel_part = gram_pairs.groupby("gram").min("doc_id") \
+        .map_batches(novels, batch_format="pandas")
+    per_doc = gram_pairs.map_batches(totals, batch_format="pandas") \
+        .union(novel_part) \
+        .groupby("doc_id").aggregate(
+            ray.data.aggregate.Sum("n"), ray.data.aggregate.Sum("novel"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = t.column("sum(n)").cast(pa.int64())
+        nv = t.column("sum(novel)").cast(pa.int64())
+        pm = pc.if_else(pc.greater(n, 0),
+                        pc.divide(pc.multiply(nv, 1000), n),
+                        pa.scalar(0, pa.int64()))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_grams": n, "n_novel": nv,
+                         "novelty_permille": pm.cast(pa.int64())})
+
+    return per_doc.map_batches(fin, batch_format="pyarrow")
+
+
+def doc_novelty_oracle_sql() -> str:
+    """min(doc_id) per gram key, per-doc novel counts, integer
+    permille; docs with no shingles are absent, same as the Ray
+    side.  Shingle keys = the md5-31-bit word-3-gram ints every
+    dedup oracle shares (ngram_jaccard_oracle_sql's sh CTE)."""
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '\\S+') AS toks "
+        "FROM documents), "
+        "sh0 AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+        "list_transform(range(1, len(toks) - 1), i -> "
+        "toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || "
+        "' ' || toks[CAST(i AS INT) + 2]) "
+        "WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] "
+        "ELSE [] END AS grams FROM t), "
+        "g AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        "grams, x -> CAST(md5_number_lower(x) & 2147483647::UBIGINT "
+        "AS BIGINT)))) AS gram FROM sh0), "
+        "f AS (SELECT gram, min(doc_id) AS first_doc FROM g "
+        "GROUP BY gram), "
+        "p AS (SELECT g.doc_id, count(*)::BIGINT AS n_grams, "
+        "sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)"
+        "::BIGINT AS n_novel FROM g JOIN f USING (gram) "
+        "GROUP BY g.doc_id) "
+        "SELECT doc_id, n_grams, n_novel, "
+        "(n_novel * 1000 // n_grams)::BIGINT AS novelty_permille "
+        "FROM p")

@@ -293,3 +293,28 @@ def test_ann_recall_bruteforce(ray_session, sf_dir):
         assert rp == 1000 * len(ex[q] & ap.get(q, set())) // 10
     # the multiprobe LSH should find most of the true neighbors
     assert sum(v[2] for v in got.values()) / len(got) >= 500
+
+
+def test_emb_norm_dist_bruteforce(ray_session, sf_dir):
+    """Bucketed norm² rollup == sequential quantized replay."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from methanol_web_crawler_ray.pipelines import ann
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    exp = defaultdict(lambda: [0, None, None])
+    for r in t:
+        q = ann._quantize(np.asarray(r["embedding"],
+                                     dtype=np.float64)[None, :])[0]
+        n2 = int((q.astype(object) * q.astype(object)).sum())
+        b = n2 // ann.NORM_BUCKET
+        e = exp[b]
+        e[0] += 1
+        e[1] = n2 if e[1] is None else min(e[1], n2)
+        e[2] = n2 if e[2] is None else max(e[2], n2)
+    got = {r["bucket"]: [r["n_vectors"], r["min_norm2"], r["max_norm2"]]
+           for r in ann.emb_norm_dist(sf_dir).take_all()}
+    assert got == {k: list(v) for k, v in exp.items()}
+    assert sum(v[0] for v in exp.values()) == len(t)

@@ -1448,3 +1448,35 @@ def test_chunk_dedup_stats_bruteforce(ray_session, sf_dir):
                                    if n_chunks else 0)
     # the synthetic corpus contains exact-dup docs, so chunk dups exist
     assert n_dup > 0
+
+
+def test_doc_novelty_bruteforce(ray_session, sf_dir):
+    """Per-doc novelty == sequential replay (first = min doc_id)."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    first = {}
+    grams_of = {}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        sh = textops.shingle_hashes(r["text"])
+        grams_of[r["doc_id"]] = sh
+        for g in sh.tolist():
+            first.setdefault(g, r["doc_id"])
+    exp = {}
+    for did, sh in grams_of.items():
+        n = sh.shape[0]
+        if n == 0:
+            continue
+        nov = sum(1 for g in sh.tolist() if first[g] == did)
+        exp[did] = (n, nov, nov * 1000 // n)
+    got = {r["doc_id"]: (r["n_grams"], r["n_novel"],
+                         r["novelty_permille"])
+           for _, r in textops.collect_df(textops.doc_novelty(sf_dir))
+           .iterrows()}
+    assert got == exp
+    # exact-dup docs contribute zero novelty; originals contribute all
+    assert any(v[2] == 0 for v in exp.values())
+    assert any(v[2] == 1000 for v in exp.values())
