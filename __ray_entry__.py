@@ -607,6 +607,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_redirects": _q_page_redirects,
         # TrustRank: seed-host-personalized PageRank (spam demotion)
         "graph_trustrank": graph.link_trustrank,
+        # bounded k-core peeling over the undirected link graph
+        "graph_kcore": graph.link_kcore,
         # URL path-template mining (crawler-trap audit)
         "page_url_templates": _q_page_url_templates,
         # cross-host mirror detection by exact text digest
@@ -1651,6 +1653,8 @@ def oracle_sql() -> dict[str, str]:
             "AS hops FROM r r0 LEFT JOIN term t ON t.u = r0.url"),
         # TrustRank: unrolled fixed point, CASE-gated teleport
         "graph_trustrank": graph.trustrank_oracle_sql(pdir),
+        # k-core: unrolled peel rounds over the shared edge CTE
+        "graph_kcore": graph.kcore_oracle_sql(pdir),
         # boilerplate: distinct (host,url,line-md5) unnest, per-line
         # page counts vs host totals, 50% threshold
         "page_boilerplate": (

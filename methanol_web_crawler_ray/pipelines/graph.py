@@ -1308,3 +1308,139 @@ def frontier_candidates(sf_dir: str):
 
     return dist.map_batches(shape, batch_format="pyarrow") \
         .groupby("dst").map_groups(per_cand, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# bounded k-core peeling
+
+KCORE_K = 2
+KCORE_ITERS = 3
+
+
+def link_kcore(sf_dir: str, k: int = KCORE_K, iters: int = KCORE_ITERS):
+    """(url, in_core): bounded k-core membership over the UNDIRECTED
+    simple closed link graph — ``iters`` rounds of "drop nodes whose
+    remaining degree < k, and their edges" (Seidman '83 peeling; the
+    spam/fringe trim link-curation pipelines run before centrality).
+    CONTRACT: in_core = survived KCORE_ITERS peel rounds, NOT the
+    fixpoint k-core — a chain that needs more than ``iters`` peels to
+    unravel keeps its tail (same bounded-rounds contract as
+    dup_clusters' DUP_CC_ITERS, pinned by test and oracle alike; real
+    web graphs peel >99 % of the 2-core fringe in 3 rounds).
+
+    Scale shape: per round one node-keyed degree groupby + a keep-set
+    restriction — size-gated like every graph op: ≤GRAPH_DRIVER_GATE
+    edges broadcasts the keep set via ray.put + pc.is_in (zero
+    shuffle); above it two left_semi hash joins per round, nothing
+    node- or edge-sized on the driver."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from ._util import ensure_schema, materialize_clean, rename
+
+    edges = materialize_clean(_edges_ds(sf_dir), EDGE_SCHEMA)
+
+    def undirect(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(t.column("src"), t.column("dst")))
+        t = t.filter(keep)
+        lo = pc.min_element_wise(t.column("src"), t.column("dst"))
+        hi = pc.max_element_wise(t.column("src"), t.column("dst"))
+        return pa.table({"lo": lo, "hi": hi}).group_by(
+            ["lo", "hi"]).aggregate([])
+
+    und_schema = pa.schema([("lo", pa.string()), ("hi", pa.string())])
+    cur = materialize_clean(
+        edges.map_batches(undirect, batch_format="pyarrow")
+        .groupby(["lo", "hi"]).count().select_columns(["lo", "hi"]),
+        und_schema)
+    n_e = cur.count()
+
+    def halves(t: pa.Table) -> pa.Table:
+        ones = pa.array(np.ones(t.num_rows, dtype=np.int64))
+        return pa.concat_tables([
+            pa.table({"n": t.column("lo"), "c": ones}),
+            pa.table({"n": t.column("hi"), "c": ones})])
+
+    node_schema = pa.schema([("n", pa.string())])
+    nodes0 = materialize_clean(
+        cur.map_batches(
+            lambda t: pa.table({"n": pa.concat_arrays(
+                [c.combine_chunks() for c in
+                 (t.column("lo"), t.column("hi"))])}),
+            batch_format="pyarrow")
+        .groupby("n").count().select_columns(["n"]), node_schema)
+
+    keep = None
+    for _ in range(max(iters, 1)):
+        deg = cur.map_batches(halves, batch_format="pyarrow") \
+            .groupby("n").sum("c")
+        keep = materialize_clean(
+            deg.map_batches(
+                lambda t: t.filter(
+                    pc.greater_equal(t.column("sum(c)"),
+                                     pa.scalar(k))).select(["n"]),
+                batch_format="pyarrow"),
+            node_schema)
+        if n_e <= GRAPH_DRIVER_GATE:
+            ks = keep.to_pandas()["n"]
+            ref = ray.put(pa.array(ks, pa.string()))
+
+            def restrict(t: pa.Table, _r=ref) -> pa.Table:
+                v = ray.get(_r)
+                return t.filter(pc.and_(
+                    pc.is_in(t.column("lo"), value_set=v),
+                    pc.is_in(t.column("hi"), value_set=v)))
+
+            cur = materialize_clean(
+                cur.map_batches(restrict, batch_format="pyarrow"),
+                und_schema)
+        else:
+            parts = _num_partitions(n_e)
+            cur = materialize_clean(
+                cur.join(keep, "left_semi", parts,
+                         on=("lo",), right_on=("n",))
+                .join(keep, "left_semi", parts,
+                      on=("hi",), right_on=("n",)),
+                und_schema)
+
+    flagged = rename(keep, {"n": "url"}).map_batches(
+        lambda t: pa.table({
+            "url": t.column("url"),
+            "in_core": pa.array(np.ones(t.num_rows, dtype=np.int64))}),
+        batch_format="pyarrow")
+    base = rename(nodes0, {"n": "url"}).map_batches(
+        lambda t: pa.table({
+            "url": t.column("url"),
+            "in_core": pa.array(np.zeros(t.num_rows, dtype=np.int64))}),
+        batch_format="pyarrow")
+    out = base.union(flagged).groupby("url").max("in_core")
+    return ensure_schema(
+        rename(out, {"max(in_core)": "in_core"}),
+        pa.schema([("url", pa.string()), ("in_core", pa.int64())]))
+
+
+def kcore_oracle_sql(pdir: str, k: int = KCORE_K,
+                     iters: int = KCORE_ITERS) -> str:
+    """Unrolled peel rounds over the shared closed-edge CTE."""
+    sql = _EDGE_CTE.format(pdir=pdir) + (
+        ", u0 AS (SELECT DISTINCT least(src, dst) AS lo, "
+        "greatest(src, dst) AS hi FROM e WHERE src <> dst)")
+    prev = "u0"
+    for i in range(1, max(iters, 1) + 1):
+        sql += (
+            f", d{i} AS (SELECT n, count(*)::BIGINT AS c FROM "
+            f"(SELECT lo AS n FROM {prev} UNION ALL "
+            f"SELECT hi FROM {prev}) GROUP BY n)"
+            f", k{i} AS (SELECT n FROM d{i} WHERE c >= {k})"
+            f", u{i} AS (SELECT u.lo, u.hi FROM {prev} u "
+            f"JOIN k{i} a ON a.n = u.lo JOIN k{i} b ON b.n = u.hi)")
+        prev = f"u{i}"
+    last_k = f"k{max(iters, 1)}"
+    sql += (
+        ", n0 AS (SELECT DISTINCT n FROM (SELECT lo AS n FROM u0 "
+        "UNION ALL SELECT hi FROM u0)) "
+        "SELECT n0.n AS url, CASE WHEN kk.n IS NOT NULL THEN 1 "
+        f"ELSE 0 END::BIGINT AS in_core FROM n0 LEFT JOIN {last_k} kk "
+        "ON kk.n = n0.n")
+    return sql

@@ -332,3 +332,40 @@ def test_frontier_candidates_bruteforce(ray_session, sf_dir):
            for r in graph.frontier_candidates(sf_dir).take_all()}
     assert got == {d: (n, len(h), m) for d, (n, h, m) in exp.items()}
     assert len(got) > 0
+
+
+def test_kcore_bruteforce(ray_session, sf_dir):
+    """Bounded peeling == sequential replay; the KCORE_ITERS contract
+    (NOT the fixpoint core) is pinned explicitly."""
+    from collections import Counter
+
+    edges = {(r["src"], r["dst"])
+             for r in graph._edges_ds(sf_dir).take_all()}
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes0 = {n for e in und for n in e}
+    cur = set(und)
+    keep = set()
+    for _ in range(graph.KCORE_ITERS):
+        deg = Counter()
+        for a, b in cur:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {n for n, c in deg.items() if c >= graph.KCORE_K}
+        cur = {(a, b) for a, b in cur if a in keep and b in keep}
+    exp = {n: int(n in keep) for n in nodes0}
+    got = {r["url"]: r["in_core"]
+           for r in graph.link_kcore(sf_dir).take_all()}
+    assert got == exp
+    # the peel actually removes something and keeps something
+    assert 0 < sum(exp.values()) < len(exp)
+
+
+def test_kcore_large_path_parity(ray_session, sf_dir, monkeypatch):
+    """gate=0 forces the left_semi-join restriction path; output must
+    equal the broadcast small path bit-for-bit."""
+    small = sorted(graph.link_kcore(sf_dir).take_all(),
+                   key=lambda r: r["url"])
+    monkeypatch.setattr(graph, "GRAPH_DRIVER_GATE", 0)
+    large = sorted(graph.link_kcore(sf_dir).take_all(),
+                   key=lambda r: r["url"])
+    assert large == small
