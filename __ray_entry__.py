@@ -520,6 +520,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": textops.repetition,
         "doc_fingerprints": textops.fingerprints,
         "doc_langid": textops.langid,
+        # per-source language purity (mixing-table sanity check)
+        "doc_source_lang_purity": textops.source_lang_purity,
         "doc_pii_scrub": textops.pii_scrub,
         # ---- round-4 additions (past the gating cap; local-gate +
         # pytest oracled like the rest of the tail)
@@ -1834,6 +1836,9 @@ def oracle_sql() -> dict[str, str]:
     }
     # confusion matrix replays the full doc_langid decision SQL as a CTE
     d["doc_lang_confusion"] = textops.lang_confusion_oracle_sql(
+        d["doc_langid"])
+    # per-source purity composes the same langid decision SQL
+    d["doc_source_lang_purity"] = textops.source_lang_purity_oracle_sql(
         d["doc_langid"])
     # recall@k composes the exact and LSH oracles as subqueries
     d["ann_recall"] = (

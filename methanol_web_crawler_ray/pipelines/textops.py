@@ -4306,3 +4306,72 @@ def doc_novelty_oracle_sql() -> str:
         "SELECT doc_id, n_grams, n_novel, "
         "(n_novel * 1000 // n_grams)::BIGINT AS novelty_permille "
         "FROM p")
+
+
+class SourceLangId(LangId):
+    """LangId carrying the source column through — setup (profiles)
+    inherited, built once per worker like every stateful stage."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "source": df["source"],
+            "lang_pred": [self.predict(t) for t in df["text"]],
+            "n": np.int64(1)})
+        return g.groupby(["source", "lang_pred"], as_index=False).agg(
+            n=("n", "sum")).astype({"n": "int64"})
+
+
+def source_lang_purity(sf_dir: str):
+    """(source, n_docs, top_lang, top_permille, n_langs): language
+    PURITY per source — the mixing-table sanity check (a 'web-en'
+    source whose top language drops below ~900‰ has an ingestion or
+    lang-ID drift problem; per-source purity is tracked per snapshot
+    in production corpus reports).  top = (count desc, lang asc)
+    deterministic; permille integer.
+
+    Scale shape: the same stateful LangId actor stage with in-batch
+    (source, lang) partials, one sources×langs-sized grouped sum, and
+    a sources-sized top pick — nothing doc-sized shuffles."""
+    import ray
+    import ray.data
+
+    from ._util import task_udf
+
+    counts = _read_docs(sf_dir, ["doc_id", "source", "text"]) \
+        .map_batches(task_udf(SourceLangId), batch_format="pandas") \
+        .groupby(["source", "lang_pred"]).sum("n")
+
+    def top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sum(n)", "lang_pred"],
+                          ascending=[False, True], kind="mergesort")
+        tot = int(g["sum(n)"].sum())
+        best = int(g["sum(n)"].iloc[0])
+        return pd.DataFrame({
+            "source": [g["source"].iloc[0]],
+            "n_docs": pd.Series([tot], dtype="int64"),
+            "top_lang": [g["lang_pred"].iloc[0]],
+            "top_permille": pd.Series([best * 1000 // tot],
+                                      dtype="int64"),
+            "n_langs": pd.Series([len(g)], dtype="int64")})
+
+    return counts.groupby("source").map_groups(
+        top, batch_format="pandas")
+
+
+def source_lang_purity_oracle_sql(langid_sql: str) -> str:
+    """Composes the full doc_langid decision SQL, joins source, window
+    top pick with the same tie-break."""
+    return (
+        f"WITH l AS ({langid_sql}), "
+        "j AS (SELECT d.source, l.lang_pred FROM l "
+        "JOIN documents d ON d.doc_id = l.doc_id), "
+        "c AS (SELECT source, lang_pred, count(*)::BIGINT AS n FROM j "
+        "GROUP BY source, lang_pred), "
+        "r AS (SELECT source, lang_pred, n, "
+        "row_number() OVER (PARTITION BY source "
+        "ORDER BY n DESC, lang_pred) AS rk, "
+        "sum(n) OVER (PARTITION BY source) AS tot, "
+        "count(*) OVER (PARTITION BY source) AS nl FROM c) "
+        "SELECT source, tot::BIGINT AS n_docs, lang_pred AS top_lang, "
+        "(n * 1000 // tot)::BIGINT AS top_permille, "
+        "nl::BIGINT AS n_langs FROM r WHERE rk = 1")

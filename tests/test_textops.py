@@ -1480,3 +1480,28 @@ def test_doc_novelty_bruteforce(ray_session, sf_dir):
     # exact-dup docs contribute zero novelty; originals contribute all
     assert any(v[2] == 0 for v in exp.values())
     assert any(v[2] == 1000 for v in exp.values())
+
+
+def test_source_lang_purity_bruteforce(ray_session, sf_dir):
+    """Per-source purity == sequential replay with the same LangId
+    kernel and (count desc, lang asc) tie-break."""
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"]).to_pylist()
+    lid = textops.LangId()
+    per = defaultdict(Counter)
+    for r in rows:
+        per[r["source"]][lid.predict(r["text"])] += 1
+    exp = {}
+    for src, c in per.items():
+        lang, n = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        tot = sum(c.values())
+        exp[src] = (tot, lang, n * 1000 // tot, len(c))
+    got = {r["source"]: (r["n_docs"], r["top_lang"],
+                         r["top_permille"], r["n_langs"])
+           for r in textops.source_lang_purity(sf_dir).take_all()}
+    assert got == exp
+    assert len(exp) > 1
