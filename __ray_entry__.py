@@ -621,6 +621,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_snapshot_diff": _q_page_snapshot_diff,
         # recall@k of the LSH path vs exact brute force
         "ann_recall": ann.ann_recall,
+        # recall@k of the PQ-ADC path (compression-loss dial)
+        "ann_recall_adc": ann.ann_recall_adc,
         # frontier expansion: inlink-ranked uncrawled URLs
         "graph_frontier_candidates": graph.frontier_candidates,
         # CDX index records (SURT urlkey + ts + digest)
@@ -1848,6 +1850,16 @@ def oracle_sql() -> dict[str, str]:
         f"(1000 * sum(CASE WHEN a.neighbor_id IS NOT NULL "
         f"THEN 1 ELSE 0 END) // 10)::BIGINT AS recall_permille "
         f"FROM ({d['ann_topk']}) e LEFT JOIN ({d['ann_topk_lsh']}) a "
+        f"ON a.query_id = e.query_id "
+        f"AND a.neighbor_id = e.neighbor_id GROUP BY e.query_id")
+    # ADC recall: same composition against the PQ-ADC oracle
+    d["ann_recall_adc"] = (
+        f"SELECT e.query_id, count(*)::BIGINT AS n_exact, "
+        f"(SELECT count(*) FROM ({d['ann_topk_adc']}) x "
+        f"WHERE x.query_id = e.query_id)::BIGINT AS n_approx, "
+        f"(1000 * sum(CASE WHEN a.neighbor_id IS NOT NULL "
+        f"THEN 1 ELSE 0 END) // 10)::BIGINT AS recall_permille "
+        f"FROM ({d['ann_topk']}) e LEFT JOIN ({d['ann_topk_adc']}) a "
         f"ON a.query_id = e.query_id "
         f"AND a.neighbor_id = e.neighbor_id GROUP BY e.query_id")
     # dedup banding-recall composes the exact-pairs and minhash oracles

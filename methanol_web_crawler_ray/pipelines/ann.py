@@ -1194,3 +1194,36 @@ def emb_norm_dist_oracle_sql(bucket: int = NORM_BUCKET) -> str:
         "count(*)::BIGINT AS n_vectors, "
         "min(norm2)::BIGINT AS min_norm2, "
         "max(norm2)::BIGINT AS max_norm2 FROM n GROUP BY bucket")
+
+
+def ann_recall_adc(sf_dir: str, k: int = 10, n_queries: int = 5):
+    """(query_id, n_exact, n_approx, recall_permille): recall@k of the
+    PQ asymmetric-distance path against exact brute force — the
+    compression-loss dial a deployment reads next to the LSH recall
+    (:func:`ann_recall`): LSH trades recall for probe count, PQ trades
+    it for memory (codes are PQ_M bytes vs 4·d), and both belong on
+    the same dashboard.
+
+    Scale shape: identical to ann_recall — both inputs are the
+    existing pipelines, the comparison moves k rows per query per
+    side through one query-keyed groupby."""
+    import numpy as np
+    import pandas as pd
+
+    ex = ann_topk(sf_dir, k=k, n_queries=n_queries).map_batches(
+        lambda df: df.assign(src=np.int8(0)), batch_format="pandas")
+    ap = ann_topk_adc(sf_dir, k=k, n_queries=n_queries).map_batches(
+        lambda df: df.assign(src=np.int8(1)), batch_format="pandas")
+
+    def rec(g: pd.DataFrame) -> pd.DataFrame:
+        e = set(g.loc[g["src"] == 0, "neighbor_id"])
+        a = set(g.loc[g["src"] == 1, "neighbor_id"])
+        return pd.DataFrame({
+            "query_id": pd.Series([g["query_id"].iloc[0]], dtype="int64"),
+            "n_exact": pd.Series([len(e)], dtype="int64"),
+            "n_approx": pd.Series([len(a)], dtype="int64"),
+            "recall_permille": pd.Series([1000 * len(e & a) // k],
+                                         dtype="int64")})
+
+    return ex.union(ap).groupby("query_id").map_groups(
+        rec, batch_format="pandas")

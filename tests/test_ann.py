@@ -318,3 +318,30 @@ def test_emb_norm_dist_bruteforce(ray_session, sf_dir):
            for r in ann.emb_norm_dist(sf_dir).take_all()}
     assert got == {k: list(v) for k, v in exp.items()}
     assert sum(v[0] for v in exp.values()) == len(t)
+
+
+def test_ann_recall_adc_consistency(ray_session, sf_dir):
+    """ADC recall counters == replay from the two constituent
+    pipelines' outputs."""
+    from collections import defaultdict
+
+    from methanol_web_crawler_ray.pipelines import ann
+
+    ex = defaultdict(set)
+    for r in ann.ann_topk(sf_dir).take_all():
+        ex[r["query_id"]].add(r["neighbor_id"])
+    ap = defaultdict(set)
+    for r in ann.ann_topk_adc(sf_dir).take_all():
+        ap[r["query_id"]].add(r["neighbor_id"])
+    got = {r["query_id"]: r for r in
+           ann.ann_recall_adc(sf_dir).take_all()}
+    assert set(got) == set(ex)
+    for q, e in ex.items():
+        r = got[q]
+        assert r["n_exact"] == len(e)
+        assert r["n_approx"] == len(ap[q])
+        assert r["recall_permille"] == 1000 * len(e & ap[q]) // 10
+    # the dial reads nonzero but clearly lossy on these near-random
+    # synthetic embeddings — exactly the signal the op exists to show
+    assert any(r["recall_permille"] > 0 for r in got.values())
+    assert all(0 <= r["recall_permille"] <= 1000 for r in got.values())
