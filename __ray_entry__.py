@@ -418,111 +418,22 @@ def _q_page_redirects(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # DICT ORDER IS THE GATING ORDER: the round-3 driver recorded exactly
-    # the FIRST 50 entries, so the 6 tail queries never reached
-    # CORRECTNESS_r03 despite having oracle entries.  This round the
-    # previously-ungated six (ftp_entries, media_*, rel_events_sliding/
-    # sessionize) lead the dict; the six moved to the tail are queries
-    # green in the r3 gate (page_links/page_canonicalize/doc_quality/
-    # doc_fingerprints also green in r2) AND covered by independent
-    # pytest oracles, so every query has at least one driver-gated green
-    # row across rounds.
+    # DICT ORDER IS THE GATING ORDER: the driver records only the FIRST
+    # 50 entries per round.  Round-5 rotation (VERDICT r4 ask #1): the 63
+    # queries never driver-gated in rounds 1-4 (all of round 4's
+    # additions) lead the dict, in their original relative order, so
+    # CORRECTNESS_r05 gates 50 of them; the 13 that remain past the cap
+    # plus the 65 already driver-green in r1-r4 (each with at least one
+    # green row in a CORRECTNESS_r0*.json) form the tail.  Every tail
+    # query stays covered by the local strict gate (tools/local_gate.py)
+    # and the pytest suite.
     return {
-        # FTP LIST parser over the multi-dialect listings table (S3/M8)
-        "ftp_entries": _q_ftp_entries,
-        # multimodal plumbing (deterministic fake codec)
-        "media_decode": _q_media_decode,
-        "media_features": _q_media_features,
-        "media_frames": _q_media_frames,
-        "media_stdlib_decode": _q_media_stdlib_decode,
-        # windowed relational ops
-        "rel_events_sliding": relops.events_sliding_window,
-        "rel_events_sessionize": relops.events_sessionize,
-        # NEW round 4: warc_ts recrawl-history operators (input_hint
-        # coverage — the captures table is the multi-snapshot history)
-        "page_snapshot_latest": _q_page_snapshot_latest,
-        "page_host_freshness": _q_page_host_freshness,
-        "page_change_rate": _q_page_change_rate,
-        # CCNet head/middle/tail corpus split by LM-coverage terciles
-        "doc_lm_buckets": textops.lm_buckets,
-        # C4-style corpus-wide line-level exact dedup, reported per doc
-        "doc_line_dedup": textops.line_dedup,
-        # Gopher quality rules (Rae et al. 2021 App. A), integer flags
-        "doc_gopher_rules": textops.gopher_rules,
-        # crawl engine (SURVEY §2 / §3) — oracled vs the sequential
-        # reference simulator's golden parquet
-        "crawl_visits": _q_crawl_visits,
-        "crawl_targets": _q_crawl_targets,
-        "crawl_texts": _q_crawl_texts,
-        "crawl_ft_counts": _q_crawl_counts,
-        # standalone parse/convert kernels over the whole pages table
-        "page_text": _q_page_text,
-        "page_xmlconv": _q_page_xmlconv,
-        "page_classify": _q_page_classify,
-        "page_host_stats": _q_page_host_stats,
-        # text analysis (SQL-oracled)
-        "doc_token_stats": textops.token_stats,
-        "doc_lang_counts": textops.lang_counts,
-        "doc_source_stats": textops.source_stats,
-        "doc_exact_dedup": textops.exact_dedup,
-        # dedup family
-        "doc_minhash_dedup": textops.minhash_dedup,
-        "doc_dup_clusters": textops.dup_clusters,
-        "doc_tfidf": textops.tfidf_top_terms,
-        "doc_simhash_pairs": textops.simhash_pairs,
-        "doc_ngram_jaccard": textops.ngram_jaccard_pairs,
-        "doc_corpus_clean": textops.corpus_clean,
-        "doc_top_tokens": textops.top_tokens,
-        "doc_substring_overlap": textops.substring_overlap,
-        "doc_distinct_kmv": textops.distinct_tokens_kmv,
-        "doc_postings": textops.postings,
-        "doc_length_quantiles": textops.length_quantiles,
-        "doc_global_rank": textops.global_rank,
-        "doc_pack_shards": textops.pack_shards,
-        "doc_pack_sequences": textops.pack_sequences,
-        "doc_lm_coverage": textops.lm_coverage,
-        "doc_decontaminate": textops.decontaminate,
-        "doc_sample_stratified": textops.sample_stratified,
-        # link-graph analytics (iterative algorithm, fixed-point exact)
-        "graph_pagerank": graph.link_pagerank,
-        "graph_components": graph.link_components,
-        # similarity search
-        "ann_topk": ann.ann_topk,
-        "ann_topk_lsh": ann.ann_topk_lsh,
-        "ann_topk_ivf": ann.ann_topk_ivf,
-        "embedding_neardup": ann.embedding_neardup,
-        "emb_clusters": ann.emb_clusters,
-        # relational wide ops (SQL-oracled)
-        "rel_lineitem_agg": relops.lineitem_agg,
-        "rel_segment_revenue": relops.segment_revenue,
-        "rel_top_parts": relops.top_parts,
-        "rel_events_by_type": relops.events_by_type,
-        "rel_events_window": relops.events_window,
-        "rel_events_asof": relops.events_asof,
-        # ---- r3-green queries with independent pytest oracles:
-        # sacrificed to the driver's 50-row gating cap (doc_langid /
-        # doc_pii_scrub joined the tail to gate the warc_ts operators;
-        # rel_events_range_join / rel_price_band_join to gate
-        # page_change_rate / doc_lm_buckets — all four r3-green;
-        # doc_line_dedup / doc_gopher_rules additionally push
-        # rel_events_by_type / rel_events_window / rel_events_asof past
-        # the cap — all r3-green, all pytest-oracled in
-        # tests/test_relops.py)
-        "rel_events_range_join": relops.events_range_join,
-        "rel_price_band_join": relops.price_band_join,
-        "page_links": _q_page_links,
+        # ---- never-driver-gated until round 5 (63) ----
         "page_anchors": _q_page_anchors,
         "page_anchor_text": _q_page_anchor_text,
         "page_titles": _q_page_titles,
-        "page_canonicalize": _q_page_canonicalize,
-        "doc_quality": textops.quality,
-        "doc_bpe_tokens": textops.bpe_token_stats,
-        "doc_repetition": textops.repetition,
-        "doc_fingerprints": textops.fingerprints,
-        "doc_langid": textops.langid,
         # per-source language purity (mixing-table sanity check)
         "doc_source_lang_purity": textops.source_lang_purity,
-        "doc_pii_scrub": textops.pii_scrub,
         # ---- round-4 additions (past the gating cap; local-gate +
         # pytest oracled like the rest of the tail)
         "doc_span_dedup": textops.span_dedup,
@@ -639,6 +550,97 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_outlink_stats": _q_page_outlink_stats,
         # politeness-aware recrawl plan over the captures family
         "page_recrawl_plan": _q_page_recrawl_plan,
+        # ---- driver-green in rounds 1-4 (65) ----
+        # FTP LIST parser over the multi-dialect listings table (S3/M8)
+        "ftp_entries": _q_ftp_entries,
+        # multimodal plumbing (deterministic fake codec)
+        "media_decode": _q_media_decode,
+        "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
+        "media_stdlib_decode": _q_media_stdlib_decode,
+        # windowed relational ops
+        "rel_events_sliding": relops.events_sliding_window,
+        "rel_events_sessionize": relops.events_sessionize,
+        # NEW round 4: warc_ts recrawl-history operators (input_hint
+        # coverage — the captures table is the multi-snapshot history)
+        "page_snapshot_latest": _q_page_snapshot_latest,
+        "page_host_freshness": _q_page_host_freshness,
+        "page_change_rate": _q_page_change_rate,
+        # CCNet head/middle/tail corpus split by LM-coverage terciles
+        "doc_lm_buckets": textops.lm_buckets,
+        # C4-style corpus-wide line-level exact dedup, reported per doc
+        "doc_line_dedup": textops.line_dedup,
+        # Gopher quality rules (Rae et al. 2021 App. A), integer flags
+        "doc_gopher_rules": textops.gopher_rules,
+        # crawl engine (SURVEY §2 / §3) — oracled vs the sequential
+        # reference simulator's golden parquet
+        "crawl_visits": _q_crawl_visits,
+        "crawl_targets": _q_crawl_targets,
+        "crawl_texts": _q_crawl_texts,
+        "crawl_ft_counts": _q_crawl_counts,
+        # standalone parse/convert kernels over the whole pages table
+        "page_text": _q_page_text,
+        "page_xmlconv": _q_page_xmlconv,
+        "page_classify": _q_page_classify,
+        "page_host_stats": _q_page_host_stats,
+        # text analysis (SQL-oracled)
+        "doc_token_stats": textops.token_stats,
+        "doc_lang_counts": textops.lang_counts,
+        "doc_source_stats": textops.source_stats,
+        "doc_exact_dedup": textops.exact_dedup,
+        # dedup family
+        "doc_minhash_dedup": textops.minhash_dedup,
+        "doc_dup_clusters": textops.dup_clusters,
+        "doc_tfidf": textops.tfidf_top_terms,
+        "doc_simhash_pairs": textops.simhash_pairs,
+        "doc_ngram_jaccard": textops.ngram_jaccard_pairs,
+        "doc_corpus_clean": textops.corpus_clean,
+        "doc_top_tokens": textops.top_tokens,
+        "doc_substring_overlap": textops.substring_overlap,
+        "doc_distinct_kmv": textops.distinct_tokens_kmv,
+        "doc_postings": textops.postings,
+        "doc_length_quantiles": textops.length_quantiles,
+        "doc_global_rank": textops.global_rank,
+        "doc_pack_shards": textops.pack_shards,
+        "doc_pack_sequences": textops.pack_sequences,
+        "doc_lm_coverage": textops.lm_coverage,
+        "doc_decontaminate": textops.decontaminate,
+        "doc_sample_stratified": textops.sample_stratified,
+        # link-graph analytics (iterative algorithm, fixed-point exact)
+        "graph_pagerank": graph.link_pagerank,
+        "graph_components": graph.link_components,
+        # similarity search
+        "ann_topk": ann.ann_topk,
+        "ann_topk_lsh": ann.ann_topk_lsh,
+        "ann_topk_ivf": ann.ann_topk_ivf,
+        "embedding_neardup": ann.embedding_neardup,
+        "emb_clusters": ann.emb_clusters,
+        # relational wide ops (SQL-oracled)
+        "rel_lineitem_agg": relops.lineitem_agg,
+        "rel_segment_revenue": relops.segment_revenue,
+        "rel_top_parts": relops.top_parts,
+        "rel_events_by_type": relops.events_by_type,
+        "rel_events_window": relops.events_window,
+        "rel_events_asof": relops.events_asof,
+        # ---- r3-green queries with independent pytest oracles:
+        # sacrificed to the driver's 50-row gating cap (doc_langid /
+        # doc_pii_scrub joined the tail to gate the warc_ts operators;
+        # rel_events_range_join / rel_price_band_join to gate
+        # page_change_rate / doc_lm_buckets — all four r3-green;
+        # doc_line_dedup / doc_gopher_rules additionally push
+        # rel_events_by_type / rel_events_window / rel_events_asof past
+        # the cap — all r3-green, all pytest-oracled in
+        # tests/test_relops.py)
+        "rel_events_range_join": relops.events_range_join,
+        "rel_price_band_join": relops.price_band_join,
+        "page_links": _q_page_links,
+        "page_canonicalize": _q_page_canonicalize,
+        "doc_quality": textops.quality,
+        "doc_bpe_tokens": textops.bpe_token_stats,
+        "doc_repetition": textops.repetition,
+        "doc_fingerprints": textops.fingerprints,
+        "doc_langid": textops.langid,
+        "doc_pii_scrub": textops.pii_scrub,
     }
 
 
