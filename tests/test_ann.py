@@ -345,3 +345,77 @@ def test_ann_recall_adc_consistency(ray_session, sf_dir):
     # synthetic embeddings — exactly the signal the op exists to show
     assert any(r["recall_permille"] > 0 for r in got.values())
     assert all(0 <= r["recall_permille"] <= 1000 for r in got.values())
+
+
+def test_sample_matrix_bounded_and_deterministic(ray_session, tmp_path):
+    """The distributed codebook sampler (r5: replaces the full-table
+    driver reads) must (a) return exactly `target` rows, (b) be
+    deterministic across calls and block orders, and (c) keep the
+    driver-side survivor set O(target): the hash-threshold filter
+    admits ~4x target corpus-wide, never the corpus."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(7)
+    n, dim, target = 20_000, 8, 256
+    ids = np.arange(n, dtype=np.int64)
+    M = rng.standard_normal((n, dim)).astype(np.float32)
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array(list(M), pa.list_(pa.float32())),
+    }), path, row_group_size=1000)  # 20 row groups -> many blocks
+
+    S1 = ann.sample_matrix(path, target, seed=42)
+    assert S1.shape == (target, dim)
+    ann._SAMPLE_CACHE.clear()
+    S2 = ann.sample_matrix(path, target, seed=42)
+    assert np.array_equal(S1, S2)
+
+    # independent recomputation of the filter bound: survivors ~ 4x
+    # target regardless of n (this is what keeps the driver bounded)
+    sv = np.uint64((42 * 0x9E3779B97F4A7C15 + 0xD1B54A32D192ED03)
+                   & 0xFFFFFFFFFFFFFFFF)
+    h = ann._mix64(ids.astype(np.uint64) ^ sv)
+    thresh = np.uint64(int(min(1.0, 4.0 * target / n) * 2.0**64))
+    survivors = int((h <= thresh).sum())
+    assert survivors < 8 * target  # tight in expectation (4x)
+    # and the returned rows ARE the bottom-`target` by (hash, vec_id)
+    order = np.lexsort((ids, h))[:target]
+    assert np.allclose(S1, M[order].astype(np.float64))
+
+
+def test_load_queries_never_reads_full_table(sf_dir, monkeypatch):
+    """load_queries must use bounded row-group iteration; a call to
+    pq.read_table on the driver here would be the 10^9-vector OOM the
+    r4 verdict flagged."""
+    import pyarrow.parquet as pqm
+
+    def boom(*a, **k):
+        raise AssertionError("load_queries must not pq.read_table")
+
+    monkeypatch.setattr(pqm, "read_table", boom)
+    q = ann.load_queries(sf_dir, n_queries=5)
+    assert len(q) == 5
+    assert all(isinstance(v, np.ndarray) for v in q.values())
+
+
+def test_codebook_trainers_never_read_full_table(sf_dir, ray_session,
+                                                 monkeypatch):
+    """ivf_centroids / pq_codebook train on sample_matrix's distributed
+    bounded sample — no driver pq.read_table of the embeddings."""
+    import pyarrow.parquet as pqm
+
+    real = pqm.read_table
+
+    def boom(path, *a, **k):
+        if "embeddings" in str(path):
+            raise AssertionError("codebook trainer read the full table")
+        return real(path, *a, **k)
+
+    monkeypatch.setattr(pqm, "read_table", boom)
+    ann._CODEBOOK_CACHE.clear()
+    ann._SAMPLE_CACHE.clear()
+    C = ann.ivf_centroids(sf_dir)
+    assert C.shape[0] == ann.IVF_LISTS
+    B = ann.pq_codebook(sf_dir)
+    assert B.shape[0] == ann.PQ_M and B.shape[1] == ann.PQ_K
