@@ -1192,7 +1192,8 @@ def oracle_sql() -> dict[str, str]:
         # text, md5 of the redacted text (same RE2-safe patterns both
         # sides; replacement order email → ip → phone)
         "doc_pii_scrub": (
-            f"WITH d AS (SELECT doc_id, text FROM read_parquet('{piidocs}')) "
+            f"WITH d AS (SELECT doc_id, text FROM "
+            f"read_parquet('{ann.pq_sql_ref(piidocs)}')) "
             "SELECT doc_id, "
             f"len(regexp_extract_all(text, '{textops.PII_EMAIL}'))::BIGINT "
             "AS n_emails, "
@@ -1299,7 +1300,8 @@ def oracle_sql() -> dict[str, str]:
         # (planted pairs at cosine ~0.995 vs threshold 0.98 — wide-margin
         # float verification), bucket-size cap replicated
         "embedding_neardup": (
-            f"WITH emb AS (SELECT * FROM read_parquet('{emb_aug}')), "
+            f"WITH emb AS (SELECT * FROM "
+            f"read_parquet('{ann.pq_sql_ref(emb_aug)}')), "
             "qv AS (SELECT vec_id, CAST(i AS INT) AS dim, "
             f"CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) * {ann.QSCALE}) "
             "AS BIGINT) AS q FROM emb, UNNEST(range(64)) AS d(i)), "
@@ -1653,9 +1655,9 @@ def oracle_sql() -> dict[str, str]:
             "term AS (SELECT c.u, c.cur, c.h FROM chase c "
             "LEFT JOIN r ON c.cur = r.url WHERE r.url IS NULL) "
             "SELECT r0.url, "
-            "coalesce(CASE WHEN t.h <= 20 THEN t.cur END, '') "
+            "coalesce(CASE WHEN t.h < 20 THEN t.cur END, '') "
             "AS final_url, "
-            "coalesce(CASE WHEN t.h <= 20 THEN t.h END, -1)::BIGINT "
+            "coalesce(CASE WHEN t.h < 20 THEN t.h END, -1)::BIGINT "
             "AS hops FROM r r0 LEFT JOIN term t ON t.u = r0.url"),
         # TrustRank: unrolled fixed point, CASE-gated teleport
         "graph_trustrank": graph.trustrank_oracle_sql(pdir),
@@ -1850,7 +1852,8 @@ def oracle_sql() -> dict[str, str]:
         f"(SELECT count(*) FROM ({d['ann_topk_lsh']}) x "
         f"WHERE x.query_id = e.query_id)::BIGINT AS n_approx, "
         f"(1000 * sum(CASE WHEN a.neighbor_id IS NOT NULL "
-        f"THEN 1 ELSE 0 END) // 10)::BIGINT AS recall_permille "
+        f"THEN 1 ELSE 0 END) // greatest(count(*), 1))::BIGINT "
+        f"AS recall_permille "
         f"FROM ({d['ann_topk']}) e LEFT JOIN ({d['ann_topk_lsh']}) a "
         f"ON a.query_id = e.query_id "
         f"AND a.neighbor_id = e.neighbor_id GROUP BY e.query_id")
@@ -1860,7 +1863,8 @@ def oracle_sql() -> dict[str, str]:
         f"(SELECT count(*) FROM ({d['ann_topk_adc']}) x "
         f"WHERE x.query_id = e.query_id)::BIGINT AS n_approx, "
         f"(1000 * sum(CASE WHEN a.neighbor_id IS NOT NULL "
-        f"THEN 1 ELSE 0 END) // 10)::BIGINT AS recall_permille "
+        f"THEN 1 ELSE 0 END) // greatest(count(*), 1))::BIGINT "
+        f"AS recall_permille "
         f"FROM ({d['ann_topk']}) e LEFT JOIN ({d['ann_topk_adc']}) a "
         f"ON a.query_id = e.query_id "
         f"AND a.neighbor_id = e.neighbor_id GROUP BY e.query_id")

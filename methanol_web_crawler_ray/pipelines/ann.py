@@ -483,43 +483,67 @@ ND_BUCKET_CAP = 2000  # skip degenerate buckets (replicated in the oracle)
 ND_PLANT_EVERY = 25   # augmented table: every 25th vec gets a near-dup
 
 
+def pq_sql_ref(path: str) -> str:
+    """DuckDB read_parquet target for a fixture path that may be a
+    single file (legacy) or a directory written by Dataset.write_parquet
+    (the r5 distributed fixture builders)."""
+    return path if path.endswith(".parquet") else \
+        path.rstrip("/") + "/*.parquet"
+
+
 def augmented_embeddings_path(sf_dir: str) -> str:
     """The near-dup benchmark table: the sf embeddings plus a planted
-    near-duplicate (cosine ≈ 0.995) for every ND_PLANT_EVERY-th vector,
-    ids offset by 1e6.  Deterministic; written once; both the Ray
-    pipeline and the DuckDB oracle read THIS file — the fixture gives the
-    operator a non-empty, verifiable answer (random sf embeddings have no
-    pairs at near-dup thresholds)."""
+    near-duplicate (cosine ≈ 0.995) for every vec_id % ND_PLANT_EVERY
+    == 0 vector, ids offset by 1e6.  Deterministic; written once; both
+    the Ray pipeline and the DuckDB oracle read THIS table — the
+    fixture gives the operator a non-empty, verifiable answer (random
+    sf embeddings have no pairs at near-dup thresholds).
+
+    r5: built DISTRIBUTEDLY — map_batches read→augment→write_parquet
+    (the r4 builder ``pq.read_table``-ed the whole corpus on the
+    driver).  Selection and noise are pure per-row functions of vec_id
+    (per-id seeded rng), so the output is deterministic regardless of
+    block order; returns the output DIRECTORY (SQL sites go through
+    ``pq_sql_ref``)."""
     import pyarrow.parquet as pq
+    import ray.data
 
     src = f"{sf_dir}/embeddings.parquet"
-    tbl = pq.read_table(src)
-    n = tbl.num_rows
+    n = pq.ParquetFile(src).metadata.num_rows
     # cache key includes the planting parameters so constant changes in a
     # later engine version can never reuse a stale fixture
-    tag = f"{ND_PLANT_EVERY}-s20260817-n012"
+    tag = f"{ND_PLANT_EVERY}-s20260817-n012-r5dist"
     out = (f"/tmp/mwc_emb_aug-{os.path.basename(os.path.normpath(sf_dir))}"
-           f"-{n}-{tag}.parquet")
+           f"-{n}-{tag}")
     if os.path.exists(out):
         return out
-    ids = tbl.column("vec_id").to_numpy()
-    M = np.stack([np.asarray(v, dtype=np.float64)
-                  for v in tbl.column("embedding").to_pylist()])
-    rng = np.random.default_rng(20260817)
-    sel = np.arange(0, n, ND_PLANT_EVERY)
-    # per-dim sigma 0.012 → ||noise|| ≈ 0.096 → cosine ≈ 0.9954 against
-    # the unit-norm source: comfortably above ND_THRESHOLD, comfortably
-    # below 1 (a genuine near-dup, not an exact copy)
-    noise = rng.standard_normal((sel.shape[0], M.shape[1])) * 0.012
-    dup = M[sel] + noise
-    dup = dup / np.linalg.norm(dup, axis=1, keepdims=True)
-    all_ids = np.concatenate([ids, ids[sel] + 1_000_000])
-    all_vecs = np.concatenate([M, dup]).astype(np.float32)
-    pq.write_table(pa.table({
-        "vec_id": pa.array(all_ids, pa.int64()),
-        "embedding": pa.array(list(all_vecs), pa.list_(pa.float32())),
-    }), out + ".tmp")
-    os.replace(out + ".tmp", out)
+
+    def augment(df: pd.DataFrame) -> pa.Table:
+        ids = df["vec_id"].to_numpy().astype(np.int64)
+        M = _to_matrix(df["embedding"])
+        sel = np.flatnonzero(ids % ND_PLANT_EVERY == 0)
+        # per-dim sigma 0.012 → ||noise|| ≈ 0.096 → cosine ≈ 0.9954
+        # against the unit-norm source: comfortably above ND_THRESHOLD,
+        # comfortably below 1 (a genuine near-dup, not an exact copy);
+        # one rng per SELECTED id keeps the noise block-order-invariant
+        dup = np.stack([
+            M[i] + np.random.default_rng(
+                (20260817 << 32) ^ int(ids[i])).standard_normal(
+                M.shape[1]) * 0.012
+            for i in sel]) if sel.size else np.zeros((0, M.shape[1]))
+        if sel.size:
+            dup = dup / np.linalg.norm(dup, axis=1, keepdims=True)
+        all_ids = np.concatenate([ids, ids[sel] + 1_000_000])
+        all_vecs = np.concatenate([M, dup]).astype(np.float32)
+        return pa.table({
+            "vec_id": pa.array(all_ids, pa.int64()),
+            "embedding": pa.array(list(all_vecs), pa.list_(pa.float32())),
+        })
+
+    tmp = out + ".tmp"
+    ray.data.read_parquet(src).map_batches(
+        augment, batch_format="pandas").write_parquet(tmp)
+    os.replace(tmp, out)
     return out
 
 
@@ -800,7 +824,8 @@ def semdedup_oracle_sql(emb_aug: str, ivfc: str) -> str:
     augmented table, the same cluster cap, then within-cluster pairwise
     float cosine (wide margins — see emb_semdedup)."""
     return (
-        f"WITH emb AS (SELECT * FROM read_parquet('{emb_aug}')), "
+        f"WITH emb AS (SELECT * FROM "
+        f"read_parquet('{pq_sql_ref(emb_aug)}')), "
         "qv AS (SELECT vec_id, CAST(i AS INT) AS dim, "
         f"CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) * "
         f"{QSCALE}) AS BIGINT) AS q "
@@ -1203,10 +1228,16 @@ def ann_recall(sf_dir: str, k: int = 10, n_queries: int = 5):
     import numpy as np
     import pandas as pd
 
+    # project both sides to the common (query_id, neighbor_id, src)
+    # BEFORE union: uniform schema across blocks (no implicit
+    # reconciliation) and fewer shuffled columns
+    cols = ["query_id", "neighbor_id", "src"]
     ex = ann_topk(sf_dir, k=k, n_queries=n_queries).map_batches(
-        lambda df: df.assign(src=np.int8(0)), batch_format="pandas")
+        lambda df: df.assign(src=np.int8(0))[cols],
+        batch_format="pandas")
     ap = ann_topk_lsh(sf_dir, k=k, n_queries=n_queries).map_batches(
-        lambda df: df.assign(src=np.int8(1)), batch_format="pandas")
+        lambda df: df.assign(src=np.int8(1))[cols],
+        batch_format="pandas")
 
     def rec(g: pd.DataFrame) -> pd.DataFrame:
         e = set(g.loc[g["src"] == 0, "neighbor_id"])
@@ -1215,8 +1246,12 @@ def ann_recall(sf_dir: str, k: int = 10, n_queries: int = 5):
             "query_id": pd.Series([g["query_id"].iloc[0]], dtype="int64"),
             "n_exact": pd.Series([len(e)], dtype="int64"),
             "n_approx": pd.Series([len(a)], dtype="int64"),
-            "recall_permille": pd.Series([1000 * len(e & a) // k],
-                                         dtype="int64")})
+            # denominator = |exact| (== k normally; < k only when the
+            # corpus itself is smaller than k) so recall is never
+            # understated on tiny corpora
+            "recall_permille": pd.Series(
+                [1000 * len(e & a) // max(len(e), 1)],
+                dtype="int64")})
 
     return ex.union(ap).groupby("query_id").map_groups(
         rec, batch_format="pandas")
@@ -1291,10 +1326,13 @@ def ann_recall_adc(sf_dir: str, k: int = 10, n_queries: int = 5):
     import numpy as np
     import pandas as pd
 
+    cols = ["query_id", "neighbor_id", "src"]
     ex = ann_topk(sf_dir, k=k, n_queries=n_queries).map_batches(
-        lambda df: df.assign(src=np.int8(0)), batch_format="pandas")
+        lambda df: df.assign(src=np.int8(0))[cols],
+        batch_format="pandas")
     ap = ann_topk_adc(sf_dir, k=k, n_queries=n_queries).map_batches(
-        lambda df: df.assign(src=np.int8(1)), batch_format="pandas")
+        lambda df: df.assign(src=np.int8(1))[cols],
+        batch_format="pandas")
 
     def rec(g: pd.DataFrame) -> pd.DataFrame:
         e = set(g.loc[g["src"] == 0, "neighbor_id"])
@@ -1303,8 +1341,12 @@ def ann_recall_adc(sf_dir: str, k: int = 10, n_queries: int = 5):
             "query_id": pd.Series([g["query_id"].iloc[0]], dtype="int64"),
             "n_exact": pd.Series([len(e)], dtype="int64"),
             "n_approx": pd.Series([len(a)], dtype="int64"),
-            "recall_permille": pd.Series([1000 * len(e & a) // k],
-                                         dtype="int64")})
+            # denominator = |exact| (== k normally; < k only when the
+            # corpus itself is smaller than k) so recall is never
+            # understated on tiny corpora
+            "recall_permille": pd.Series(
+                [1000 * len(e & a) // max(len(e), 1)],
+                dtype="int64")})
 
     return ex.union(ap).groupby("query_id").map_groups(
         rec, batch_format="pandas")

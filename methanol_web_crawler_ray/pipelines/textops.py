@@ -1620,30 +1620,45 @@ def pii_documents_path(sf_dir: str) -> str:
     exercised on planted spans (the ``embedding_neardup`` planted-
     fixture pattern): every doc_id % 11 == 0 document gains an email,
     an IPv4 and a phone number, all pure functions of doc_id.  Both the
-    Ray pipeline and the DuckDB oracle read THIS table."""
+    Ray pipeline and the DuckDB oracle read THIS table.
+
+    r5: built DISTRIBUTEDLY — map_batches read→augment→write_parquet
+    (the r4 builder read the whole corpus on the driver).  The planted
+    span is a pure function of doc_id, so the rewrite is byte-identical
+    per row regardless of block order; a legacy single-file fixture at
+    the same cache path stays valid (SQL sites go through
+    ``ann.pq_sql_ref``)."""
     import os
     import pyarrow.parquet as pq
+    import ray.data
 
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
-                        columns=["doc_id", "text"])
-    out = (f"/tmp/mwc_docs_pii-{os.path.basename(os.path.normpath(sf_dir))}"
-           f"-{tbl.num_rows}.parquet")
+    src = f"{sf_dir}/documents.parquet"
+    n = pq.ParquetFile(src).metadata.num_rows
+    base = (f"/tmp/mwc_docs_pii-"
+            f"{os.path.basename(os.path.normpath(sf_dir))}-{n}")
+    legacy = base + ".parquet"   # r4 single-file fixture: same bytes
+    if os.path.exists(legacy):
+        return legacy
+    out = base + "-r5dist"       # directory (Dataset.write_parquet)
     if os.path.exists(out):
         return out
-    ids = tbl.column("doc_id").to_numpy()
-    texts = tbl.column("text").to_pylist()
-    for i, d in enumerate(ids):
-        if d % PII_PLANT_MOD == 0:
-            d = int(d)
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        texts = df["text"].tolist()
+        for i in np.flatnonzero(ids % PII_PLANT_MOD == 0):
+            d = int(ids[i])
             texts[i] = (f"{texts[i]} contact u{d}@ex{d % 7}.com from "
                         f"10.{d % 200}.{(d * 3) % 251}.{(d * 7) % 249} "
                         f"call 555-{1000 + d % 9000}")
-    pq.write_table(pa.table({
-        "doc_id": pa.array(ids, pa.int64()),
-        "text": pa.array(texts, pa.string()),
-    }), out + ".tmp")
-    import os as _os
-    _os.replace(out + ".tmp", out)
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "text": pd.Series(texts, dtype="string")})
+
+    tmp = out + ".tmp"
+    ray.data.read_parquet(src, columns=["doc_id", "text"]).map_batches(
+        plant, batch_format="pandas").write_parquet(tmp)
+    os.replace(tmp, out)
     return out
 
 
