@@ -218,6 +218,35 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
+def watch_rendezvous(procs, bar: str, n: int,
+                     poll_s: float = 0.2,
+                     kill_wait_s: float = 60.0):
+    """Parent-side liveness watch until the weak-scaling rendezvous
+    completes: a child dying during setup would otherwise hang its
+    siblings for the barrier's full 600 s in-child deadline before the
+    campaign failed.  On a dead child, writes ``bar + ".ABORT"`` (the
+    in-child gate polls for it and raises), reaps the survivors, and
+    returns the dead child's returncode; returns None once all ``n``
+    ready markers exist."""
+    import glob as _glob
+
+    while len([p for p in _glob.glob(bar + ".*")
+               if not p.endswith(".ABORT")]) < n:
+        dead = [pr for pr in procs if pr.poll() is not None]
+        if dead:
+            open(bar + ".ABORT", "w").close()
+            for pr in procs:
+                if pr.poll() is None:
+                    try:
+                        pr.wait(timeout=kill_wait_s)
+                    except subprocess.TimeoutExpired:
+                        pr.kill()
+                        pr.wait()  # reap: no zombie survivors
+            return dead[0].returncode
+        time.sleep(poll_s)
+    return None
+
+
 def run_scaling_job(num_cpus: int, n_pages: int, tag: str = "",
                     engine: str = None, barrier: str = None,
                     barrier_n: int = 0) -> dict:
@@ -407,24 +436,10 @@ def main() -> None:
                             barrier=bar, barrier_n=4),
                     stdout=subprocess.PIPE, text=True)
                  for i in range(4)]
-        # liveness watch until the rendezvous completes: a child dying
-        # during setup would otherwise hang its three siblings for the
-        # barrier's full 600 s deadline before the campaign failed
-        while len([p for p in _glob.glob(bar + ".*")
-                   if not p.endswith(".ABORT")]) < 4:
-            dead = [pr for pr in procs if pr.poll() is not None]
-            if dead:
-                open(bar + ".ABORT", "w").close()
-                for pr in procs:
-                    if pr.poll() is None:
-                        try:
-                            pr.wait(timeout=60)
-                        except subprocess.TimeoutExpired:
-                            pr.kill()
-                raise SystemExit(
-                    "weak-scaling job died before the barrier "
-                    f"(rc={dead[0].returncode})")
-            time.sleep(0.2)
+        rc = watch_rendezvous(procs, bar, 4)
+        if rc is not None:
+            raise SystemExit(
+                f"weak-scaling job died before the barrier (rc={rc})")
         weak_tputs = []
         for pr in procs:
             out_s, _ = pr.communicate(timeout=3600)

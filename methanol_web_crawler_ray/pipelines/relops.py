@@ -756,7 +756,12 @@ def events_anomaly(sf_dir: str):
     import ray.data
 
     def pre(df: pd.DataFrame) -> pd.DataFrame:
-        days = (df["ts"].astype("int64") // US_PER_DAY).astype("int64")
+        # explicit µs unit (the relops convention, see events_window):
+        # .astype('int64') would silently yield ns on pandas/pyarrow
+        # combos that materialize datetime64[ns] blocks
+        days = pd.Series(
+            df["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+            // US_PER_DAY, index=df.index, dtype="int64")
         out = pd.DataFrame({"event_type": df["event_type"], "day": days,
                             "one": 1})
         return out.groupby(["event_type", "day"], as_index=False).agg(

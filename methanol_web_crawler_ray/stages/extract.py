@@ -611,7 +611,7 @@ def page_titles(pages_dir: str, batch_size: int = 256):
     ).map_batches(ex, batch_format="pyarrow", batch_size=batch_size)
 
 
-REDIR_CAP = 20             # redirect chain cap (worker.c:809)
+REDIR_CAP = 20             # abandon on the REDIR_CAP-th redirect
 REDIR_DOUBLE_GATE = 200_000  # redirect rows; above → pointer doubling
 
 
@@ -619,10 +619,12 @@ def redirect_resolve(pages_dir: str, gate: int = REDIR_DOUBLE_GATE,
                      batch_size: int = 4096):
     """(url, final_url, hops): terminal resolution of every redirect row
     (3xx status with a Location) through the redirect map, under the
-    reference's 20-redirects-per-chain cap (worker.c:809 semantics,
-    applied to the whole stored chain at once instead of per fetch).
-    ``hops`` = number of redirect edges followed to the first
-    non-redirect URL; chains needing more than REDIR_CAP edges — and
+    reference's 20-redirects-per-chain cap (worker.c:809 increments
+    then breaks at ``redirects >= 20``, i.e. a chain is abandoned ON
+    its 20th redirect — at most REDIR_CAP - 1 = 19 edges are ever
+    followed; applied to the whole stored chain at once instead of per
+    fetch).  ``hops`` = number of redirect edges followed to the first
+    non-redirect URL; chains needing REDIR_CAP or more edges — and
     loops, which never terminate — emit ``final_url=''`` / ``hops=-1``.
 
     Scale shape: redirect rows are a small fraction of the corpus
@@ -661,9 +663,9 @@ def redirect_resolve(pages_dir: str, gate: int = REDIR_DOUBLE_GATE,
         finals, hops = [], []
         for u in df["u"]:
             cur, h = nxt[u], 1
-            while cur in nxt and h <= REDIR_CAP:
+            while cur in nxt and h < REDIR_CAP:
                 cur, h = nxt[cur], h + 1
-            if cur not in nxt and h <= REDIR_CAP:
+            if cur not in nxt and h < REDIR_CAP:
                 finals.append(cur)
                 hops.append(h)
             else:
@@ -692,14 +694,14 @@ def redirect_resolve(pages_dir: str, gate: int = REDIR_DOUBLE_GATE,
                 continue
             if len(tgt) == 0:           # cur is terminal (not a source)
                 out.append((p.u, p.cur, p.h,
-                            1 if p.h <= REDIR_CAP else 2))
+                            1 if p.h < REDIR_CAP else 2))
                 continue
             t = tgt.iloc[0]
             if t["st"] == 2:            # tail already proven over-cap
                 out.append((p.u, p.cur, p.h, 2))
                 continue
             h2 = int(p.h) + int(t["h"])
-            if h2 > REDIR_CAP:
+            if h2 >= REDIR_CAP:
                 out.append((p.u, t["cur"], h2, 2))
             else:                       # inherit tail state (0 or 1)
                 out.append((p.u, t["cur"], h2, int(t["st"])))
@@ -1013,14 +1015,18 @@ def host_budget(pages_dir: str, batch_size: int = 2048):
     long-pole host IS the crawl's wall clock under politeness).
 
     Scale shape: in-batch partial (count + robots-delay extract) →
-    hosts-sized groupby merge; nothing page-sized shuffles."""
-    import re
+    hosts-sized groupby merge; nothing page-sized shuffles.
 
+    The delay comes from the REAL robots kernel (``parse_robots``, the
+    same path ``robots_audit`` uses) — case-insensitive, per-UA-section
+    aware — not a literal regex; the DuckDB oracle replays the
+    fixture's canonical ``Crawl-delay: N`` spelling, which the kernel
+    parses identically."""
     import numpy as np
     import pandas as pd
     import ray.data
 
-    delay_re = re.compile(r"Crawl-delay: ([0-9]+)")
+    from ..functions.robots import parse_robots
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         hosts = [u.split("/")[2] if len(u.split("/")) > 2 else ""
@@ -1028,8 +1034,7 @@ def host_budget(pages_dir: str, batch_size: int = 2048):
         delays = []
         for u, t in zip(df["url"], df["text"]):
             if u.endswith("/robots.txt"):
-                m = delay_re.search(t)
-                delays.append(int(m.group(1)) if m else 0)
+                delays.append(int(parse_robots(t).crawl_delay or 0))
             else:
                 delays.append(0)
         g = pd.DataFrame({"host": hosts, "n": np.int64(1),
@@ -1355,14 +1360,12 @@ def recrawl_plan(pages_dir: str, batch_size: int = 2048):
     ray.put; the plan itself is one groupby(host) with an O(n log n)
     in-group sort — the same per-host partitioning the crawl's
     politeness state already relies on (salt mega-hosts upstream)."""
-    import re
-
     import numpy as np
     import pandas as pd
     import ray
     import ray.data
 
-    delay_re = re.compile(r"Crawl-delay: ([0-9]+)")
+    from ..functions.robots import parse_robots
 
     def robots_rows(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1373,8 +1376,8 @@ def recrawl_plan(pages_dir: str, batch_size: int = 2048):
             f"{pages_dir}/pages.parquet", columns=["url", "text"]) \
             .map_batches(robots_rows, batch_format="pyarrow") \
             .take_all():
-        m = delay_re.search(row["text"])
-        d = int(m.group(1)) if m else 0
+        # the real robots kernel (see host_budget), not a literal regex
+        d = int(parse_robots(row["text"]).crawl_delay or 0)
         delays[row["url"].split("/")[2]] = \
             max(d, FRIENDLY_GET_DELAY_S) * 1_000_000
     ref = ray.put(delays)

@@ -375,7 +375,8 @@ def test_redirect_resolve_paths_and_cap(ray_session):
     assert a == b
     m = {u: (f, h) for u, f, h in a}
     assert m["http://t.x/c0.html"] == ("", -1)        # 21 hops > cap
-    assert m["http://t.x/c1.html"] == ("http://t.x/term.html", 20)
+    assert m["http://t.x/c1.html"] == ("", -1)        # 20th redirect
+    assert m["http://t.x/c2.html"] == ("http://t.x/term.html", 19)
     assert m["http://t.x/c20.html"] == ("http://t.x/term.html", 1)
     assert m["http://t.x/l0.html"] == ("", -1)        # loop
     assert m["http://t.x/r.html"] == ("http://t.x/ghost.html", 1)
