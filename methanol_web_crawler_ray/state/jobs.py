@@ -65,8 +65,20 @@ class LocalJobBoard:
         if len(self.jobs) != len(jobs):
             raise ValueError("duplicate job ids")
         self.sessions: List[Dict] = []
+        self.added_by: Dict[int, int] = {}  # job id -> user id (ADD)
 
     # -- nol_added ----------------------------------------------------
+    def add(self, crawler: str, input: str, now: int,
+            user_id: int = 0) -> int:
+        """The master user API's ADD (user-conn.c:280-317): INSERT INTO
+        nol_added (user_id, crawler, input, date=NOW()) — the new job is
+        eligible immediately and carries the submitting user for
+        LIST-INPUT.  Returns the new job id."""
+        jid = max(self.jobs, default=0) + 1
+        self.jobs[jid] = [jid, crawler, input, int(now)]
+        self.added_by[jid] = int(user_id)
+        return jid
+
     def lease(self, client_id: str, now: int) -> Optional[Lease]:
         """Atomically pick the eligible job with the LATEST date (ties →
         lowest id), push its date 28 days out, open a session.  None when
@@ -116,6 +128,11 @@ class LocalJobBoard:
         client.c:752-791)."""
         self._session(session_id)[f"count_{name}"] = int(count)
 
+    def set_report(self, session_id: int, report: str) -> None:
+        """nol_session.report blob (read back by the user API's
+        SESSION-REPORT, user-conn.c:700-733)."""
+        self._session(session_id)["report"] = str(report)
+
     # -- introspection / persistence ---------------------------------
     def jobs_table(self) -> List[Tuple[int, str, str, int]]:
         return sorted((j[0], j[1], j[2], j[3]) for j in self.jobs.values())
@@ -123,18 +140,31 @@ class LocalJobBoard:
     def sessions_table(self) -> List[Dict]:
         return [dict(s) for s in self.sessions]
 
+    def added_table(self, user_id: Optional[int] = None):
+        """(id, crawler, input, date, user_id) rows, optionally filtered
+        to one submitting user (LIST-INPUT's WHERE user_id=...)."""
+        rows = [(j[0], j[1], j[2], j[3], self.added_by.get(j[0], 0))
+                for j in self.jobs.values()]
+        if user_id is not None:
+            rows = [r for r in rows if r[4] == int(user_id)]
+        return sorted(rows)
+
     def snapshot(self) -> bytes:
         import pickle
 
-        return pickle.dumps((self.jobs_table(), self.sessions))
+        return pickle.dumps((self.jobs_table(), self.sessions,
+                             dict(self.added_by)))
 
     @classmethod
     def restore(cls, blob: bytes) -> "LocalJobBoard":
         import pickle
 
-        jobs, sessions = pickle.loads(blob)
+        parts = pickle.loads(blob)
+        jobs, sessions = parts[0], parts[1]
         b = cls(jobs)
         b.sessions = sessions
+        if len(parts) > 2:          # r5 snapshots carry attribution
+            b.added_by = dict(parts[2])
         return b
 
 
@@ -174,6 +204,15 @@ def make_job_board(jobs: List[Tuple[int, str, str, int]]):
         def lease(self, client_id, now):
             return self.b.lease(client_id, now)
 
+        def add(self, crawler, input, now, user_id=0):
+            return self.b.add(crawler, input, now, user_id)
+
+        def set_report(self, session_id, report):
+            self.b.set_report(session_id, report)
+
+        def added_table(self, user_id=None):
+            return self.b.added_table(user_id)
+
         def heartbeat(self, session_id, now):
             self.b.heartbeat(session_id, now)
 
@@ -201,6 +240,16 @@ def make_job_board(jobs: List[Tuple[int, str, str, int]]):
 
         def lease(self, client_id, now):
             return ray.get(self.actor.lease.remote(client_id, now))
+
+        def add(self, crawler, input, now, user_id=0):
+            return ray.get(self.actor.add.remote(crawler, input, now,
+                                                 user_id))
+
+        def set_report(self, session_id, report):
+            ray.get(self.actor.set_report.remote(session_id, report))
+
+        def added_table(self, user_id=None):
+            return ray.get(self.actor.added_table.remote(user_id))
 
         def heartbeat(self, session_id, now):
             ray.get(self.actor.heartbeat.remote(session_id, now))
