@@ -1207,7 +1207,11 @@ def canon_rules_audit(pages_dir: str, batch_size: int = 2048):
                      batch_format="pyarrow")
 
 
-def robots_audit(pages_dir: str, batch_size: int = 2048):
+AUDIT_DRIVER_GATE = 200_000  # robots rows; above → keyed co-shuffle
+
+
+def robots_audit(pages_dir: str, batch_size: int = 2048,
+                 gate: int = AUDIT_DRIVER_GATE):
     """(host, n_pages, n_allowed, n_denied): robots COVERAGE audit —
     per host, how much of its corpus the reference's allow-first filter
     (M13: lm_filter_eval_url, src/libmetha/filter.c:34-54, over rules
@@ -1221,10 +1225,15 @@ def robots_audit(pages_dir: str, batch_size: int = 2048):
     substring User-agent match) is in scope.
 
     Scale shape: the robots side is hosts-sized — one column-pruned
-    suffix-filter scan, parsed once, broadcast via ray.put (fetched
-    once per task, never re-shipped per batch); the page side is a
-    map-only in-batch partial → hosts-sized groupby merge.  Nothing
-    page-sized shuffles."""
+    suffix-filter scan.  Below ``gate`` robots rows it is parsed once
+    on the driver and broadcast via ray.put (fetched once per task,
+    never re-shipped per batch); the page side is a map-only in-batch
+    partial → hosts-sized groupby merge.  ABOVE the gate nothing
+    hosts-sized lands on the driver either: page (host, url) keys and
+    robots rows co-shuffle into one groupby(host).map_groups that
+    parses each host's robots once and evaluates its URLs in place
+    (the crawl engines' co-sharded pattern; parity pinned by test).
+    Page text never travels on either path."""
     import pandas as pd
     import pyarrow.compute as pc
     import ray
@@ -1236,11 +1245,14 @@ def robots_audit(pages_dir: str, batch_size: int = 2048):
     def robots_rows(t: pa.Table) -> pa.Table:
         return t.filter(pc.ends_with(t.column("url"), "/robots.txt"))
 
+    robots = ray.data.read_parquet(
+        f"{pages_dir}/pages.parquet", columns=["url", "text"]) \
+        .map_batches(robots_rows, batch_format="pyarrow").materialize()
+    if robots.count() > gate:
+        return _robots_audit_large(pages_dir, robots, batch_size)
+
     per_host = {}
-    for row in ray.data.read_parquet(
-            f"{pages_dir}/pages.parquet", columns=["url", "text"]) \
-            .map_batches(robots_rows, batch_format="pyarrow") \
-            .take_all():
+    for row in robots.take_all():
         parts = row["url"].split("/")
         if len(parts) > 2:
             per_host[parts[2]] = parse_robots(row["text"])
@@ -1284,6 +1296,79 @@ def robots_audit(pages_dir: str, batch_size: int = 2048):
         .map_batches(partial, batch_format="pandas",
                      batch_size=batch_size) \
         .groupby("host").map_groups(merge, batch_format="pandas")
+
+
+def _robots_audit_large(pages_dir: str, robots, batch_size: int):
+    """>gate robots rows: page (host, url) keys and robots (host, text)
+    rows co-shuffle by host; each group parses its robots once and
+    evaluates its URLs with the same kernel.  No driver host dict."""
+    import pandas as pd
+    import ray.data
+
+    from ..functions.robots import parse_robots
+    from ..functions.urlkit import url_set
+
+    def rob_tag(t: pa.Table) -> pa.Table:
+        hosts, texts = [], []
+        for u, txt in zip(t.column("url").to_pylist(),
+                          t.column("text").to_pylist()):
+            parts = u.split("/")
+            if len(parts) > 2:
+                hosts.append(parts[2])
+                texts.append(txt)
+        n = len(hosts)
+        return pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "url": pa.array([""] * n, pa.string()),
+            "role": pa.array([1] * n, pa.int8()),
+            "rtext": pa.array(texts, pa.string())})
+
+    def page_tag(t: pa.Table) -> pa.Table:
+        hosts, urls = [], []
+        for u in t.column("url").to_pylist():
+            if u.endswith("/robots.txt"):
+                continue
+            parts = u.split("/")
+            hosts.append(parts[2] if len(parts) > 2 else "")
+            urls.append(u)
+        n = len(urls)
+        return pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "url": pa.array(urls, pa.string()),
+            "role": pa.array([0] * n, pa.int8()),
+            "rtext": pa.array([""] * n, pa.string())})
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        rb = g.loc[g["role"] == 1, "rtext"]
+        info = parse_robots(rb.iloc[0]) if len(rb) else None
+        urls = g.loc[g["role"] == 0, "url"]
+        n = len(urls)
+        if n == 0:
+            return pd.DataFrame({
+                "host": pd.Series([], dtype="object"),
+                "n_pages": pd.Series([], dtype="int64"),
+                "n_allowed": pd.Series([], dtype="int64"),
+                "n_denied": pd.Series([], dtype="int64")})
+        if info is None:
+            ok = n
+        else:
+            ok = 0
+            for u in urls:
+                parsed = url_set(u)
+                ok += parsed is None or info.filter.eval_url(parsed)
+        return pd.DataFrame({
+            "host": [g["host"].iloc[0]],
+            "n_pages": pd.Series([n], dtype="int64"),
+            "n_allowed": pd.Series([ok], dtype="int64"),
+            "n_denied": pd.Series([n - ok], dtype="int64")})
+
+    pages = ray.data.read_parquet(
+        f"{pages_dir}/pages.parquet", columns=["url"]) \
+        .map_batches(page_tag, batch_format="pyarrow",
+                     batch_size=batch_size)
+    rob = robots.map_batches(rob_tag, batch_format="pyarrow")
+    return pages.union(rob).groupby("host").map_groups(
+        audit, batch_format="pandas")
 
 
 def outlink_stats(pages_dir: str, batch_size: int = 2048):
@@ -1342,7 +1427,8 @@ def outlink_stats(pages_dir: str, batch_size: int = 2048):
         .map_batches(unwrap, batch_format="pyarrow")
 
 
-def recrawl_plan(pages_dir: str, batch_size: int = 2048):
+def recrawl_plan(pages_dir: str, batch_size: int = 2048,
+                 gate: int = AUDIT_DRIVER_GATE):
     """(url, host, fetch_seq, next_fetch_us, scheduled_us): the
     politeness-aware RECRAWL PLAN — the product of the captures
     family.  Each host's URLs are ordered by their adaptive revisit
@@ -1356,10 +1442,13 @@ def recrawl_plan(pages_dir: str, batch_size: int = 2048):
     so both sides are one vectorized running max, integer-exact.
 
     Scale shape: due-times come from the revisit pipeline (its own
-    bounded exchange); delays are hosts-sized, broadcast once via
-    ray.put; the plan itself is one groupby(host) with an O(n log n)
-    in-group sort — the same per-host partitioning the crawl's
-    politeness state already relies on (salt mega-hosts upstream)."""
+    bounded exchange); delays are hosts-sized — broadcast once via
+    ray.put below ``gate`` robots rows, co-shuffled into the plan's
+    own groupby(host) as tagged rows above it (no driver host dict;
+    parity pinned by test); the plan itself is one groupby(host) with
+    an O(n log n) in-group sort — the same per-host partitioning the
+    crawl's politeness state already relies on (salt mega-hosts
+    upstream)."""
     import numpy as np
     import pandas as pd
     import ray
@@ -1371,18 +1460,21 @@ def recrawl_plan(pages_dir: str, batch_size: int = 2048):
         import pyarrow.compute as pc
         return t.filter(pc.ends_with(t.column("url"), "/robots.txt"))
 
+    robots = ray.data.read_parquet(
+        f"{pages_dir}/pages.parquet", columns=["url", "text"]) \
+        .map_batches(robots_rows, batch_format="pyarrow").materialize()
+    default_us = FRIENDLY_GET_DELAY_S * 1_000_000
+    if robots.count() > gate:
+        return _recrawl_plan_large(pages_dir, robots, batch_size,
+                                   default_us)
+
     delays = {}
-    for row in ray.data.read_parquet(
-            f"{pages_dir}/pages.parquet", columns=["url", "text"]) \
-            .map_batches(robots_rows, batch_format="pyarrow") \
-            .take_all():
+    for row in robots.take_all():
         # the real robots kernel (see host_budget), not a literal regex
         d = int(parse_robots(row["text"]).crawl_delay or 0)
         delays[row["url"].split("/")[2]] = \
             max(d, FRIENDLY_GET_DELAY_S) * 1_000_000
     ref = ray.put(delays)
-
-    default_us = FRIENDLY_GET_DELAY_S * 1_000_000
 
     def with_host(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
         d = ray.get(_r)
@@ -1411,3 +1503,73 @@ def recrawl_plan(pages_dir: str, batch_size: int = 2048):
         .map_batches(with_host, batch_format="pandas",
                      batch_size=batch_size) \
         .groupby("host").map_groups(plan, batch_format="pandas")
+
+
+def _recrawl_plan_large(pages_dir: str, robots, batch_size: int,
+                        default_us: int):
+    """>gate robots rows: the per-host delay rides INTO the plan's own
+    groupby(host) as a tagged row instead of a driver dict — one extra
+    hosts-sized input to the exchange the plan already pays for."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.robots import parse_robots
+
+    def delay_rows(t: pa.Table) -> pd.DataFrame:
+        # pandas out like due_rows: the groupby's sort sampler asserts
+        # a single block type across the union
+        hosts, ds = [], []
+        for u, txt in zip(t.column("url").to_pylist(),
+                          t.column("text").to_pylist()):
+            parts = u.split("/")
+            if len(parts) > 2:
+                hosts.append(parts[2])
+                d = int(parse_robots(txt).crawl_delay or 0)
+                ds.append(max(d, default_us // 1_000_000) * 1_000_000)
+        return pd.DataFrame({
+            "host": pd.Series(hosts, dtype="object"),
+            "url": pd.Series([""] * len(hosts), dtype="object"),
+            "next_fetch_us": pd.Series([0] * len(hosts), dtype="int64"),
+            "delay_us": pd.Series(ds, dtype="int64"),
+            "role": pd.Series([1] * len(hosts), dtype="int8")})
+
+    def due_rows(df: pd.DataFrame) -> pd.DataFrame:
+        hosts = [u.split("/")[2] for u in df["url"]]
+        return pd.DataFrame({
+            "host": hosts, "url": df["url"],
+            "next_fetch_us": df["next_fetch_us"].astype("int64"),
+            "delay_us": pd.Series(np.int64(0), index=df.index),
+            "role": pd.Series(np.int8(0), index=df.index)})
+
+    def plan(g: pd.DataFrame) -> pd.DataFrame:
+        dl = g.loc[g["role"] == 1, "delay_us"]
+        delay_us = int(dl.iloc[0]) if len(dl) else default_us
+        g = g[g["role"] == 0]
+        g = g.sort_values(["next_fetch_us", "url"],
+                          kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({
+                "url": pd.Series([], dtype="object"),
+                "host": pd.Series([], dtype="object"),
+                "fetch_seq": pd.Series([], dtype="int64"),
+                "next_fetch_us": pd.Series([], dtype="int64"),
+                "scheduled_us": pd.Series([], dtype="int64")})
+        rn = np.arange(1, n + 1, dtype=np.int64)
+        delay = np.full(n, delay_us, dtype=np.int64)
+        due = g["next_fetch_us"].to_numpy()
+        sched = delay * rn + np.maximum.accumulate(due - delay * rn)
+        return pd.DataFrame({
+            "url": g["url"], "host": g["host"],
+            "fetch_seq": pd.Series(rn, dtype="int64"),
+            "next_fetch_us": pd.Series(due, dtype="int64"),
+            "scheduled_us": pd.Series(sched, dtype="int64")})
+
+    import ray.data  # noqa: F401  (revisit_schedule returns a Dataset)
+
+    due = revisit_schedule(pages_dir, batch_size=batch_size) \
+        .map_batches(due_rows, batch_format="pandas",
+                     batch_size=batch_size)
+    dls = robots.map_batches(delay_rows, batch_format="pyarrow")
+    return due.union(dls).groupby("host").map_groups(
+        plan, batch_format="pandas")

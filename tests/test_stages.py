@@ -719,3 +719,25 @@ def test_recrawl_plan_bruteforce(ray_session):
             assert s >= nf and s2 - s >= delay
     # some host is actually delay-bound (schedule pushed past due)
     assert any(exp[u][3] > exp[u][2] for u in due)
+
+
+def test_robots_audit_large_path_parity(ray_session):
+    """gate=0 forces the co-shuffled groupby(host) path; it must match
+    the broadcast-dict path row for row."""
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+    small = sorted((r["host"], r["n_pages"], r["n_allowed"], r["n_denied"])
+                   for r in extract.robots_audit(d).take_all())
+    large = sorted((r["host"], r["n_pages"], r["n_allowed"], r["n_denied"])
+                   for r in extract.robots_audit(d, gate=0).take_all())
+    assert small == large and len(small) > 0
+
+
+def test_recrawl_plan_large_path_parity(ray_session):
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+    small = sorted((r["url"], r["host"], r["fetch_seq"],
+                    r["next_fetch_us"], r["scheduled_us"])
+                   for r in extract.recrawl_plan(d).take_all())
+    large = sorted((r["url"], r["host"], r["fetch_seq"],
+                    r["next_fetch_us"], r["scheduled_us"])
+                   for r in extract.recrawl_plan(d, gate=0).take_all())
+    assert small == large and len(small) > 0
