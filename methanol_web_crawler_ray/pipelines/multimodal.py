@@ -13,6 +13,9 @@ Three decode kernels behind one interface:
   is driver-gated — in this container.
 - ``RealCodec`` — PIL-backed images when pillow is installed; the
   ffmpeg audio/video seam stays a documented NotImplementedError.
+- ``FfmpegCodec`` — REAL audio/video/image decode through the ffmpeg /
+  ffprobe CLIs when they are on PATH (never in this container — the
+  pytest is skip-gated; the plumbing is the deployment path).
 
 Everything Ray-side — schema, batch sizing for large binary cells, actor
 signature, output layout — is identical across the three.
@@ -421,7 +424,105 @@ class StdlibCodec:
                            minlength=dim).astype(np.int64)
 
 
-_CODECS = {"fake": FakeCodec, "real": RealCodec, "stdlib": StdlibCodec}
+class FfmpegCodec:
+    """Audio/video/image decode through the ffmpeg + ffprobe CLIs —
+    the deployment-grade kernel behind the same 4-method interface
+    (decode once per payload, the CLI handles are per-actor state via
+    construction-time probing).  Raises NotImplementedError when the
+    binaries are absent (this container), exactly like RealCodec
+    without PIL; the skip-gated pytest drives it wherever ffmpeg
+    exists.  Conventions match StdlibCodec so the two agree on the
+    shared WAV / PPM fixtures: features are integer histograms over
+    decoded samples/pixels mod ``dim``; resized images re-encode as
+    PPM."""
+
+    def __init__(self):
+        import shutil as _sh
+
+        self._ffmpeg = _sh.which("ffmpeg")
+        self._ffprobe = _sh.which("ffprobe")
+        if not (self._ffmpeg and self._ffprobe):
+            raise NotImplementedError(
+                "FfmpegCodec requires ffmpeg + ffprobe on PATH — not "
+                "available in this environment; use StdlibCodec/"
+                "FakeCodec (same interface)")
+
+    def _run(self, argv, payload: bytes) -> bytes:
+        import subprocess
+
+        r = subprocess.run(argv, input=payload, capture_output=True)
+        if r.returncode != 0:
+            raise ValueError(
+                f"{argv[0]} failed: {r.stderr[-300:].decode('latin-1')}")
+        return r.stdout
+
+    def _probe(self, payload: bytes) -> dict:
+        import json as _json
+
+        out = self._run([self._ffprobe, "-v", "error", "-show_streams",
+                         "-show_format", "-count_frames",
+                         "-of", "json", "-i", "pipe:0"], payload)
+        return _json.loads(out)
+
+    @staticmethod
+    def _stream(info: dict, kind: str) -> Optional[dict]:
+        for st in info.get("streams", []):
+            if st.get("codec_type") == kind:
+                return st
+        return None
+
+    def decode_meta(self, payload: bytes):
+        info = self._probe(payload)
+        v = self._stream(info, "video")
+        a = self._stream(info, "audio")
+        if v is not None:
+            frames = int(v.get("nb_read_frames") or 1)
+            w, h = int(v.get("width", 0)), int(v.get("height", 0))
+            if frames > 1:
+                return "video", w, frames, frames * w * h * 3
+            return "image", w, h, w * h * 3
+        if a is not None:
+            rate = int(a.get("sample_rate", 0))
+            frames = int(a.get("nb_read_frames") or 0) or int(
+                float(info.get("format", {}).get("duration", 0)) * rate)
+            ch = int(a.get("channels", 1))
+            return "audio", rate, frames, frames * 2 * ch
+        raise ValueError("no decodable stream")
+
+    def resize_image(self, payload: bytes, w: int, h: int) -> bytes:
+        return self._run(
+            [self._ffmpeg, "-v", "error", "-i", "pipe:0",
+             "-vf", f"scale={int(w)}:{int(h)}:flags=neighbor",
+             "-frames:v", "1", "-f", "image2", "-vcodec", "ppm",
+             "pipe:1"], payload)
+
+    def sample_frames(self, payload: bytes, every: int):
+        info = self._probe(payload)
+        v = self._stream(info, "video")
+        frames = int(v.get("nb_read_frames") or 0) if v else 0
+        if frames < 2:
+            raise ValueError("not a video (single-frame payload)")
+        return list(range(0, frames, every))
+
+    def extract_features(self, payload: bytes, dim: int):
+        info = self._probe(payload)
+        if self._stream(info, "video") is not None:
+            raw = self._run(
+                [self._ffmpeg, "-v", "error", "-i", "pipe:0",
+                 "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1"],
+                payload)
+            vals = np.frombuffer(raw, np.uint8).astype(np.int64)
+        else:
+            raw = self._run(
+                [self._ffmpeg, "-v", "error", "-i", "pipe:0",
+                 "-f", "s16le", "-acodec", "pcm_s16le", "pipe:1"],
+                payload)
+            vals = np.frombuffer(raw, np.int16).astype(np.int64)
+        return np.bincount(vals % dim, minlength=dim).astype(np.int64)
+
+
+_CODECS = {"fake": FakeCodec, "real": RealCodec, "stdlib": StdlibCodec,
+           "ffmpeg": FfmpegCodec}
 
 
 def make_codec(name: str):

@@ -1,5 +1,6 @@
 """Multimodal plumbing: fake codec decode/resize over binary columns."""
 
+import numpy as np
 import pytest
 
 from methanol_web_crawler_ray.pipelines import multimodal as mm
@@ -245,3 +246,45 @@ def test_stdlib_media_pipeline_against_goldens(ray_session):
         mass[int(r["media_id"])] += int(r["cnt"])
     for m, (k, a, b, n) in exp.items():
         assert mass[m] == (b if k == "audio" else n)
+
+
+def _has_ffmpeg():
+    import shutil
+
+    return bool(shutil.which("ffmpeg") and shutil.which("ffprobe"))
+
+
+@pytest.mark.skipif(_has_ffmpeg(), reason="ffmpeg installed: codec active")
+def test_ffmpeg_codec_honest_seam():
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        mm.FfmpegCodec()
+
+
+@pytest.mark.skipif(not _has_ffmpeg(), reason="ffmpeg not on PATH")
+def test_ffmpeg_codec_agrees_with_stdlib_on_shared_formats():
+    """Where ffmpeg exists, the third codec must agree with StdlibCodec
+    on the WAV + PPM fixtures it also understands: same meta kinds,
+    same integer feature histograms (both decode to the same PCM /
+    pixel values), same frame-index sampling."""
+    std = mm.StdlibCodec()
+    ff = mm.FfmpegCodec()
+    rows = mm.gen_stdlib_media_table(12)
+    for r in rows:
+        payload = r["payload"]
+        fmt = payload[:2]
+        if fmt == b"BM":        # ffprobe's bmp demuxer is optional
+            continue
+        kind_s, a_s, b_s, _sz = std.decode_meta(payload)
+        kind_f, a_f, b_f, _szf = ff.decode_meta(payload)
+        assert kind_f == kind_s
+        if kind_s == "audio":
+            assert (a_f, b_f) == (a_s, b_s)
+            fs = std.extract_features(payload, 64)
+            fg = ff.extract_features(payload, 64)
+            assert np.array_equal(fs, fg)
+        elif kind_s == "video":
+            assert b_f == b_s  # frame count
+            assert ff.sample_frames(payload, 2) == \
+                std.sample_frames(payload, 2)
+            assert np.array_equal(std.extract_features(payload, 64),
+                                  ff.extract_features(payload, 64))
