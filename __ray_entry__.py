@@ -220,6 +220,12 @@ def _q_page_anchor_text(sf_dir: str):
     return anchor_text_agg(_pages_dir(sf_dir))
 
 
+def _q_page_dup_titles(sf_dir: str):
+    from methanol_web_crawler_ray.stages.extract import dup_titles
+
+    return dup_titles(_pages_dir(sf_dir))
+
+
 def _q_page_titles(sf_dir: str):
     """The stock 'title' parser (M15) distributed through the real
     parse-chain runtime, vs the generator's by-construction titles."""
@@ -641,6 +647,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": textops.fingerprints,
         "doc_langid": textops.langid,
         "doc_pii_scrub": textops.pii_scrub,
+        # ---- round-5 additions (tail: local-gate + pytest oracled) ----
+        # per-user event-type transition matrix (first-order Markov)
+        "rel_events_markov": relops.events_markov,
+        # duplicate-title audit over the real 'title' parse chain
+        "page_dup_titles": _q_page_dup_titles,
     }
 
 
@@ -783,6 +794,14 @@ def oracle_sql() -> dict[str, str]:
         "page_titles": (
             f"SELECT url, title FROM "
             f"read_parquet('{pdir}/golden_titles.parquet')"
+        ),
+        "rel_events_markov": relops.markov_oracle_sql(),
+        "page_dup_titles": (
+            "WITH t AS (SELECT title, split_part(url, '/', 3) AS host "
+            f"FROM read_parquet('{pdir}/golden_titles.parquet')) "
+            "SELECT title, count(*)::BIGINT AS n_pages, "
+            "count(DISTINCT host)::BIGINT AS n_hosts FROM t "
+            "GROUP BY title"
         ),
         "page_classify": (
             f"SELECT url, filetype FROM "

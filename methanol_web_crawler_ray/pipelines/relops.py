@@ -808,3 +808,51 @@ def events_anomaly_oracle_sql() -> str:
         "SELECT d.event_type, d.day::BIGINT AS day, d.n, "
         "(d.n * t.n_days * 1000 // t.total)::BIGINT "
         "AS permille_of_mean FROM d JOIN t USING (event_type)")
+
+
+def events_markov(sf_dir: str):
+    """(prev_type, next_type, n): per-user event-type transition counts
+    — the first-order Markov matrix behind "what do users do next"
+    product analytics (and the sequence prior a session-generation
+    model trains on).  Each user's events are ordered by (ts, event_id)
+    (the deterministic total order every windowed event op here uses);
+    adjacent pairs count once; the matrix sums over users.
+
+    Scale shape: ONE user-keyed shuffle (groupby(user_id).map_groups)
+    emits in-group transition PARTIALS (pairs ≪ events), then a
+    (prev, next)-keyed grouped sum over type²-sized rows — the
+    combiner-before-exchange convention; nothing event-sized reaches
+    the driver."""
+    import ray.data
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts",
+                                  "event_id"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        et = g["event_type"].to_numpy()
+        if len(et) < 2:
+            return pd.DataFrame({
+                "prev_type": pd.Series([], dtype="object"),
+                "next_type": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64")})
+        p = pd.DataFrame({"prev_type": et[:-1], "next_type": et[1:],
+                          "n": np.int64(1)})
+        return p.groupby(["prev_type", "next_type"],
+                         as_index=False).agg(n=("n", "sum"))
+
+    partial = ds.groupby("user_id").map_groups(
+        pairs, batch_format="pandas")
+    agg = partial.groupby(["prev_type", "next_type"]).aggregate(
+        ray.data.aggregate.Sum("n"))
+    return _rename(agg, {"sum(n)": "n"})
+
+
+def markov_oracle_sql() -> str:
+    return (
+        "WITH o AS (SELECT user_id, event_type, "
+        "lead(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS nxt FROM events) "
+        "SELECT event_type AS prev_type, nxt AS next_type, "
+        "count(*)::BIGINT AS n FROM o WHERE nxt IS NOT NULL "
+        "GROUP BY 1, 2")

@@ -1573,3 +1573,37 @@ def _recrawl_plan_large(pages_dir: str, robots, batch_size: int,
     dls = robots.map_batches(delay_rows, batch_format="pyarrow")
     return due.union(dls).groupby("host").map_groups(
         plan, batch_format="pandas")
+
+
+def dup_titles(pages_dir: str, batch_size: int = 2048):
+    """(title, n_pages, n_hosts): per-title page and distinct-host
+    counts — the duplicate-title audit reads its n_pages ≥ 2 slice
+    (cross-host hits are mirror/template candidates next to
+    ``mirror_pages``; same-host hits are boilerplate titles), and the
+    full rollup doubles as the title-frequency profile.  Titles come
+    from the REAL parse-chain ``title`` parser (:func:`page_titles` —
+    M15), so quirk coverage is identical.
+
+    Scale shape: in-batch (title, host) dedup partials → one
+    title-keyed groupby counting pages and distinct hosts — title keys
+    only shuffle, page text never leaves the extract stage."""
+    import pandas as pd
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        hosts = [u.split("/")[2] if len(u.split("/")) > 2 else ""
+                 for u in df["url"]]
+        out = pd.DataFrame({"title": df["title"], "host": hosts,
+                            "n": 1})
+        return out.groupby(["title", "host"], as_index=False).agg(
+            n=("n", "sum"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum())
+        return pd.DataFrame({
+            "title": [g["title"].iloc[0]],
+            "n_pages": pd.Series([n], dtype="int64"),
+            "n_hosts": pd.Series([g["host"].nunique()], dtype="int64")})
+
+    return page_titles(pages_dir, batch_size=batch_size) \
+        .map_batches(tag, batch_format="pandas") \
+        .groupby("title").map_groups(merge, batch_format="pandas")

@@ -265,3 +265,25 @@ def test_events_anomaly_bruteforce(ray_session, sf_dir):
     # volumes vary day to day, so scores straddle the mean
     scores = [v[1] for v in exp.values()]
     assert min(scores) < 1000 < max(scores)
+
+
+def test_events_markov_vs_bruteforce(ray_session, sf_dir):
+    """Transition counts == a pandas lead() replay over (ts, event_id)
+    order; totals = sum over users of (len(events)-1)."""
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["user_id", "event_type", "ts",
+                                "event_id"]).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    exp = {}
+    n_pairs = 0
+    for _uid, g in ev.groupby("user_id"):
+        et = list(g["event_type"])
+        for a, b in zip(et, et[1:]):
+            exp[(a, b)] = exp.get((a, b), 0) + 1
+            n_pairs += 1
+    got = {(r["prev_type"], r["next_type"]): r["n"]
+           for r in relops.events_markov(sf_dir).take_all()}
+    assert got == exp
+    assert sum(got.values()) == n_pairs > 0

@@ -741,3 +741,22 @@ def test_recrawl_plan_large_path_parity(ray_session):
                     r["next_fetch_us"], r["scheduled_us"])
                    for r in extract.recrawl_plan(d, gate=0).take_all())
     assert small == large and len(small) > 0
+
+
+def test_dup_titles_vs_goldens(ray_session):
+    """Per-title rollup == a replay over the generator's golden_titles
+    table (same source page_titles is gated against)."""
+    import pyarrow.parquet as pq
+
+    d = pagegen.pages_dir_for("/root/testdata/sf0.001")
+    gold = pq.read_table(f"{d}/golden_titles.parquet").to_pylist()
+    exp = {}
+    for r in gold:
+        host = r["url"].split("/")[2]
+        e = exp.setdefault(r["title"], [0, set()])
+        e[0] += 1
+        e[1].add(host)
+    got = {r["title"]: (r["n_pages"], r["n_hosts"])
+           for r in extract.dup_titles(d).take_all()}
+    assert got == {t: (n, len(h)) for t, (n, h) in exp.items()}
+    assert len(got) > 0
