@@ -652,6 +652,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_markov": relops.events_markov,
         # duplicate-title audit over the real 'title' parse chain
         "page_dup_titles": _q_page_dup_titles,
+        # IVF-probed PQ asymmetric-distance search (FAISS IVFPQ shape)
+        "ann_topk_ivfpq": ann.ann_topk_ivfpq,
     }
 
 
@@ -796,6 +798,7 @@ def oracle_sql() -> dict[str, str]:
             f"read_parquet('{pdir}/golden_titles.parquet')"
         ),
         "rel_events_markov": relops.markov_oracle_sql(),
+        "ann_topk_ivfpq": ann.ivfpq_oracle_sql(ivfc, pqc),
         "page_dup_titles": (
             "WITH t AS (SELECT title, split_part(url, '/', 3) AS host "
             f"FROM read_parquet('{pdir}/golden_titles.parquet')) "

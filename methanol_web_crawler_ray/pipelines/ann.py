@@ -1083,6 +1083,131 @@ def adc_oracle_sql(pqc: str, k: int = 10, n_queries: int = 5,
         f"WHERE rank <= {k}")
 
 
+def ann_topk_ivfpq(sf_dir: str, k: int = 10, n_queries: int = 5,
+                   n_probe: int = IVF_PROBE):
+    """(query_id, neighbor_id, adc_d2, rank): IVF-probed PQ
+    asymmetric-distance top-k — the composed FAISS IVFPQ search path
+    and the engine's end-of-ladder ANN operator: the coarse quantizer
+    (:func:`ivf_centroids`) prunes the scan to each query's ``n_probe``
+    lists, and ranking inside the probed lists is PQ_M table lookups
+    per vector (:func:`ann_topk_adc`'s all-integer ADC), never a d-dim
+    computation.  Exactly replayed by the DuckDB oracle
+    (:func:`ivfpq_oracle_sql`).
+
+    Scale shape: centroids + codebook + per-query LUTs broadcast once
+    (``ray.put``); ONE map-only corpus pass does assign + encode +
+    masked LUT sums and emits each batch's threshold-cut candidates
+    (sub-k'th distance — ties kept, see ann_topk_adc); the global
+    merge is (queries × k)-sized on the driver."""
+    import ray
+    import ray.data
+
+    C = ivf_centroids(sf_dir)
+    B = pq_codebook(sf_dir)
+    n_sub, _, sub = B.shape
+    queries = load_queries(sf_dir, n_queries)
+    qids = np.asarray(sorted(queries), dtype=np.int64)
+    Qq = _quantize(np.stack([queries[int(i)] for i in qids]))
+    probe = np.zeros((len(qids), C.shape[0]), dtype=bool)
+    for qi in range(len(qids)):
+        d2 = ((Qq[qi][None, :] - C) ** 2).sum(-1)
+        order = np.argsort(d2, kind="stable")  # ties → lowest cid
+        probe[qi, order[:n_probe]] = True
+    DT = np.zeros((len(qids), n_sub, B.shape[1]), dtype=np.int64)
+    for s_ in range(n_sub):
+        qs = Qq[:, s_ * sub:(s_ + 1) * sub]
+        DT[:, s_, :] = ((qs[:, None, :] - B[s_][None, :, :]) ** 2).sum(-1)
+    ref = ray.put((qids, C, B, DT, probe))
+
+    def scan(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
+        qids_, Ck, Bk, DTk, probek = ray.get(_r)
+        ns, sb = Bk.shape[0], Bk.shape[2]
+        Q = _quantize(_to_matrix(df["embedding"]))
+        lab = _ivf_assign(Q, Ck)
+        codes = np.empty((len(df), ns), dtype=np.int64)
+        for s_ in range(ns):
+            d2 = ((Q[:, None, s_ * sb:(s_ + 1) * sb]
+                   - Bk[s_][None, :, :]) ** 2).sum(-1)
+            codes[:, s_] = d2.argmin(axis=1)
+        vec_ids = df["vec_id"].to_numpy(np.int64)
+        out = {"query_id": [], "vec_id": [], "adc_d2": []}
+        for qi, qid in enumerate(qids_):
+            mask = probek[qi, lab] & (vec_ids != qid)
+            if not mask.any():
+                continue
+            d = np.zeros(len(df), dtype=np.int64)
+            for s_ in range(ns):
+                d += DTk[qi, s_, codes[:, s_]]
+            dm = d[mask]
+            if dm.shape[0] > k:
+                thr = np.partition(dm, k - 1)[k - 1]
+                mask &= d <= thr
+            for i in np.nonzero(mask)[0]:
+                out["query_id"].append(int(qid))
+                out["vec_id"].append(int(vec_ids[i]))
+                out["adc_d2"].append(int(d[i]))
+        return pd.DataFrame(out)
+
+    df = _read_emb(sf_dir).map_batches(
+        scan, batch_format="pandas").to_pandas()
+    if df.empty:
+        return ray.data.from_arrow(pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()),
+             "adc_d2": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64())}))
+    df = df.sort_values(["query_id", "adc_d2", "vec_id"])
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k]
+    return ray.data.from_pandas(
+        df.rename(columns={"vec_id": "neighbor_id"})[
+            ["query_id", "neighbor_id", "adc_d2", "rank"]]
+        .astype("int64").reset_index(drop=True))
+
+
+def ivfpq_oracle_sql(ivfc: str, pqc: str, k: int = 10,
+                     n_queries: int = 5, n_probe: int = IVF_PROBE,
+                     dim: int = 64) -> str:
+    """DuckDB replay of IVFPQ: the IVF assignment/probe CTEs (renamed
+    distc/rk/lab/qprobe) composed with the PQ code CTEs and the ADC
+    join restricted to candidates inside each query's probed lists."""
+    return (
+        "WITH qv AS (SELECT vec_id, CAST(i AS INT) AS dim, "
+        f"CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) * "
+        f"{QSCALE}) AS BIGINT) AS q "
+        f"FROM embeddings, UNNEST(range({dim})) AS d(i)), "
+        f"cent AS (SELECT * FROM read_parquet('{ivfc}')), "
+        "distc AS (SELECT qv.vec_id, c.cid, "
+        "SUM((qv.q - c.c) * (qv.q - c.c)) AS d2 "
+        "FROM qv JOIN cent c ON c.dim = qv.dim "
+        "GROUP BY qv.vec_id, c.cid), "
+        "rk AS (SELECT vec_id, cid, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM distc), "
+        "lab AS (SELECT vec_id, cid FROM rk WHERE rn = 1), "
+        "qprobe AS (SELECT vec_id AS qid, cid FROM rk "
+        f"WHERE vec_id < {n_queries} AND rn <= {n_probe}), "
+        f"cb AS (SELECT * FROM read_parquet('{pqc}')), "
+        "dist AS (SELECT qv.vec_id, cb.m, cb.code, "
+        "SUM((qv.q - cb.c) * (qv.q - cb.c))::BIGINT AS d2 "
+        "FROM qv JOIN cb ON cb.dim = qv.dim "
+        "GROUP BY qv.vec_id, cb.m, cb.code), "
+        "best AS (SELECT vec_id, m, code, row_number() OVER "
+        "(PARTITION BY vec_id, m ORDER BY d2, code) AS rn FROM dist), "
+        "codes AS (SELECT vec_id, m, code FROM best WHERE rn = 1), "
+        "adc AS (SELECT dq.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        "SUM(dq.d2)::BIGINT AS adc_d2 FROM codes c "
+        "JOIN lab l ON l.vec_id = c.vec_id "
+        "JOIN dist dq ON dq.m = c.m AND dq.code = c.code "
+        f"AND dq.vec_id < {n_queries} "
+        "JOIN qprobe qp ON qp.qid = dq.vec_id AND qp.cid = l.cid "
+        "WHERE c.vec_id <> dq.vec_id GROUP BY 1, 2), "
+        "r AS (SELECT query_id, neighbor_id, adc_d2, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rank "
+        "FROM adc) "
+        "SELECT query_id, neighbor_id, adc_d2, rank FROM r "
+        f"WHERE rank <= {k}")
+
+
 # ---------------------------------------------------------------------------
 # distributed Lloyd k-means — the canonical data-parallel iterative op
 # (assignment + centroid update expressed AS dataset passes, unlike

@@ -421,3 +421,41 @@ def test_codebook_trainers_never_read_full_table(sf_dir, ray_session,
     assert C.shape[0] == ann.IVF_LISTS
     B = ann.pq_codebook(sf_dir)
     assert B.shape[0] == ann.PQ_M and B.shape[1] == ann.PQ_K
+
+
+def test_ivfpq_vs_bruteforce(ray_session, sf_dir, emb):
+    """IVFPQ == numpy replay: integer IVF assignment + probe sets +
+    PQ encode + LUT ADC distances, rank ≤ k inside probed lists."""
+    ids, M = emb
+    C = ann.ivf_centroids(sf_dir)
+    B = ann.pq_codebook(sf_dir)
+    ns, _, sub = B.shape
+    Q = ann._quantize(M)
+    # assignment (ties -> lowest cid) and PQ codes
+    d2c = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    lab = d2c.argmin(axis=1)
+    codes = np.empty((len(ids), ns), dtype=np.int64)
+    for s in range(ns):
+        d2 = ((Q[:, None, s * sub:(s + 1) * sub]
+               - B[s][None, :, :]) ** 2).sum(-1)
+        codes[:, s] = d2.argmin(axis=1)
+    got = {}
+    for r in ann.ann_topk_ivfpq(sf_dir).take_all():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["adc_d2"]))
+    assert len(got) > 0
+    for qid, rows in got.items():
+        qi = list(ids).index(qid)
+        dq = ((Q[qi][None, :] - C) ** 2).sum(-1)
+        probed = set(np.argsort(dq, kind="stable")[:ann.IVF_PROBE])
+        # expected ADC distance per candidate in probed lists
+        DT = np.zeros((ns, B.shape[1]), dtype=np.int64)
+        for s in range(ns):
+            qs = Q[qi, s * sub:(s + 1) * sub]
+            DT[s] = ((qs[None, :] - B[s]) ** 2).sum(-1)
+        cand = [(int(DT[np.arange(ns), codes[i]].sum()), int(ids[i]))
+                for i in range(len(ids))
+                if lab[i] in probed and ids[i] != qid]
+        cand.sort()
+        exp = [(rk + 1, v, d) for rk, (d, v) in enumerate(cand[:10])]
+        assert sorted(rows) == exp
