@@ -654,6 +654,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_dup_titles": _q_page_dup_titles,
         # IVF-probed PQ asymmetric-distance search (FAISS IVFPQ shape)
         "ann_topk_ivfpq": ann.ann_topk_ivfpq,
+        # recall@k of the IVFPQ path (pruning x compression dial)
+        "ann_recall_ivfpq": ann.ann_recall_ivfpq,
     }
 
 
@@ -1888,6 +1890,17 @@ def oracle_sql() -> dict[str, str]:
         f"THEN 1 ELSE 0 END) // greatest(count(*), 1))::BIGINT "
         f"AS recall_permille "
         f"FROM ({d['ann_topk']}) e LEFT JOIN ({d['ann_topk_adc']}) a "
+        f"ON a.query_id = e.query_id "
+        f"AND a.neighbor_id = e.neighbor_id GROUP BY e.query_id")
+    # IVFPQ recall: same composition against the IVFPQ oracle
+    d["ann_recall_ivfpq"] = (
+        f"SELECT e.query_id, count(*)::BIGINT AS n_exact, "
+        f"(SELECT count(*) FROM ({d['ann_topk_ivfpq']}) x "
+        f"WHERE x.query_id = e.query_id)::BIGINT AS n_approx, "
+        f"(1000 * sum(CASE WHEN a.neighbor_id IS NOT NULL "
+        f"THEN 1 ELSE 0 END) // greatest(count(*), 1))::BIGINT "
+        f"AS recall_permille "
+        f"FROM ({d['ann_topk']}) e LEFT JOIN ({d['ann_topk_ivfpq']}) a "
         f"ON a.query_id = e.query_id "
         f"AND a.neighbor_id = e.neighbor_id GROUP BY e.query_id")
     # dedup banding-recall composes the exact-pairs and minhash oracles

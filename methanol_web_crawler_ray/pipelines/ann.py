@@ -1165,6 +1165,41 @@ def ann_topk_ivfpq(sf_dir: str, k: int = 10, n_queries: int = 5,
         .astype("int64").reset_index(drop=True))
 
 
+def ann_recall_ivfpq(sf_dir: str, k: int = 10, n_queries: int = 5):
+    """(query_id, n_exact, n_approx, recall_permille): recall@k of the
+    IVFPQ path against exact brute force — the third dial on the ANN
+    dashboard (LSH trades recall for probe count, ADC for memory,
+    IVFPQ for both at once: list pruning × code compression).
+
+    Scale shape: identical to ann_recall — both inputs are the
+    existing pipelines, the comparison moves k rows per query per side
+    through one query-keyed groupby."""
+    import numpy as np
+    import pandas as pd
+
+    cols = ["query_id", "neighbor_id", "src"]
+    ex = ann_topk(sf_dir, k=k, n_queries=n_queries).map_batches(
+        lambda df: df.assign(src=np.int8(0))[cols],
+        batch_format="pandas")
+    ap = ann_topk_ivfpq(sf_dir, k=k, n_queries=n_queries).map_batches(
+        lambda df: df.assign(src=np.int8(1))[cols],
+        batch_format="pandas")
+
+    def rec(g: pd.DataFrame) -> pd.DataFrame:
+        e = set(g.loc[g["src"] == 0, "neighbor_id"])
+        a = set(g.loc[g["src"] == 1, "neighbor_id"])
+        return pd.DataFrame({
+            "query_id": pd.Series([g["query_id"].iloc[0]], dtype="int64"),
+            "n_exact": pd.Series([len(e)], dtype="int64"),
+            "n_approx": pd.Series([len(a)], dtype="int64"),
+            "recall_permille": pd.Series(
+                [1000 * len(e & a) // max(len(e), 1)],
+                dtype="int64")})
+
+    return ex.union(ap).groupby("query_id").map_groups(
+        rec, batch_format="pandas")
+
+
 def ivfpq_oracle_sql(ivfc: str, pqc: str, k: int = 10,
                      n_queries: int = 5, n_probe: int = IVF_PROBE,
                      dim: int = 64) -> str:

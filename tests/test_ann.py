@@ -459,3 +459,23 @@ def test_ivfpq_vs_bruteforce(ray_session, sf_dir, emb):
         cand.sort()
         exp = [(rk + 1, v, d) for rk, (d, v) in enumerate(cand[:10])]
         assert sorted(rows) == exp
+
+
+def test_ivfpq_recall_consistent(ray_session, sf_dir):
+    """recall dial == set arithmetic over its own two inputs, and the
+    pruning+compression path is lossier-or-equal vs plain ADC."""
+    ex, ap = {}, {}
+    for r in ann.ann_topk(sf_dir).take_all():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in ann.ann_topk_ivfpq(sf_dir).take_all():
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {r["query_id"]: r for r in
+           ann.ann_recall_ivfpq(sf_dir).take_all()}
+    assert set(got) == set(ex)
+    for q, e in ex.items():
+        r = got[q]
+        assert r["n_exact"] == len(e)
+        assert r["n_approx"] == len(ap.get(q, set()))
+        assert r["recall_permille"] == (1000 * len(e & ap.get(q, set()))
+                                        // max(len(e), 1))
+    assert all(0 <= r["recall_permille"] <= 1000 for r in got.values())
