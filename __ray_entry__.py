@@ -656,6 +656,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivfpq": ann.ann_topk_ivfpq,
         # recall@k of the IVFPQ path (pruning x compression dial)
         "ann_recall_ivfpq": ann.ann_recall_ivfpq,
+        # PMI collocation mining over the heavy-hitter bigrams (WIMBD)
+        "doc_pmi_bigrams": textops.pmi_bigrams,
     }
 
 
@@ -800,6 +802,7 @@ def oracle_sql() -> dict[str, str]:
             f"read_parquet('{pdir}/golden_titles.parquet')"
         ),
         "rel_events_markov": relops.markov_oracle_sql(),
+        "doc_pmi_bigrams": textops.pmi_oracle_sql(),
         "ann_topk_ivfpq": ann.ivfpq_oracle_sql(ivfc, pqc),
         "page_dup_titles": (
             "WITH t AS (SELECT title, split_part(url, '/', 3) AS host "

@@ -4390,3 +4390,105 @@ def source_lang_purity_oracle_sql(langid_sql: str) -> str:
         "SELECT source, tot::BIGINT AS n_docs, lang_pred AS top_lang, "
         "(n * 1000 // tot)::BIGINT AS top_permille, "
         "nl::BIGINT AS n_langs FROM r WHERE rk = 1")
+
+
+def pmi_bigrams(sf_dir: str, k: int = 50):
+    """(bigram, n_xy, n_x, n_y, pmi_scaled): pointwise mutual
+    information for the corpus's top-k bigrams — WIMBD-style
+    collocation mining (the signal tokenizer-vocab and phrase-table
+    builders read: a high-PMI bigram is a unit, a low-PMI frequent
+    bigram is just two frequent words).  pmi_scaled is the integer
+    ``(10^6 · n_xy · N) // (n_x · n_y)`` — 10^6 × the probability
+    ratio e^PMI, exact in arbitrary-precision ints on the k-row
+    driver-side tail (the oracle multiplies through HUGEINT).
+
+    Scale shape: bigram selection is :func:`top_bigrams` (Misra-Gries
+    + exact verify — no token-stream shuffle); the ≤ 2k member words
+    broadcast once and ONE map-only pass counts them (vectorized
+    np.isin) plus the token total; everything after is k-row driver
+    arithmetic."""
+    import ray
+    import ray.data
+
+    tb = collect_df(top_bigrams(sf_dir, k=k))
+    if tb.empty:
+        return ray.data.from_arrow(pa.table({
+            "bigram": pa.array([], pa.string()),
+            "n_xy": pa.array([], pa.int64()),
+            "n_x": pa.array([], pa.int64()),
+            "n_y": pa.array([], pa.int64()),
+            "pmi_scaled": pa.array([], pa.int64())}))
+    words = np.unique(np.concatenate(
+        [tb["token"].str.split(" ").str[0].to_numpy(dtype=object),
+         tb["token"].str.split(" ").str[1].to_numpy(dtype=object)]
+    ).astype(str))
+    wref = ray.put(words)  # sorted (np.unique) member-word array
+
+    def count_words(df: pd.DataFrame, _r=wref) -> pd.DataFrame:
+        w = ray.get(_r)
+        toks = np.concatenate(
+            [_gram_findall(t, 1) for t in df["text"]] or [[]])
+        total = toks.shape[0]
+        if total == 0:
+            hit_u, hit_c = np.array([], dtype=object), \
+                np.array([], dtype=np.int64)
+        else:
+            m = np.isin(toks, w)
+            hit_u, hit_c = np.unique(toks[m], return_counts=True)
+        out = pd.DataFrame({"w": pd.Series(hit_u, dtype="object"),
+                            "c": pd.Series(hit_c, dtype="int64"),
+                            "is_total": False})
+        out.loc[len(out)] = {"w": "", "c": np.int64(total),
+                             "is_total": True}
+        return out
+
+    parts = collect_df(_read_docs(sf_dir, ["text"]).map_batches(
+        count_words, batch_format="pandas"))
+    n_total = int(parts.loc[parts["is_total"], "c"].sum())
+    uc = parts.loc[~parts["is_total"]].groupby("w")["c"].sum().to_dict()
+
+    rows = {"bigram": [], "n_xy": [], "n_x": [], "n_y": [],
+            "pmi_scaled": []}
+    for t, n_xy in zip(tb["token"], tb["cnt"]):
+        w1, w2 = t.split(" ", 1)
+        n_x, n_y = int(uc.get(w1, 0)), int(uc.get(w2, 0))
+        rows["bigram"].append(t)
+        rows["n_xy"].append(int(n_xy))
+        rows["n_x"].append(n_x)
+        rows["n_y"].append(n_y)
+        rows["pmi_scaled"].append(
+            (1_000_000 * int(n_xy) * n_total) // (n_x * n_y)
+            if n_x and n_y else 0)
+    return ray.data.from_arrow(pa.table({
+        "bigram": pa.array(rows["bigram"], pa.string()),
+        "n_xy": pa.array(rows["n_xy"], pa.int64()),
+        "n_x": pa.array(rows["n_x"], pa.int64()),
+        "n_y": pa.array(rows["n_y"], pa.int64()),
+        "pmi_scaled": pa.array(rows["pmi_scaled"], pa.int64())}))
+
+
+def pmi_oracle_sql(k: int = 50) -> str:
+    """DuckDB replay: the top_bigrams CTE chain + unigram counts +
+    the same integer formula through HUGEINT intermediates."""
+    return (
+        "WITH t AS (SELECT regexp_extract_all(text, '\\S+') AS toks "
+        "FROM documents), "
+        "tok AS (SELECT unnest(toks) AS w FROM t), "
+        "n AS (SELECT count(*)::BIGINT AS total FROM tok), "
+        "uc AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w), "
+        "bg AS (SELECT toks[CAST(i AS INT)] || ' ' || "
+        "toks[CAST(i + 1 AS INT)] AS token "
+        "FROM t, UNNEST(range(1, len(toks))) AS u(i)), "
+        "c AS (SELECT token, count(*)::BIGINT AS cnt FROM bg "
+        "GROUP BY token), "
+        "r AS (SELECT token, cnt, row_number() OVER "
+        "(ORDER BY cnt DESC, token) AS rank FROM c), "
+        f"top AS (SELECT token, cnt FROM r WHERE rank <= {k}), "
+        "s AS (SELECT token, cnt, split_part(token, ' ', 1) AS w1, "
+        "split_part(token, ' ', 2) AS w2 FROM top) "
+        "SELECT s.token AS bigram, s.cnt AS n_xy, "
+        "u1.c AS n_x, u2.c AS n_y, "
+        "((1000000::HUGEINT * s.cnt * n.total) // "
+        "(u1.c::HUGEINT * u2.c))::BIGINT AS pmi_scaled "
+        "FROM s, n "
+        "JOIN uc u1 ON u1.w = s.w1 JOIN uc u2 ON u2.w = s.w2")

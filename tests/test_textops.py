@@ -1505,3 +1505,34 @@ def test_source_lang_purity_bruteforce(ray_session, sf_dir):
            for r in textops.source_lang_purity(sf_dir).take_all()}
     assert got == exp
     assert len(exp) > 1
+
+
+def test_pmi_bigrams_vs_bruteforce(ray_session, sf_dir):
+    """PMI rows == a pure-python replay over the raw corpus: top-50
+    bigrams by (count desc, bigram), exact unigram counts, the same
+    integer formula."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()
+    toks_per = [re.findall(r"\S+", t) for t in texts]
+    uni, big = {}, {}
+    total = 0
+    for toks in toks_per:
+        total += len(toks)
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            key = f"{a} {b}"
+            big[key] = big.get(key, 0) + 1
+    top = sorted(big.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    exp = {}
+    for t, n_xy in top:
+        w1, w2 = t.split(" ", 1)
+        exp[t] = (n_xy, uni[w1], uni[w2],
+                  (1_000_000 * n_xy * total) // (uni[w1] * uni[w2]))
+    got = {r["bigram"]: (r["n_xy"], r["n_x"], r["n_y"], r["pmi_scaled"])
+           for r in textops.pmi_bigrams(sf_dir).take_all()}
+    assert got == exp and len(got) == 50
