@@ -658,6 +658,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall_ivfpq": ann.ann_recall_ivfpq,
         # PMI collocation mining over the heavy-hitter bigrams (WIMBD)
         "doc_pmi_bigrams": textops.pmi_bigrams,
+        # label-propagation communities (bounded sync LPA rounds)
+        "graph_lpa": graph.link_lpa,
     }
 
 
@@ -803,6 +805,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rel_events_markov": relops.markov_oracle_sql(),
         "doc_pmi_bigrams": textops.pmi_oracle_sql(),
+        "graph_lpa": graph.lpa_oracle_sql(pdir),
         "ann_topk_ivfpq": ann.ivfpq_oracle_sql(ivfc, pqc),
         "page_dup_titles": (
             "WITH t AS (SELECT title, split_part(url, '/', 3) AS host "

@@ -1444,3 +1444,179 @@ def kcore_oracle_sql(pdir: str, k: int = KCORE_K,
         f"ELSE 0 END::BIGINT AS in_core FROM n0 LEFT JOIN {last_k} kk "
         "ON kk.n = n0.n")
     return sql
+
+
+# ---------------------------------------------------------------------------
+# label-propagation communities (Raghavan et al. 2007) — bounded sync LPA
+
+LPA_ITERS = 2
+
+
+def link_lpa(sf_dir: str, iters: int = LPA_ITERS):
+    """(url, community): synchronous label propagation over the
+    UNDIRECTED simple closed link graph — ``iters`` rounds of "adopt
+    the most frequent neighbour label, ties → lexicographically
+    smallest" from label_0 = own url (Raghavan et al. '07; the
+    cheap community detector link-curation runs to find site clusters
+    and link farms between the components and PageRank passes).
+    CONTRACT: fixed ``iters`` rounds, NOT the fixpoint — the bounded-
+    rounds convention every iterative graph op here shares (components
+    / kcore / dup_clusters), which keeps the op exactly
+    oracle-replayable (sync LPA does not converge on bipartite
+    structures anyway — label oscillation is inherent to the sync
+    variant, a fixed horizon sidesteps it deterministically).
+
+    Scale shape: each neighbour votes once per round (the undirected
+    edge set is DISTINCT pairs); ≤GRAPH_DRIVER_GATE edges fold
+    per-round (node, label) vote partials on the driver and
+    re-broadcast one labels dict (freed per round); above the gate
+    labels stay a DATASET — one hash join (votes) + one
+    (n, lab)-grouped count + one n-grouped argmax per round, nothing
+    node-sized on the driver.  Parity between the paths is pinned by
+    test."""
+    import pyarrow.compute as pc
+
+    from ._util import materialize_clean
+
+    edges = materialize_clean(_edges_ds(sf_dir), EDGE_SCHEMA)
+
+    def undirect(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(t.column("src"), t.column("dst")))
+        t = t.filter(keep)
+        lo = pc.min_element_wise(t.column("src"), t.column("dst"))
+        hi = pc.max_element_wise(t.column("src"), t.column("dst"))
+        return pa.table({"lo": lo, "hi": hi}).group_by(
+            ["lo", "hi"]).aggregate([])
+
+    und_schema = pa.schema([("lo", pa.string()), ("hi", pa.string())])
+    ue = materialize_clean(
+        edges.map_batches(undirect, batch_format="pyarrow")
+        .groupby(["lo", "hi"]).count().select_columns(["lo", "hi"]),
+        und_schema)
+    n_e = ue.count()
+    if n_e == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array([], pa.string()),
+            "community": pa.array([], pa.string())}))
+    if n_e <= GRAPH_DRIVER_GATE:
+        return _lpa_small(ue, n_e, iters)
+    return _lpa_large(ue, n_e, iters)
+
+
+def _lpa_small(ue, n_e: int, iters: int):
+    """≤gate: per-round driver vote fold + one labels broadcast."""
+    import ray
+    import ray.data
+
+    from .textops import collect_df
+
+    nodes = sorted(set(
+        collect_df(ue.map_batches(
+            lambda df: pd.DataFrame(
+                {"n": pd.concat([df["lo"], df["hi"]],
+                                ignore_index=True)}),
+            batch_format="pandas"))["n"]))
+    labels = {n: n for n in nodes}
+
+    for _ in range(max(iters, 1)):
+        ref = ray.put(labels)
+
+        def votes(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
+            lb = ray.get(_r)
+            out = pd.DataFrame({
+                "n": pd.concat([df["hi"], df["lo"]], ignore_index=True),
+                "lab": pd.concat([df["lo"].map(lb), df["hi"].map(lb)],
+                                 ignore_index=True)})
+            out["c"] = np.int64(1)
+            return out.groupby(["n", "lab"], as_index=False).agg(
+                c=("c", "sum"))
+
+        cnt = collect_df(ue.map_batches(votes, batch_format="pandas")) \
+            .groupby(["n", "lab"], as_index=False)["c"].sum()
+        cnt = cnt.sort_values(["n", "c", "lab"],
+                              ascending=[True, False, True])
+        labels = dict(zip(cnt.drop_duplicates("n")["n"],
+                          cnt.drop_duplicates("n")["lab"]))
+        del ref  # single live broadcast copy across rounds
+
+    return ray.data.from_arrow(pa.table({
+        "url": pa.array(nodes, pa.string()),
+        "community": pa.array([labels[n] for n in nodes], pa.string()),
+    }))
+
+
+def _lpa_large(ue, n_e: int, iters: int):
+    """>gate: labels stay a Dataset; per round join + grouped count +
+    per-node argmax."""
+    import ray.data
+
+    from ._util import ensure_schema, materialize_clean, rename
+
+    npart = _num_partitions(2 * n_e)
+    lab_schema = pa.schema([("n", pa.string()), ("lab", pa.string())])
+    ub = ue.map_batches(
+        lambda t: pa.table({
+            "a": pa.concat_arrays([c.combine_chunks() for c in
+                                   (t.column("lo"), t.column("hi"))]),
+            "b": pa.concat_arrays([c.combine_chunks() for c in
+                                   (t.column("hi"), t.column("lo"))])}),
+        batch_format="pyarrow").materialize()
+
+    nodes = ensure_schema(
+        rename(ub.select_columns(["a"]), {"a": "n"})
+        .groupby("n").count().select_columns(["n"]),
+        pa.schema([("n", pa.string())]))
+    labels = materialize_clean(
+        nodes.map_batches(
+            lambda t: pa.table({"n": t.column("n"),
+                                "lab": t.column("n")}),
+            batch_format="pyarrow"), lab_schema)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c", "lab"], ascending=[False, True])
+        return pd.DataFrame({"n": [g["n"].iloc[0]],
+                             "lab": [g["lab"].iloc[0]]})
+
+    for _ in range(max(iters, 1)):
+        msgs = (ub.join(labels, "inner", npart, on=("a",),
+                        right_on=("n",))
+                .map_batches(lambda t: pa.table(
+                    {"n": t.column("b"), "lab": t.column("lab")}),
+                    batch_format="pyarrow"))
+        cnt = rename(msgs.groupby(["n", "lab"]).count(),
+                     {"count()": "c"})
+        labels = materialize_clean(
+            ensure_schema(
+                cnt.groupby("n").map_groups(pick, batch_format="pandas"),
+                lab_schema),
+            lab_schema)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"url": t.column("n"),
+                         "community": t.column("lab")})
+
+    return labels.map_batches(fin, batch_format="pyarrow")
+
+
+def lpa_oracle_sql(pdir: str, iters: int = LPA_ITERS) -> str:
+    """Unrolled sync-LPA rounds over the shared closed-edge CTE."""
+    sql = _EDGE_CTE.format(pdir=pdir) + (
+        ", u0 AS (SELECT DISTINCT least(src, dst) AS lo, "
+        "greatest(src, dst) AS hi FROM e WHERE src <> dst)"
+        ", ub AS (SELECT lo AS a, hi AS b FROM u0 "
+        "UNION ALL SELECT hi, lo FROM u0)"
+        ", l0 AS (SELECT DISTINCT a AS n, a AS lab FROM ub)")
+    for r in range(1, max(iters, 1) + 1):
+        p = r - 1
+        sql += (
+            f", m{r} AS (SELECT ub.b AS n, l{p}.lab FROM ub "
+            f"JOIN l{p} ON l{p}.n = ub.a)"
+            f", c{r} AS (SELECT n, lab, count(*)::BIGINT AS c "
+            f"FROM m{r} GROUP BY n, lab)"
+            f", l{r} AS (SELECT n, lab FROM (SELECT n, lab, "
+            f"row_number() OVER (PARTITION BY n ORDER BY c DESC, lab) "
+            f"AS rn FROM c{r}) WHERE rn = 1)")
+    sql += (f" SELECT n AS url, lab AS community FROM l{max(iters, 1)}")
+    return sql

@@ -369,3 +369,39 @@ def test_kcore_large_path_parity(ray_session, sf_dir, monkeypatch):
     large = sorted(graph.link_kcore(sf_dir).take_all(),
                    key=lambda r: r["url"])
     assert large == small
+
+
+def test_lpa_vs_bruteforce_and_large_parity(ray_session, sf_dir,
+                                            monkeypatch):
+    """Bounded sync LPA == a pure-python replay (neighbour-vote mode
+    with (count desc, label asc) tie-break from label_0 = own url over
+    the distinct undirected closed graph), and the >gate Dataset path
+    matches the small path exactly."""
+    small = sorted((r["url"], r["community"])
+                   for r in graph.link_lpa(sf_dir).take_all())
+
+    # brute-force replay from the closed edge set
+    edges = {(r["src"], r["dst"])
+             for r in graph._edges_ds(sf_dir).take_all()}
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nbr = {}
+    for a, b in und:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    labels = {n: n for n in nbr}
+    for _ in range(graph.LPA_ITERS):
+        nxt = {}
+        for n, ns in nbr.items():
+            votes = {}
+            for m in ns:
+                votes[labels[m]] = votes.get(labels[m], 0) + 1
+            nxt[n] = min(votes, key=lambda L: (-votes[L], L))
+        labels = nxt
+    assert small == sorted(labels.items()) and len(small) > 0
+    # communities actually coarsen: fewer distinct labels than nodes
+    assert len({c for _u, c in small}) < len(small)
+
+    monkeypatch.setattr(graph, "GRAPH_DRIVER_GATE", 0)
+    large = sorted((r["url"], r["community"])
+                   for r in graph.link_lpa(sf_dir).take_all())
+    assert large == small
