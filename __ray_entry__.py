@@ -660,6 +660,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pmi_bigrams": textops.pmi_bigrams,
         # label-propagation communities (bounded sync LPA rounds)
         "graph_lpa": graph.link_lpa,
+        # TPC-H Q5 shape: 6-table local-supplier revenue per nation
+        "rel_local_supplier_volume": relops.local_supplier_volume,
     }
 
 
@@ -806,6 +808,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_events_markov": relops.markov_oracle_sql(),
         "doc_pmi_bigrams": textops.pmi_oracle_sql(),
         "graph_lpa": graph.lpa_oracle_sql(pdir),
+        "rel_local_supplier_volume": relops.q5_oracle_sql(),
         "ann_topk_ivfpq": ann.ivfpq_oracle_sql(ivfc, pqc),
         "page_dup_titles": (
             "WITH t AS (SELECT title, split_part(url, '/', 3) AS host "

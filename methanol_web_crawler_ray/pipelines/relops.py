@@ -856,3 +856,100 @@ def markov_oracle_sql() -> str:
         "SELECT event_type AS prev_type, nxt AS next_type, "
         "count(*)::BIGINT AS n FROM o WHERE nxt IS NOT NULL "
         "GROUP BY 1, 2")
+
+
+Q5_REGION = "ASIA"
+
+
+def local_supplier_volume(sf_dir: str, region: str = Q5_REGION):
+    """(n_name, revenue_cents): TPC-H Q5 shape — revenue from line
+    items where the SUPPLIER sits in the same nation as the ordering
+    CUSTOMER, rolled up per nation within one region: the engine's
+    widest join pipeline (6 tables).
+
+    Scale shape: the four dimension sides (customer keys→nation,
+    supplier keys→nation, nation, region) are broadcast dicts —
+    nation/region are O(10) rows forever; supplier and customer key
+    maps are ray.put once (the segment_revenue gate note applies at
+    10× TPC-H scale: swap the customer map for a hash join, same
+    tail).  The big-big lineitem ⋈ orders join pre-aggregates
+    lineitem per (orderkey, supplier-nation) inside each batch
+    (combiner) so only those partials enter the orderkey-keyed
+    exchange; the local-supplier filter (c_nat == s_nat) and the
+    nations-sized rollup run on the join output."""
+    import ray
+    import ray.data
+
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    nat_in = nat[nat["n_regionkey"].isin(rkeys)]
+    nat_name = dict(zip(nat_in["n_nationkey"], nat_in["n_name"]))
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    cref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    sref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
+
+    def li_pre(df: pd.DataFrame, _s=sref) -> pd.DataFrame:
+        smap = ray.get(_s)
+        cents = np.floor(df["l_extendedprice"].to_numpy()
+                         * (1.0 - df["l_discount"].to_numpy())
+                         * 100 + 0.5).astype("int64")
+        part = pd.DataFrame({
+            "o_orderkey": df["l_orderkey"].astype("int64"),
+            "s_nat": df["l_suppkey"].map(smap).astype("int64"),
+            "cents": cents})
+        return part.groupby(["o_orderkey", "s_nat"],
+                            as_index=False).agg(cents=("cents", "sum"))
+
+    def ord_pre(df: pd.DataFrame, _c=cref) -> pd.DataFrame:
+        cmap = ray.get(_c)
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "c_nat": df["o_custkey"].map(cmap).astype("int64")})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"]) \
+        .map_batches(li_pre, batch_format="pandas")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(ord_pre, batch_format="pandas")
+
+    nref = ray.put(nat_name)
+
+    def local_roll(df: pd.DataFrame, _n=nref) -> pd.DataFrame:
+        names = ray.get(_n)
+        m = (df["s_nat"] == df["c_nat"]) & df["s_nat"].isin(names)
+        df = df[m]
+        out = pd.DataFrame({
+            "n_name": df["s_nat"].map(names),
+            "cents": df["cents"].astype("int64")})
+        return out.groupby("n_name", as_index=False).agg(
+            cents=("cents", "sum"))
+
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("o_orderkey",)) \
+        .map_batches(local_roll, batch_format="pandas")
+    agg = joined.groupby("n_name").aggregate(
+        ray.data.aggregate.Sum("cents"))
+    return _rename(agg, {"sum(cents)": "revenue_cents"})
+
+
+def q5_oracle_sql(region: str = Q5_REGION) -> str:
+    return (
+        "SELECT n.n_name, "
+        "SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 "
+        "+ 0.5) AS BIGINT))::BIGINT AS revenue_cents "
+        "FROM customer c, orders o, lineitem l, supplier s, "
+        "nation n, region r "
+        "WHERE c.c_custkey = o.o_custkey "
+        "AND l.l_orderkey = o.o_orderkey "
+        "AND l.l_suppkey = s.s_suppkey "
+        "AND c.c_nationkey = s.s_nationkey "
+        "AND s.s_nationkey = n.n_nationkey "
+        "AND n.n_regionkey = r.r_regionkey "
+        f"AND r.r_name = '{region}' "
+        "GROUP BY n.n_name")

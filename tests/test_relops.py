@@ -287,3 +287,35 @@ def test_events_markov_vs_bruteforce(ray_session, sf_dir):
            for r in relops.events_markov(sf_dir).take_all()}
     assert got == exp
     assert sum(got.values()) == n_pairs > 0
+
+
+def test_local_supplier_volume_vs_bruteforce(ray_session, sf_dir):
+    """Q5 shape == a pandas replay of the 6-table join with the same
+    integer cents per line item."""
+    import pyarrow.parquet as pq
+
+    def t(name, cols):
+        return pq.read_table(f"{sf_dir}/{name}.parquet",
+                             columns=cols).to_pandas()
+
+    li = t("lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+    o = t("orders", ["o_orderkey", "o_custkey"])
+    c = t("customer", ["c_custkey", "c_nationkey"])
+    s = t("supplier", ["s_suppkey", "s_nationkey"])
+    n = t("nation", ["n_nationkey", "n_name", "n_regionkey"])
+    r = t("region", ["r_regionkey", "r_name"])
+    li["cents"] = np.floor(li["l_extendedprice"].to_numpy()
+                           * (1.0 - li["l_discount"].to_numpy())
+                           * 100 + 0.5).astype("int64")
+    j = (li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+           .merge(c, left_on="o_custkey", right_on="c_custkey")
+           .merge(s, left_on="l_suppkey", right_on="s_suppkey"))
+    j = j[j["c_nationkey"] == j["s_nationkey"]]
+    j = j.merge(n, left_on="s_nationkey", right_on="n_nationkey") \
+         .merge(r, left_on="n_regionkey", right_on="r_regionkey")
+    j = j[j["r_name"] == relops.Q5_REGION]
+    exp = j.groupby("n_name")["cents"].sum().to_dict()
+    got = {r_["n_name"]: r_["revenue_cents"] for r_ in
+           relops.local_supplier_volume(sf_dir).take_all()}
+    assert got == {k: int(v) for k, v in exp.items()} and len(got) > 0
