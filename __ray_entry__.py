@@ -662,6 +662,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_lpa": graph.link_lpa,
         # TPC-H Q5 shape: 6-table local-supplier revenue per nation
         "rel_local_supplier_volume": relops.local_supplier_volume,
+        # host-level PageRank (the frontier scheduler's reputation)
+        "graph_host_pagerank": graph.host_pagerank,
     }
 
 
@@ -809,6 +811,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pmi_bigrams": textops.pmi_oracle_sql(),
         "graph_lpa": graph.lpa_oracle_sql(pdir),
         "rel_local_supplier_volume": relops.q5_oracle_sql(),
+        "graph_host_pagerank": graph.host_pagerank_oracle_sql(pdir),
         "ann_topk_ivfpq": ann.ivfpq_oracle_sql(ivfc, pqc),
         "page_dup_titles": (
             "WITH t AS (SELECT title, split_part(url, '/', 3) AS host "

@@ -55,7 +55,13 @@ EDGE_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string())])
 
 def _num_partitions(n_rows: int) -> int:
     """Hash-join partition count: enough that one partition's build side
-    fits a worker heap at scale, bounded for small inputs."""
+    fits a worker heap at scale, bounded for small inputs.  Tiny inputs
+    (e.g. the host graph at sandbox scale) get ONE partition: with more
+    partitions than distinct keys, a hash partition can receive no left
+    rows at all and Ray materializes it as a schema-less empty table
+    that pyarrow's join rejects ("No match for key field reference")."""
+    if n_rows < 4096:
+        return 1
     return int(max(8, min(256, n_rows // 2_000_000 + 8)))
 
 
@@ -322,10 +328,18 @@ def _pagerank_large(edges, n_edges: int, iters: int, trusted=None):
     inflow_schema = pa.schema([("dst", pa.string()),
                                ("sum(c)", pa.int64())])
     for _ in range(iters):
-        contrib = (edges_deg
-                   .join(scores, "inner", npart,
-                         on=("src",), right_on=("url",))
-                   .map_batches(contrib_fn, batch_format="pyarrow"))
+        # materialize_clean between the join and the aggregate: when
+        # the graph is small relative to npart (e.g. the host graph)
+        # empty join partitions emit schema-less blocks the hash
+        # aggregator chokes on (see _util.materialize_clean)
+        contrib_schema = pa.schema([("dst", pa.string()),
+                                    ("c", pa.int64())])
+        contrib = materialize_clean(
+            edges_deg
+            .join(scores, "inner", npart,
+                  on=("src",), right_on=("url",))
+            .map_batches(contrib_fn, batch_format="pyarrow"),
+            contrib_schema)
         inflow = materialize_clean(
             ensure_schema(contrib.groupby("dst").sum("c"), inflow_schema),
             inflow_schema)
@@ -1620,3 +1634,86 @@ def lpa_oracle_sql(pdir: str, iters: int = LPA_ITERS) -> str:
             f"AS rn FROM c{r}) WHERE rn = 1)")
     sql += (f" SELECT n AS url, lab AS community FROM l{max(iters, 1)}")
     return sql
+
+
+def host_pagerank(sf_dir: str, iters: int = PR_ITERS):
+    """(host, score): the same integer PageRank fixed point as
+    :func:`link_pagerank`, run over the DISTINCT host→host edge set
+    (self-host edges excluded) — the host-reputation ranking a crawl
+    scheduler actually consumes (the reference keys all crawl state by
+    host, ``urlengine.c:283-338``; per-host priority is what a frontier
+    prioritizer feeds on, not per-URL scores).
+
+    Scale shape: one map-side host extraction + in-batch distinct over
+    the edge stream, ONE (src,dst)-keyed groupby down to host-pair
+    cardinality, then the PageRank machinery — which size-gates itself
+    on the (much smaller) host edge count exactly like the URL
+    variant."""
+    import pyarrow.compute as pc
+
+    from ._util import ensure_schema, materialize_clean
+
+    def hostedge(t: pa.Table) -> pa.Table:
+        sh = pc.binary_join(pc.list_slice(
+            pc.split_pattern(t.column("src"), "/"), 2, 3), "")
+        dh = pc.binary_join(pc.list_slice(
+            pc.split_pattern(t.column("dst"), "/"), 2, 3), "")
+        out = pa.table({"src": sh, "dst": dh})
+        out = out.filter(pc.invert(pc.equal(out.column("src"),
+                                            out.column("dst"))))
+        return out.group_by(["src", "dst"]).aggregate([])
+
+    # materialize_clean FIRST: above the gate _edges_ds ends in a hash
+    # join whose schema-less empty blocks poison the next aggregate
+    # (the module-wide convention — see _util.materialize_clean)
+    edges = materialize_clean(_edges_ds(sf_dir), EDGE_SCHEMA)
+    hedges = materialize_clean(
+        ensure_schema(
+            edges.map_batches(hostedge, batch_format="pyarrow")
+            .groupby(["src", "dst"]).count()
+            .select_columns(["src", "dst"]),
+            EDGE_SCHEMA),
+        EDGE_SCHEMA)
+    n_e = hedges.count()
+    if n_e == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "host": pa.array([], pa.string()),
+            "score": pa.array([], pa.int64())}))
+    if n_e <= GRAPH_DRIVER_GATE:
+        out = _pagerank_small(hedges, n_e, iters)
+    else:
+        out = _pagerank_large(hedges, n_e, iters)
+    from ._util import rename
+
+    return rename(out, {"url": "host"})
+
+
+def host_pagerank_oracle_sql(pdir: str, iters: int = PR_ITERS) -> str:
+    """pagerank_oracle_sql over the distinct host edge set."""
+    cte = [
+        f"pl AS (SELECT url AS src, canon AS dst FROM "
+        f"read_parquet('{pdir}/golden_canon.parquet') "
+        "WHERE canon IS NOT NULL), ",
+        f"pu AS (SELECT DISTINCT url FROM "
+        f"read_parquet('{pdir}/pages.parquet')), ",
+        "e0 AS (SELECT DISTINCT pl.src, pl.dst FROM pl "
+        "JOIN pu ON pu.url = pl.dst), ",
+        "e AS (SELECT DISTINCT split_part(src, '/', 3) AS src, "
+        "split_part(dst, '/', 3) AS dst FROM e0 "
+        "WHERE split_part(src, '/', 3) <> split_part(dst, '/', 3)), ",
+        "deg AS (SELECT src, count(*)::BIGINT AS d FROM e GROUP BY src), ",
+        "nodes AS (SELECT DISTINCT u FROM "
+        "(SELECT src AS u FROM e UNION ALL SELECT dst AS u FROM e)), ",
+        f"s0 AS (SELECT u, {PR_SCALE}::BIGINT AS sc FROM nodes), ",
+    ]
+    for i in range(1, iters + 1):
+        cte.append(
+            f"s{i} AS (SELECT n.u, {PR_BASE} + ({PR_DAMP_NUM} * "
+            f"COALESCE(SUM(s.sc // d.d), 0)) // {PR_DAMP_DEN} AS sc "
+            "FROM nodes n LEFT JOIN e ON e.dst = n.u "
+            f"LEFT JOIN s{i - 1} s ON s.u = e.src "
+            "LEFT JOIN deg d ON d.src = e.src GROUP BY n.u), ")
+    return ("WITH " + "".join(cte)[:-2] + " "
+            f"SELECT u AS host, sc::BIGINT AS score FROM s{iters}")

@@ -405,3 +405,32 @@ def test_lpa_vs_bruteforce_and_large_parity(ray_session, sf_dir,
     large = sorted((r["url"], r["community"])
                    for r in graph.link_lpa(sf_dir).take_all())
     assert large == small
+
+
+def test_host_pagerank_vs_bruteforce(ray_session, sf_dir, monkeypatch):
+    """Host PageRank == a pure-python replay of the integer fixed point
+    over the distinct host edge set; large path matches."""
+    edges = {(r["src"], r["dst"])
+             for r in graph._edges_ds(sf_dir).take_all()}
+    hedges = {(a.split("/")[2], b.split("/")[2]) for a, b in edges}
+    hedges = {(a, b) for a, b in hedges if a != b}
+    deg = {}
+    for a, _b in hedges:
+        deg[a] = deg.get(a, 0) + 1
+    nodes = sorted({a for a, _ in hedges} | {b for _, b in hedges})
+    sc = {n: graph.PR_SCALE for n in nodes}
+    for _ in range(graph.PR_ITERS):
+        inflow = {n: 0 for n in nodes}
+        for a, b in hedges:
+            inflow[b] += sc[a] // deg[a]
+        sc = {n: graph.PR_BASE
+              + (graph.PR_DAMP_NUM * inflow[n]) // graph.PR_DAMP_DEN
+              for n in nodes}
+    small = sorted((r["host"], r["score"])
+                   for r in graph.host_pagerank(sf_dir).take_all())
+    assert small == sorted(sc.items()) and len(small) > 0
+
+    monkeypatch.setattr(graph, "GRAPH_DRIVER_GATE", 0)
+    large = sorted((r["host"], r["score"])
+                   for r in graph.host_pagerank(sf_dir).take_all())
+    assert large == small
