@@ -265,3 +265,35 @@ def test_slave_roster_and_system_info():
     assert "<uptime>300</uptime>" in xml
     assert "<num-slaves>2</num-slaves>" in xml
     assert "<num-users>3</num-users>" in xml
+
+
+def test_endpoint_random_bytes_never_hang_or_corrupt():
+    """Fuzz: arbitrary byte soup into an authed endpoint either parses
+    or raises NolpError (the C drops the peer) — never a different
+    exception, never an unbounded buffer."""
+    import random
+
+    from methanol_web_crawler_ray.functions.nolp import NolpError
+
+    rng = random.Random(1234)
+    for trial in range(200):
+        users, board = _users(), LocalJobBoard([])
+        ep = _login(users, board, "root", "hunter2")
+        n = rng.randrange(1, 60)
+        blob = bytes(rng.randrange(256) for _ in range(n))
+        try:
+            ep.feed(blob)
+        except NolpError:
+            pass
+        assert len(ep.no.buf) <= len(blob)
+
+
+def test_endpoint_command_split_across_feeds():
+    """A command line delivered one byte at a time behaves exactly like
+    one feed (the nolp machine's whole job)."""
+    users, board = _users(), LocalJobBoard([])
+    ep = _login(users, board, "alice", "pw")
+    for b in b"ADD default http://x.y/a b c\n":
+        ep.feed(bytes([b]))
+    assert bytes(ep.out) == MSG100
+    assert board.added_table(2)[0][2] == "http://x.y/a b c"
