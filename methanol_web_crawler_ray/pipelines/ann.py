@@ -94,10 +94,16 @@ def sample_matrix(path: str, target: int, seed: int) -> np.ndarray:
     Deterministic regardless of block order / partitioning.  Replaces
     the r4 full-table ``pq.read_table`` + ``rng.choice`` trainers
     (VERDICT r4 "What's wrong #1")."""
-    key = (os.path.abspath(path), target, seed)
+    st = os.stat(path)
+    # content-aware key: a regenerated file (new mtime/size) can never
+    # reuse a stale sample
+    key = (os.path.abspath(path), target, seed,
+           st.st_mtime_ns, st.st_size)
     hit = _SAMPLE_CACHE.get(key)
     if hit is not None:
         return hit
+    if len(_SAMPLE_CACHE) > 16:
+        _SAMPLE_CACHE.clear()  # bounded: samples are MBs each
     import pyarrow.parquet as pqm
     import ray.data
 
@@ -356,7 +362,9 @@ def ivf_centroids(sf_dir: str, n_lists: int = IVF_LISTS,
     hash; the driver only ever holds the sample, never the corpus).
     Returns QUANTIZED int64 centroids (×QSCALE): list assignment is
     then an exact integer argmin on both the Ray and DuckDB sides."""
-    ck = ("ivf", os.path.abspath(sf_dir), n_lists, iters)
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    ck = ("ivf", os.path.abspath(sf_dir), n_lists, iters,
+          st.st_mtime_ns, st.st_size)
     hit = _CODEBOOK_CACHE.get(ck)
     if hit is not None:
         return hit
@@ -541,6 +549,10 @@ def augmented_embeddings_path(sf_dir: str) -> str:
         })
 
     tmp = out + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)  # a crashed prior build's
+    # partial directory would otherwise double the rows silently
     ray.data.read_parquet(src).map_batches(
         augment, batch_format="pandas").write_parquet(tmp)
     os.replace(tmp, out)
@@ -870,7 +882,9 @@ def pq_codebook(sf_dir: str, n_sub: int = PQ_M, k: int = PQ_K,
     Returns QUANTIZED int64 centroids (n_sub, k, sub_dim), ×QSCALE, so
     assignment is an exact integer argmin on both the Ray and DuckDB
     sides."""
-    ck = ("pq", os.path.abspath(sf_dir), n_sub, k, iters)
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    ck = ("pq", os.path.abspath(sf_dir), n_sub, k, iters,
+          st.st_mtime_ns, st.st_size)
     hit = _CODEBOOK_CACHE.get(ck)
     if hit is not None:
         return hit
@@ -1174,30 +1188,8 @@ def ann_recall_ivfpq(sf_dir: str, k: int = 10, n_queries: int = 5):
     Scale shape: identical to ann_recall — both inputs are the
     existing pipelines, the comparison moves k rows per query per side
     through one query-keyed groupby."""
-    import numpy as np
-    import pandas as pd
-
-    cols = ["query_id", "neighbor_id", "src"]
-    ex = ann_topk(sf_dir, k=k, n_queries=n_queries).map_batches(
-        lambda df: df.assign(src=np.int8(0))[cols],
-        batch_format="pandas")
-    ap = ann_topk_ivfpq(sf_dir, k=k, n_queries=n_queries).map_batches(
-        lambda df: df.assign(src=np.int8(1))[cols],
-        batch_format="pandas")
-
-    def rec(g: pd.DataFrame) -> pd.DataFrame:
-        e = set(g.loc[g["src"] == 0, "neighbor_id"])
-        a = set(g.loc[g["src"] == 1, "neighbor_id"])
-        return pd.DataFrame({
-            "query_id": pd.Series([g["query_id"].iloc[0]], dtype="int64"),
-            "n_exact": pd.Series([len(e)], dtype="int64"),
-            "n_approx": pd.Series([len(a)], dtype="int64"),
-            "recall_permille": pd.Series(
-                [1000 * len(e & a) // max(len(e), 1)],
-                dtype="int64")})
-
-    return ex.union(ap).groupby("query_id").map_groups(
-        rec, batch_format="pandas")
+    return _recall_eval(ann_topk(sf_dir, k=k, n_queries=n_queries),
+                        ann_topk_ivfpq(sf_dir, k=k, n_queries=n_queries))
 
 
 def ivfpq_oracle_sql(ivfc: str, pqc: str, k: int = 10,
@@ -1374,6 +1366,34 @@ def emb_kmeans_oracle_sql(k: int = KM_K, iters: int = KM_ITERS) -> str:
             "AND (m.d2 < s.d2 OR (m.d2 = s.d2 AND m.cid < s.cid)))")
 
 
+def _recall_eval(ex, ap):
+    """Shared recall@k comparator behind the three ANN dials
+    (ann_recall / ann_recall_adc / ann_recall_ivfpq): project both
+    sides to (query_id, neighbor_id, src) BEFORE the union (uniform
+    block schema, fewer shuffled columns), then one query-keyed
+    groupby computing |exact ∩ approx| as integer permille of |exact|
+    (== k normally; < k only when the corpus itself is smaller)."""
+    cols = ["query_id", "neighbor_id", "src"]
+    ex = ex.map_batches(lambda df: df.assign(src=np.int8(0))[cols],
+                        batch_format="pandas")
+    ap = ap.map_batches(lambda df: df.assign(src=np.int8(1))[cols],
+                        batch_format="pandas")
+
+    def rec(g: pd.DataFrame) -> pd.DataFrame:
+        e = set(g.loc[g["src"] == 0, "neighbor_id"])
+        a = set(g.loc[g["src"] == 1, "neighbor_id"])
+        return pd.DataFrame({
+            "query_id": pd.Series([g["query_id"].iloc[0]], dtype="int64"),
+            "n_exact": pd.Series([len(e)], dtype="int64"),
+            "n_approx": pd.Series([len(a)], dtype="int64"),
+            "recall_permille": pd.Series(
+                [1000 * len(e & a) // max(len(e), 1)],
+                dtype="int64")})
+
+    return ex.union(ap).groupby("query_id").map_groups(
+        rec, batch_format="pandas")
+
+
 def ann_recall(sf_dir: str, k: int = 10, n_queries: int = 5):
     """(query_id, n_exact, n_approx, recall_permille): the evaluation
     harness for the approximate path — recall@k of the LSH top-k
@@ -1385,36 +1405,8 @@ def ann_recall(sf_dir: str, k: int = 10, n_queries: int = 5):
     scale stories apply); the comparison itself moves k rows per query
     per side through one query-keyed groupby — query-count-sized, never
     corpus-sized."""
-    import numpy as np
-    import pandas as pd
-
-    # project both sides to the common (query_id, neighbor_id, src)
-    # BEFORE union: uniform schema across blocks (no implicit
-    # reconciliation) and fewer shuffled columns
-    cols = ["query_id", "neighbor_id", "src"]
-    ex = ann_topk(sf_dir, k=k, n_queries=n_queries).map_batches(
-        lambda df: df.assign(src=np.int8(0))[cols],
-        batch_format="pandas")
-    ap = ann_topk_lsh(sf_dir, k=k, n_queries=n_queries).map_batches(
-        lambda df: df.assign(src=np.int8(1))[cols],
-        batch_format="pandas")
-
-    def rec(g: pd.DataFrame) -> pd.DataFrame:
-        e = set(g.loc[g["src"] == 0, "neighbor_id"])
-        a = set(g.loc[g["src"] == 1, "neighbor_id"])
-        return pd.DataFrame({
-            "query_id": pd.Series([g["query_id"].iloc[0]], dtype="int64"),
-            "n_exact": pd.Series([len(e)], dtype="int64"),
-            "n_approx": pd.Series([len(a)], dtype="int64"),
-            # denominator = |exact| (== k normally; < k only when the
-            # corpus itself is smaller than k) so recall is never
-            # understated on tiny corpora
-            "recall_permille": pd.Series(
-                [1000 * len(e & a) // max(len(e), 1)],
-                dtype="int64")})
-
-    return ex.union(ap).groupby("query_id").map_groups(
-        rec, batch_format="pandas")
+    return _recall_eval(ann_topk(sf_dir, k=k, n_queries=n_queries),
+                        ann_topk_lsh(sf_dir, k=k, n_queries=n_queries))
 
 
 # ---------------------------------------------------------------------------
@@ -1483,30 +1475,5 @@ def ann_recall_adc(sf_dir: str, k: int = 10, n_queries: int = 5):
     Scale shape: identical to ann_recall — both inputs are the
     existing pipelines, the comparison moves k rows per query per
     side through one query-keyed groupby."""
-    import numpy as np
-    import pandas as pd
-
-    cols = ["query_id", "neighbor_id", "src"]
-    ex = ann_topk(sf_dir, k=k, n_queries=n_queries).map_batches(
-        lambda df: df.assign(src=np.int8(0))[cols],
-        batch_format="pandas")
-    ap = ann_topk_adc(sf_dir, k=k, n_queries=n_queries).map_batches(
-        lambda df: df.assign(src=np.int8(1))[cols],
-        batch_format="pandas")
-
-    def rec(g: pd.DataFrame) -> pd.DataFrame:
-        e = set(g.loc[g["src"] == 0, "neighbor_id"])
-        a = set(g.loc[g["src"] == 1, "neighbor_id"])
-        return pd.DataFrame({
-            "query_id": pd.Series([g["query_id"].iloc[0]], dtype="int64"),
-            "n_exact": pd.Series([len(e)], dtype="int64"),
-            "n_approx": pd.Series([len(a)], dtype="int64"),
-            # denominator = |exact| (== k normally; < k only when the
-            # corpus itself is smaller than k) so recall is never
-            # understated on tiny corpora
-            "recall_permille": pd.Series(
-                [1000 * len(e & a) // max(len(e), 1)],
-                dtype="int64")})
-
-    return ex.union(ap).groupby("query_id").map_groups(
-        rec, batch_format="pandas")
+    return _recall_eval(ann_topk(sf_dir, k=k, n_queries=n_queries),
+                        ann_topk_adc(sf_dir, k=k, n_queries=n_queries))

@@ -1551,8 +1551,8 @@ def _lpa_small(ue, n_e: int, iters: int):
             .groupby(["n", "lab"], as_index=False)["c"].sum()
         cnt = cnt.sort_values(["n", "c", "lab"],
                               ascending=[True, False, True])
-        labels = dict(zip(cnt.drop_duplicates("n")["n"],
-                          cnt.drop_duplicates("n")["lab"]))
+        first = cnt.drop_duplicates("n")
+        labels = dict(zip(first["n"], first["lab"]))
         del ref  # single live broadcast copy across rounds
 
     return ray.data.from_arrow(pa.table({

@@ -107,9 +107,14 @@ class UserTable:
         return self.rows[uid - 1] if 1 <= uid <= len(self.rows) else None
 
     def check_login(self, user: str, pwd: str) -> int:
-        """auth.c:248-273 check_user_login: id on success else -1.  The
-        reference's login query does NOT filter deleted=1 — a deleted
-        user can still log in (quirk preserved)."""
+        """auth.c:248-273 check_user_login: id on success else -1.  Two
+        reference quirks preserved: (1) the login query does NOT filter
+        deleted=1 — a deleted user can still log in; (2) strrmsq runs
+        on the LOGIN input only, while USERADD's escaped INSERT stores
+        quotes verbatim — so a quote-containing username or password
+        can never authenticate in the C either (the escaped query
+        literal o_brien never equals the stored o'brien); pinned by
+        test."""
         user, pwd = strrmsq(user), strrmsq(pwd)
         for r in self.rows:
             if r["user"] == user and r["pass"] == md5_pass(pwd):
@@ -460,6 +465,8 @@ class MasterUserEndpoint:
         for (jid, crawler, inp, _date, _uid) in sorted(
                 self.board.added_table(self.user_id),
                 key=lambda r: -r[0]):
+            if n >= 1000:
+                break
             joined = sessions_by_job.get(jid) or [None]
             for s in joined:
                 if n >= 1000:

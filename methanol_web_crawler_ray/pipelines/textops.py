@@ -1656,6 +1656,9 @@ def pii_documents_path(sf_dir: str) -> str:
             "text": pd.Series(texts, dtype="string")})
 
     tmp = out + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)  # crashed-build leftovers
     ray.data.read_parquet(src, columns=["doc_id", "text"]).map_batches(
         plant, batch_format="pandas").write_parquet(tmp)
     os.replace(tmp, out)

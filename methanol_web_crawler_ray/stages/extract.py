@@ -1252,10 +1252,17 @@ def robots_audit(pages_dir: str, batch_size: int = 2048,
         return _robots_audit_large(pages_dir, robots, batch_size)
 
     per_host = {}
+    texts = {}
     for row in robots.take_all():
         parts = row["url"].split("/")
         if len(parts) > 2:
-            per_host[parts[2]] = parse_robots(row["text"])
+            h = parts[2]
+            # duplicate robots rows for one host: parse the
+            # lexicographically smallest text — deterministic
+            # regardless of row order (the large path agrees)
+            if h not in texts or row["text"] < texts[h]:
+                texts[h] = row["text"]
+    per_host = {h: parse_robots(t) for h, t in texts.items()}
     ref = ray.put(per_host)
 
     def partial(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
@@ -1340,7 +1347,7 @@ def _robots_audit_large(pages_dir: str, robots, batch_size: int):
 
     def audit(g: pd.DataFrame) -> pd.DataFrame:
         rb = g.loc[g["role"] == 1, "rtext"]
-        info = parse_robots(rb.iloc[0]) if len(rb) else None
+        info = parse_robots(rb.min()) if len(rb) else None
         urls = g.loc[g["role"] == 0, "url"]
         n = len(urls)
         if n == 0:
@@ -1470,10 +1477,16 @@ def recrawl_plan(pages_dir: str, batch_size: int = 2048,
 
     delays = {}
     for row in robots.take_all():
+        parts = row["url"].split("/")
+        if len(parts) <= 2:        # hostless URL: nothing to key on
+            continue
         # the real robots kernel (see host_budget), not a literal regex
         d = int(parse_robots(row["text"]).crawl_delay or 0)
-        delays[row["url"].split("/")[2]] = \
-            max(d, FRIENDLY_GET_DELAY_S) * 1_000_000
+        v = max(d, FRIENDLY_GET_DELAY_S) * 1_000_000
+        prev = delays.get(parts[2])
+        # duplicate robots rows for one host: keep the MIN delay —
+        # deterministic regardless of row order (the large path agrees)
+        delays[parts[2]] = v if prev is None else min(prev, v)
     ref = ray.put(delays)
 
     def with_host(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
@@ -1543,7 +1556,7 @@ def _recrawl_plan_large(pages_dir: str, robots, batch_size: int,
 
     def plan(g: pd.DataFrame) -> pd.DataFrame:
         dl = g.loc[g["role"] == 1, "delay_us"]
-        delay_us = int(dl.iloc[0]) if len(dl) else default_us
+        delay_us = int(dl.min()) if len(dl) else default_us
         g = g[g["role"] == 0]
         g = g.sort_values(["next_fetch_us", "url"],
                           kind="mergesort").reset_index(drop=True)

@@ -43,8 +43,7 @@ def test_dead_child_aborts_fast(tmp_path):
 def test_all_ready_returns_none(tmp_path):
     bench = _bench()
     bar = str(tmp_path / "bar")
-    code = ("import sys, time; open(sys.argv[0] + '.done', 'w')"
-            if False else "import time; time.sleep(30)")
+    code = "import time; time.sleep(30)"
     procs = [_stub(code) for _ in range(2)]
     # markers appear (as the in-child gate would write them)
     open(bar + ".a", "w").close()

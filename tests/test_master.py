@@ -297,3 +297,15 @@ def test_endpoint_command_split_across_feeds():
         ep.feed(bytes([b]))
     assert bytes(ep.out) == MSG100
     assert board.added_table(2)[0][2] == "http://x.y/a b c"
+
+
+def test_quote_credentials_lockout_quirk():
+    """Pin the preserved C quirk: strrmsq runs on the LOGIN input only
+    (the INSERT stores quotes verbatim), so quote-containing
+    credentials can never authenticate — same as the reference."""
+    users = UserTable([("o'brien", "pa'ss", "O B", NOL_LEVEL_READ, "")])
+    assert users.check_login("o'brien", "pa'ss") == -1
+    assert users.check_login("o_brien", "pa_ss") == -1  # md5 of pa_ss
+    # a quote-free user is untouched by the guard
+    users.add("plain", "pw", "P", NOL_LEVEL_READ, "")
+    assert users.check_login("plain", "pw") == 2
