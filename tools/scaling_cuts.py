@@ -35,7 +35,7 @@ STEAL_MAX = 0.05
 # load < 0.8, later + a full-width steal burst) before every run
 GATED = ("r3i", "r3j", "r3k", "r4b", "r4c", "r4d", "r4e", "r4f",
          "r4g", "r4h", "r4i", "r4j", "r4k", "r4l", "r4m", "r4n", "r4o",
-         "r4q", "r4s", "r5a", "r5c")
+         "r4q", "r4s", "r5a", "r5c", "r5d")
 
 
 def classify(j):
